@@ -1,0 +1,420 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's 16-query dashboard surface (SURVEY.md §2.3, Q1–Q16 —
+  * `initgrafana/dashboards/RTCM monitor.json`, `Disturbances.json`),
+  * re-expressed over the driver test tables: `events` plays the
+  * time-series fact (`rtcm_packages`: ts→receive_time, user_id→
+  * mountpoint, event_type→rtcm_msg_type class, value→sat_count/size),
+  * `customer`/`nation` play the station-metadata dimensions
+  * (`sourcetable_constants`).
+  *
+  * Scale notes (100 TB): every query is a partial+final hash aggregate
+  * over the fact with at most one shuffle on the grouping key; dimension
+  * joins are explicit `broadcast()` (dimensions are O(#stations));
+  * "latest per key" is a window dedup that shuffles once on the key.
+  */
+object Dashboard extends QueryModule {
+  import Q._
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+
+  // Q1 analog: 2-level agg — per-(user, 10 min bucket) filtered-CASE
+  // rates, then per-user average, broadcast-joined to the dimension.
+  // Ref: "Satellite count average", RTCM monitor.json:126.
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    val inner = ev(s, d)
+      .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
+      .agg(
+        round(sum(when(col("event_type").isin("click", "view"), dec(col("value"), 18, 4)))
+          .cast(DoubleType) / 600, 6).cast(DecimalType(18, 6)).as("click_rate"),
+        round(sum(when(col("event_type") === "error", dec(col("value"), 18, 4)))
+          .cast(DoubleType) / 600, 6).cast(DecimalType(18, 6)).as("error_rate"))
+    val outer = inner.groupBy(col("user_id")).agg(
+      round(sum(col("click_rate")).cast(DoubleType) / count(col("click_rate")), 6)
+        .cast(DecimalType(18, 6)).as("avg_click_rate"),
+      round(sum(col("error_rate")).cast(DoubleType) / count(col("error_rate")), 6)
+        .cast(DecimalType(18, 6)).as("avg_error_rate"))
+    outer
+      .join(broadcast(cust(s, d)), outer("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("c_mktsegment").as("segment"),
+        col("avg_click_rate"), col("avg_error_rate"))
+      .orderBy(col("segment"), col("user_id"))
+  }
+
+  private val q01Sql =
+    s"""SELECT u.user_id, c.c_mktsegment AS segment,
+       |  CAST(ROUND(CAST(SUM(u.click_rate) AS DOUBLE)/COUNT(u.click_rate), 6) AS DECIMAL(18,6)) AS avg_click_rate,
+       |  CAST(ROUND(CAST(SUM(u.error_rate) AS DOUBLE)/COUNT(u.error_rate), 6) AS DECIMAL(18,6)) AS avg_error_rate
+       |FROM (
+       |  SELECT user_id, ${bucketSql("ts", 600)} AS bucket,
+       |    CAST(ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view') THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)/600, 6) AS DECIMAL(18,6)) AS click_rate,
+       |    CAST(ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)/600, 6) AS DECIMAL(18,6)) AS error_rate
+       |  FROM events GROUP BY 1, 2) u
+       |JOIN customer c ON u.user_id = c.c_custkey
+       |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin
+
+  // Q2 analog: time-bucketed rate timeseries with an IN filter.
+  // Ref: "Satellite count $interval-average", RTCM monitor.json:248.
+  private def q02(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
+      .agg(round(sum(dec(col("value"), 18, 4)).cast(DoubleType) / 600, 6)
+        .cast(DecimalType(18, 6)).as("rate"))
+      .orderBy("bucket", "user_id")
+
+  private val q02Sql =
+    s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
+       |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/600, 6) AS DECIMAL(18,6)) AS rate
+       |FROM events WHERE event_type IN ('click','view')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q3 analog: DISTINCT over the fact within a time range, joined to
+  // the dimension (semi-join shape). Ref: "Mountpoint location",
+  // RTCM monitor.json:422.
+  private def q03(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast(TimestampType) &&
+        col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType))
+      .select("user_id").distinct()
+      .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      .orderBy("user_id")
+
+  private val q03Sql =
+    """SELECT e.user_id, c.c_name AS name, c.c_mktsegment AS segment
+      |FROM (SELECT DISTINCT user_id FROM events
+      |      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |        AND ts <  TIMESTAMP '2024-01-15 00:00:00') e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY 1""".stripMargin
+
+  // Q4 analog: 2-level agg over a JSON-extracted payload-size column.
+  // Ref: "Data flow average [kB/s]", RTCM monitor.json:529.
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val inner = ev(s, d)
+      .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
+      .agg(round(sum(k).cast(DoubleType) / 600, 9).cast(DecimalType(18, 9)).as("kps"))
+    inner.groupBy(col("user_id"))
+      .agg(round(sum(col("kps")).cast(DoubleType) / count(col("kps")), 6)
+        .cast(DecimalType(18, 6)).as("avg_kps"))
+      .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("c_mktsegment").as("segment"), col("avg_kps"))
+      .orderBy(col("segment"), col("user_id"))
+  }
+
+  private val q04Sql =
+    s"""SELECT u.user_id, c.c_mktsegment AS segment,
+       |  CAST(ROUND(CAST(SUM(u.kps) AS DOUBLE)/COUNT(u.kps), 6) AS DECIMAL(18,6)) AS avg_kps
+       |FROM (
+       |  SELECT user_id, ${bucketSql("ts", 600)} AS bucket,
+       |    CAST(ROUND(CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DOUBLE)/600, 9) AS DECIMAL(18,9)) AS kps
+       |  FROM events GROUP BY 1, 2) u
+       |JOIN customer c ON u.user_id = c.c_custkey
+       |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin
+
+  // Q5 analog: bucketed sum-rate timeseries over the JSON payload size.
+  // Ref: "Data flow $interval-average", RTCM monitor.json:645.
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    ev(s, d)
+      .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
+      .agg(sum(k).as("bytes"),
+        round(sum(k).cast(DoubleType) / 600 / 8 / 1024, 9)
+          .cast(DecimalType(18, 9)).as("kbps"))
+      .orderBy("bucket", "user_id")
+  }
+
+  private val q05Sql =
+    s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
+       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS bytes,
+       |  CAST(ROUND(CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DOUBLE)/600/8/1024, 9) AS DECIMAL(18,9)) AS kbps
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q6 analog: disconnect table — pair each 'error' event with the next
+  // one per user (lead window), open interval closed by the global max
+  // timestamp (CURRENT_TIMESTAMP stand-in, kept deterministic).
+  // Ref: "Disconnected mountpoints", RTCM monitor.json:765 + S9 pairing.
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("disconnect_epoch"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("disconnect_epoch", "event_id")
+    val mx = e.agg(unix_timestamp(max(col("ts"))).as("max_epoch"))
+    errs
+      .withColumn("reconnect_epoch", lead(col("disconnect_epoch"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), col("disconnect_epoch"), col("reconnect_epoch"),
+        (coalesce(col("reconnect_epoch"), col("max_epoch")) - col("disconnect_epoch"))
+          .as("duration_s"))
+      .orderBy(desc("disconnect_epoch"), col("user_id"))
+  }
+
+  private val q06Sql =
+    """SELECT user_id, disconnect_epoch, reconnect_epoch,
+      |  COALESCE(reconnect_epoch, max_epoch) - disconnect_epoch AS duration_s
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS disconnect_epoch,
+      |    LEAD(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+      |      (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS reconnect_epoch
+      |  FROM events WHERE event_type = 'error') e
+      |CROSS JOIN (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS max_epoch FROM events) m
+      |ORDER BY 2 DESC, 1""".stripMargin
+
+  // Q7 analog: latest-value-per-key (window dedup = the `coordinates`
+  // upsert semantics) three-way joined to two dimensions.
+  // Ref: "Coordinates [m]", RTCM monitor.json:850 + S7.
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val latest = ev(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("last_epoch"),
+        dec(col("value"), 18, 4).as("last_value"))
+    latest
+      .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("user_id"), col("last_epoch"), col("last_value"),
+        col("c_name").as("name"), col("n_name").as("nation"))
+      .orderBy("user_id")
+  }
+
+  private val q07Sql =
+    """SELECT e.user_id, e.last_epoch, e.last_value, c.c_name AS name, n.n_name AS nation
+      |FROM (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+      |         CAST(value AS DECIMAL(18,4)) AS last_value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE e.rn = 1
+      |ORDER BY 1""".stripMargin
+
+  // Q8 analog: data-gap heatmap — event counts per (hour bucket, user)
+  // under IS NOT NULL / <> 0 / type predicates.
+  // Ref: "Data gaps", RTCM monitor.json:949.
+  private def q08(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase") &&
+        col("value").isNotNull && col("value") =!= 0)
+      .groupBy(bucket(col("ts"), 3600).as("bucket"), col("user_id"))
+      .agg(count(col("value")).as("n"))
+      .orderBy("bucket", "user_id")
+
+  private val q08Sql =
+    s"""SELECT ${bucketSql("ts", 3600)} AS bucket, user_id, COUNT(value) AS n
+       |FROM events
+       |WHERE event_type IN ('click','view','purchase') AND value IS NOT NULL AND value <> 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Latency expression shared by Q9–Q11: wall-clock epoch vs event
+  // epoch mod 86400, with a per-constellation leap-second CASE.
+  // Ref: RTCM monitor.json:1072 latency expr.
+  private def latencyCol = {
+    val leap = when(col("event_type") === "click", 18L)
+      .when(col("event_type") === "view", 0L)
+      .when(col("event_type") === "purchase", 4L)
+      .otherwise(18L)
+    val rx = unix_timestamp(col("ts"))
+    val obs = rx - floor(col("value")).cast(LongType)
+    pmod(rx + leap, lit(86400L)) - pmod(obs, lit(86400L))
+  }
+
+  private val latencySqlExpr =
+    """(CAST(floor(epoch(ts)) AS BIGINT) + CASE WHEN event_type = 'click' THEN 18
+      | WHEN event_type = 'view' THEN 0 WHEN event_type = 'purchase' THEN 4
+      | ELSE 18 END) % 86400
+      | - (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(value) AS BIGINT)) % 86400"""
+      .stripMargin.replace("\n", "")
+
+  // Q9 analog: average latency per (hour bucket, user).
+  private def q09(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(bucket(col("ts"), 3600).as("bucket"), col("user_id"))
+      .agg(davg(latencyCol).as("avg_latency_s"))
+      .orderBy("bucket", "user_id")
+
+  private val q09Sql =
+    s"""SELECT ${bucketSql("ts", 3600)} AS bucket, user_id,
+       |  ${davgSql(latencySqlExpr)} AS avg_latency_s
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q10/Q11 analogs: max/min latency gauges per user.
+  private def q10(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(max(latencyCol).as("max_latency_s"),
+        max(unix_timestamp(col("ts"))).as("last_epoch"))
+      .orderBy("user_id")
+
+  private val q10Sql =
+    s"""SELECT user_id, MAX($latencySqlExpr) AS max_latency_s,
+       |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q11(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(min(latencyCol).as("min_latency_s"),
+        max(unix_timestamp(col("ts"))).as("last_epoch"))
+      .orderBy("user_id")
+
+  private val q11Sql =
+    s"""SELECT user_id, MIN($latencySqlExpr) AS min_latency_s,
+       |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q12–Q15 analogs: fixed-column CASE pivots (avg per category per
+  // bucket) — explicit columns incl. one the data never produces
+  // ('stream' ≙ BeiDou B5D), so NULL-column parity is explicit rather
+  // than pivot()'s observed-values mode. Ref: Disturbances.json:122+.
+  private def pivotAvg(cat: String): org.apache.spark.sql.Column =
+    round(sum(when(col("event_type") === cat, dec(col("value"), 18, 4))).cast(DoubleType) /
+      count(when(col("event_type") === cat, col("value"))), 6).cast(DecimalType(18, 6))
+
+  private def pivotAvgSql(cat: String): String =
+    s"CAST(ROUND(CAST(SUM(CASE WHEN event_type = '$cat' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)" +
+      s"/COUNT(CASE WHEN event_type = '$cat' THEN value END), 6) AS DECIMAL(18,6))"
+
+  private def q12(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(col("user_id") < 50)
+      .groupBy(bucket(col("ts"), 86400).as("bucket"))
+      .agg(pivotAvg("click").as("avg_click"), pivotAvg("view").as("avg_view"),
+        pivotAvg("purchase").as("avg_purchase"), pivotAvg("signup").as("avg_signup"),
+        pivotAvg("error").as("avg_error"), pivotAvg("stream").as("avg_stream"))
+      .orderBy("bucket")
+
+  private val q12Sql =
+    s"""SELECT ${bucketSql("ts", 86400)} AS bucket,
+       |  ${pivotAvgSql("click")} AS avg_click, ${pivotAvgSql("view")} AS avg_view,
+       |  ${pivotAvgSql("purchase")} AS avg_purchase, ${pivotAvgSql("signup")} AS avg_signup,
+       |  ${pivotAvgSql("error")} AS avg_error, ${pivotAvgSql("stream")} AS avg_stream
+       |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q13(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(col("user_id") === 7)
+      .groupBy(bucket(col("ts"), 21600).as("bucket"))
+      .agg(pivotAvg("click").as("avg_click"), pivotAvg("error").as("avg_error"),
+        pivotAvg("view").as("avg_view"))
+      .orderBy("bucket")
+
+  private val q13Sql =
+    s"""SELECT ${bucketSql("ts", 21600)} AS bucket,
+       |  ${pivotAvgSql("click")} AS avg_click, ${pivotAvgSql("error")} AS avg_error,
+       |  ${pivotAvgSql("view")} AS avg_view
+       |FROM events WHERE user_id = 7 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q14 analog on lineitem: monthly pivot by returnflag.
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    def p(f: String) =
+      round(sum(when(col("l_returnflag") === f, dec(col("l_extendedprice"), 18, 2)))
+        .cast(DoubleType) /
+        count(when(col("l_returnflag") === f, col("l_extendedprice"))), 4)
+        .cast(DecimalType(18, 4))
+    Tables.load(s, d, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+      .agg(p("A").as("avg_price_a"), p("N").as("avg_price_n"), p("R").as("avg_price_r"))
+      .orderBy("ym")
+  }
+
+  private def q14PSql(f: String) =
+    s"CAST(ROUND(CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)" +
+      s"/COUNT(CASE WHEN l_returnflag = '$f' THEN l_extendedprice END), 4) AS DECIMAL(18,4))"
+
+  private val q14Sql =
+    s"""SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS ym,
+       |  ${q14PSql("A")} AS avg_price_a, ${q14PSql("N")} AS avg_price_n, ${q14PSql("R")} AS avg_price_r
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q15 analog on orders: pivot by orderstatus per priority.
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    def p(st: String) =
+      round(sum(when(col("o_orderstatus") === st, dec(col("o_totalprice"), 18, 2)))
+        .cast(DoubleType) /
+        count(when(col("o_orderstatus") === st, col("o_totalprice"))), 4)
+        .cast(DecimalType(18, 4))
+    Tables.load(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(p("F").as("avg_f"), p("O").as("avg_o"), p("P").as("avg_p"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("priority")
+  }
+
+  private def q15PSql(st: String) =
+    s"CAST(ROUND(CAST(SUM(CASE WHEN o_orderstatus = '$st' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)" +
+      s"/COUNT(CASE WHEN o_orderstatus = '$st' THEN o_totalprice END), 4) AS DECIMAL(18,4))"
+
+  private val q15Sql =
+    s"""SELECT o_orderpriority AS priority,
+       |  ${q15PSql("F")} AS avg_f, ${q15PSql("O")} AS avg_o, ${q15PSql("P")} AS avg_p,
+       |  COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q16 analogs: template-variable queries — DISTINCT value lists and
+  // an IN-subquery (planned as a left-semi join).
+  private def q16a(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_type")).distinct().orderBy("event_type")
+
+  private val q16aSql = "SELECT DISTINCT event_type FROM events ORDER BY 1"
+
+  private def q16b(s: SparkSession, d: String): DataFrame = {
+    val active = ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20).select(col("user_id"))
+    cust(s, d)
+      .join(broadcast(active), col("c_custkey") === col("user_id"), "left_semi")
+      .select(col("c_custkey").as("user_id"), col("c_name").as("name"))
+      .orderBy("user_id")
+  }
+
+  private val q16bSql =
+    """SELECT c_custkey AS user_id, c_name AS name FROM customer
+      |WHERE c_custkey IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 20)
+      |ORDER BY 1""".stripMargin
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_rate_avg_2level" -> q01,
+    "q02_rate_timeseries" -> q02,
+    "q03_distinct_dim_join" -> q03,
+    "q04_flow_avg_json" -> q04,
+    "q05_flow_timeseries" -> q05,
+    "q06_disconnect_pairing" -> q06,
+    "q07_latest_per_key_join" -> q07,
+    "q08_gap_heatmap" -> q08,
+    "q09_latency_avg" -> q09,
+    "q10_latency_max" -> q10,
+    "q11_latency_min" -> q11,
+    "q12_pivot_case_wide" -> q12,
+    "q13_pivot_case_single_key" -> q13,
+    "q14_pivot_monthly_lineitem" -> q14,
+    "q15_pivot_status_orders" -> q15,
+    "q16a_distinct_values" -> q16a,
+    "q16b_in_subquery_semi" -> q16b)
+
+  override def oracle: Map[String, String] = Map(
+    "q01_rate_avg_2level" -> q01Sql,
+    "q02_rate_timeseries" -> q02Sql,
+    "q03_distinct_dim_join" -> q03Sql,
+    "q04_flow_avg_json" -> q04Sql,
+    "q05_flow_timeseries" -> q05Sql,
+    "q06_disconnect_pairing" -> q06Sql,
+    "q07_latest_per_key_join" -> q07Sql,
+    "q08_gap_heatmap" -> q08Sql,
+    "q09_latency_avg" -> q09Sql,
+    "q10_latency_max" -> q10Sql,
+    "q11_latency_min" -> q11Sql,
+    "q12_pivot_case_wide" -> q12Sql,
+    "q13_pivot_case_single_key" -> q13Sql,
+    "q14_pivot_monthly_lineitem" -> q14Sql,
+    "q15_pivot_status_orders" -> q15Sql,
+    "q16a_distinct_values" -> q16aSql,
+    "q16b_in_subquery_semi" -> q16bSql)
+}

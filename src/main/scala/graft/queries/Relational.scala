@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** General relational coverage beyond the dashboard surface: multi-way
+  * joins, exact/distinct aggregation, windows, HAVING, rollup — the
+  * query shapes a user of the engine runs on the stored tables.
+  *
+  * Scale notes: fact-to-fact joins (lineitem⋈orders) shuffle on the
+  * join key and benefit from bucketing at 100 TB; every dimension join
+  * is `broadcast()`; top-k is computed with a full sort only on the
+  * already-aggregated (small) side, or rank-per-group windows which
+  * shuffle once on the partition key.
+  */
+object Relational extends QueryModule {
+  import Q._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // TPC-H Q1 shape: pricing summary — wide partial+final hash agg.
+  private def h01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 18, 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 18, 2).as("sum_base_price"),
+        // price/discount/tax are exact 2-dp values, so the products have
+        // exactly 4/6 decimals — casting at that scale avoids engine-
+        // dependent tie-rounding of the double→decimal conversion.
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 22, 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 24, 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val h01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity", 18, 2)} AS sum_qty,
+       |  ${dsumSql("l_extendedprice", 18, 2)} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 22, 4)} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 24, 6)} AS sum_charge,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // TPC-H Q3 shape: dim-filtered fact⋈fact join + grouped top-k.
+  private def h03(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast(TimestampType))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("orderdate_epoch"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 22, 4).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val h03Sql =
+    s"""SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 22, 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 3 DESC, 1 LIMIT 10""".stripMargin
+
+  // TPC-H Q5 shape: 6-way join chain (region→nation→customer→orders→
+  // lineitem→supplier with co-nation predicate), grouped revenue.
+  private def h05(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, d, "nation").join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, d, "customer").join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    t(s, d, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 22, 4).as("revenue"))
+      .orderBy(desc("revenue"), col("nation"))
+  }
+
+  private val h05Sql =
+    s"""SELECT n_name AS nation,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 22, 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin
+
+  // TPC-H Q6 shape: pure filter + scalar aggregate (pushdown showcase).
+  private def h06(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType) &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 18, 4).as("revenue"))
+
+  private val h06Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount", 18, 4)} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // TPC-H Q4 shape: EXISTS / left-semi join + grouped count.
+  private def h04(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+      .select("l_orderkey")
+    t(s, d, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("priority")
+  }
+
+  private val h04Sql =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // TPC-H Q18 shape: HAVING over a grouped fact, joined back to orders.
+  private def h18(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity"), 18, 2).as("sum_qty"))
+      .filter(col("sum_qty") > 100)
+    bigOrders
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice"), 18, 2).as("totalprice"), col("sum_qty"))
+      .orderBy(desc("sum_qty"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val h18Sql =
+    s"""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, sum_qty
+       |FROM (SELECT l_orderkey, ${dsumSql("l_quantity", 18, 2)} AS sum_qty
+       |      FROM lineitem GROUP BY 1) l
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE sum_qty > 100
+       |ORDER BY 4 DESC, 1 LIMIT 100""".stripMargin
+
+  // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+  private def h10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 22, 4).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  private val h10Sql =
+    s"""SELECT c_custkey, c_name, n_name AS nation,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 22, 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1 LIMIT 20""".stripMargin
+
+  // Exact distinct aggregation (COUNT(DISTINCT) expands to two-phase agg).
+  private def a01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  private val a01Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ROLLUP grouping-sets aggregate over two dimension levels.
+  private def a02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 18, 2).as("sum_bal"))
+      .orderBy(col("segment").asc_nulls_first, col("nation").asc_nulls_first)
+
+  private val a02Sql =
+    s"""SELECT c_mktsegment AS segment, n_name AS nation, COUNT(*) AS n,
+       |  ${dsumSql("c_acctbal", 18, 2)} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(1, 2) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // Window: running revenue per customer over order dates.
+  private def w01(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders").filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
+        sum(dec(col("o_totalprice"), 18, 2)).over(w).cast(DecimalType(18, 2)).as("running_total"))
+      .orderBy("o_custkey", "orderdate_epoch", "o_orderkey")
+  }
+
+  private val w01Sql =
+    """SELECT o_custkey, o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY 1, 3, 2""".stripMargin
+
+  // Window: top-3 orders per customer by price (rank-per-group).
+  private def w02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        dec(col("o_totalprice"), 18, 2).as("totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val w02Sql =
+    """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) x
+      |WHERE rn <= 3 ORDER BY 1, 2""".stripMargin
+
+  // Window: sessionization by inactivity gap (30 min) — lag + running
+  // conditional sum; session count and avg session length per user.
+  private def w03(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = t(s, d, "events")
+      .withColumn("prev_epoch", lag(unix_timestamp(col("ts")), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_epoch").isNull ||
+          unix_timestamp(col("ts")) - col("prev_epoch") > 1800, 1L).otherwise(0L))
+    e.groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val w03Sql =
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_epoch IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - prev_epoch > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch
+      |    FROM events) x) y
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h01_pricing_summary" -> h01,
+    "h03_topk_join" -> h03,
+    "h04_exists_semi" -> h04,
+    "h05_join_chain" -> h05,
+    "h06_filter_agg" -> h06,
+    "h10_returned_topk" -> h10,
+    "h18_having_join" -> h18,
+    "a01_count_distinct" -> a01,
+    "a02_rollup" -> a02,
+    "w01_running_total" -> w01,
+    "w02_rank_per_group" -> w02,
+    "w03_sessionize_gap" -> w03)
+
+  override def oracle: Map[String, String] = Map(
+    "h01_pricing_summary" -> h01Sql,
+    "h03_topk_join" -> h03Sql,
+    "h04_exists_semi" -> h04Sql,
+    "h05_join_chain" -> h05Sql,
+    "h06_filter_agg" -> h06Sql,
+    "h10_returned_topk" -> h10Sql,
+    "h18_having_join" -> h18Sql,
+    "a01_count_distinct" -> a01Sql,
+    "a02_rollup" -> a02Sql,
+    "w01_running_total" -> w01Sql,
+    "w02_rank_per_group" -> w02Sql,
+    "w03_sessionize_gap" -> w03Sql)
+}
