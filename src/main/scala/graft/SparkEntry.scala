@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * expressible) the DuckDB oracle SQL with matching column names.
   */
 object SparkEntry {
-  private val modules: Seq[QueryModule] = Seq(Dashboard, Relational)
+  private val modules: Seq[QueryModule] =
+    Seq(Dashboard, Relational, RtcmQueries, TextAnalysis, Dedup, Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.etl.{RtcmPipeline, SyntheticRtcm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end RTCM pipeline queries over a deterministic synthetic
+  * corpus (SyntheticRtcm, seed-fixed): transport chunks → framing →
+  * CRC → decode → MSM expansion → table projections → dashboard-shaped
+  * analytics. Not SQL-expressible from the parquet test tables, so no
+  * DuckDB oracle — the driver records rows-only checks; full
+  * value-level assertions live in the ScalaTest suites.
+  */
+object RtcmQueries extends QueryModule {
+
+  private val NMounts = 4
+  private val NFrames = 240
+
+  private def decoded(s: SparkSession) = {
+    import s.implicits._
+    val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
+      .repartition(8, col("mountPoint"))
+    RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks))
+  }
+
+  /** rtcm_packages: one metadata row per CRC-valid frame. */
+  private def packages(s: SparkSession, d: String): DataFrame =
+    RtcmPipeline.packages(decoded(s)).orderBy("mountpoint", "receive_time", "rtcm_package_id")
+
+  /** Per-(sat, signal) observation rows from MSM5/MSM7 expansion. */
+  private def observations(s: SparkSession, d: String): DataFrame =
+    RtcmPipeline.observations(decoded(s))
+      .orderBy("mountpoint", "obs_epoch", "sat_id", "sat_signal")
+
+  /** Latest ARP per mountpoint (upsert-table semantics as window dedup). */
+  private def coordinatesLatest(s: SparkSession, d: String): DataFrame =
+    RtcmPipeline.latestCoordinates(decoded(s)).orderBy("mountpoint")
+
+  /** Q12-shaped SNR pivot over the decoded GPS observations
+    * (Disturbances.json:122): avg SNR per minute per signal, fixed
+    * column set incl. never-emitted L5X. */
+  private def snrPivot(s: SparkSession, d: String): DataFrame = {
+    def p(sig: String) =
+      round(avg(when(col("sat_signal") === sig, col("obs_snr"))), 6).as(s"avg_snr_$sig")
+    RtcmPipeline.observations(decoded(s))
+      .filter(col("constellation") === "GPS")
+      .groupBy(window(col("obs_epoch"), "60 seconds").getField("start").as("bucket"),
+        col("mountpoint"))
+      .agg(p("L1C"), p("L2W"), p("L2X"), p("L5X"))
+      .orderBy("bucket", "mountpoint")
+  }
+
+  /** Q9-shaped latency: receive_time vs obs_epoch seconds-of-day delta
+    * per mountpoint (RTCM monitor.json:1072). */
+  private def latency(s: SparkSession, d: String): DataFrame = {
+    val leap = when(col("constellation").isin("GPS", "GALILEO"), 18L)
+      .when(col("constellation") === "BEIDOU", 4L).otherwise(0L)
+    val lat = pmod(unix_timestamp(col("receive_time")) + leap, lit(86400L)) -
+      pmod(unix_timestamp(col("rtcm_obs_epoch")), lit(86400L))
+    RtcmPipeline.packages(decoded(s))
+      .filter(col("rtcm_obs_epoch").isNotNull)
+      .groupBy(col("mountpoint"), col("constellation"))
+      .agg(round(avg(lat), 3).as("avg_latency_s"), max(lat).as("max_latency_s"),
+        min(lat).as("min_latency_s"), count(lit(1)).as("n"))
+      .orderBy("mountpoint", "constellation")
+  }
+
+  /** Data-gap heatmap over packages (Q8 shape, RTCM monitor.json:949). */
+  private def gaps(s: SparkSession, d: String): DataFrame =
+    RtcmPipeline.packages(decoded(s))
+      .filter(col("rtcm_obs_epoch").isNotNull)
+      .groupBy(window(col("receive_time"), "30 seconds").getField("start").as("bucket"),
+        col("mountpoint"))
+      .agg(count(col("rtcm_obs_epoch")).as("n"))
+      .orderBy("bucket", "mountpoint")
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rtcm_packages_e2e" -> packages,
+    "rtcm_observations_e2e" -> observations,
+    "rtcm_coordinates_latest" -> coordinatesLatest,
+    "rtcm_snr_pivot" -> snrPivot,
+    "rtcm_latency_stats" -> latency,
+    "rtcm_gap_heatmap" -> gaps)
+
+  /** Pipeline outputs aren't derivable from the parquet tables by SQL —
+    * no oracle entries (driver: rows-only). */
+  override def oracle: Map[String, String] = Map.empty
+}

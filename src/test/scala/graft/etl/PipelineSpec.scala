@@ -1,0 +1,121 @@
+package graft.etl
+
+import graft.rtcm._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def decodedCorpus = {
+    import spark.implicits._
+    val chunks = spark.createDataset(SyntheticRtcm.corpus(2, 64))
+    RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks)).persist()
+  }
+
+  test("end-to-end: chunked corpus → frames → packages/observations/coordinates") {
+    val d = decodedCorpus
+    try {
+      val pkgs = RtcmPipeline.packages(d)
+      // every generated frame survives framing + decode (2 mounts × 64)
+      assert(pkgs.count() == 128)
+      assert(pkgs.filter("rtcm_msg_type = -1").count() == 0) // no dead letters
+      // distributed framing matches a single-threaded reference fold
+      val local = SyntheticRtcm.corpus(2, 64).groupBy(_.mountPoint).map { case (m, cs) =>
+        var st = RtcmFraming.emptyState
+        var n = 0
+        cs.sortBy(_.seq).foreach { c =>
+          val (s2, fs) = RtcmFraming.feed(st, c.data); st = s2; n += fs.size
+        }
+        m -> n
+      }
+      assert(local.values.sum == 128)
+
+      val obs = RtcmPipeline.observations(d)
+      assert(obs.count() > 0)
+      // only MSM5/MSM7 expand; constellations routed correctly
+      val types = obs.select("rtcm_msg_type").distinct().collect().map(_.getInt(0)).toSet
+      assert(types.forall(t => t % 10 == 5 || t % 10 == 7))
+      val consts = obs.select("constellation").distinct().collect().map(_.getString(0)).toSet
+      assert(consts == Set("GPS", "GLONASS", "GALILEO"))
+      // sat ids carry the constellation prefix
+      val badIds = obs.filter(
+        "(constellation = 'GPS' AND substring(sat_id,1,1) <> 'G') OR " +
+        "(constellation = 'GLONASS' AND substring(sat_id,1,1) <> 'R') OR " +
+        "(constellation = 'GALILEO' AND substring(sat_id,1,1) <> 'E')").count()
+      assert(badIds == 0)
+
+      // coordinates: latest-per-mountpoint dedup leaves one row per mount
+      val latest = RtcmPipeline.latestCoordinates(d)
+      assert(latest.count() == 2)
+    } finally d.unpersist()
+  }
+
+  test("decodeOne produces a dead-letter row for a valid-CRC junk payload") {
+    // CRC-valid frame whose payload decodes to a message type with
+    // structural junk: claim MSM 1077 with truncated body
+    val w = new BitWriter
+    w.uint(1077, 12).uint(1, 12).uint(5, 8) // far too short for an MSM header
+    val frame = RtcmEncoder.frame(w.toBytes)
+    val out = RtcmPipeline.decodeOne(EncodedFrame("M", 0L, frame))
+    assert(out.error.isDefined)
+    assert(out.rtcm_msg_type == -1)
+  }
+
+  test("package ids are deterministic and distinct across frames") {
+    val d = decodedCorpus
+    try {
+      val ids = d.select("rtcm_package_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length)
+      val d2 = {
+        import spark.implicits._
+        val chunks = spark.createDataset(SyntheticRtcm.corpus(2, 64))
+        RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks))
+      }
+      val ids2 = d2.select("rtcm_package_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == ids2.sorted.toSeq)
+    } finally d.unpersist()
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("flatMapGroupsWithState framing matches batch framing across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = SyntheticRtcm.corpus(2, 48)
+    val input = MemoryStream[RawChunk]
+    val framed = graft.streaming.RtcmStreaming.frameStream(input.toDS())
+    val q = framed.writeStream
+      .format("memory").queryName("framed_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // feed in three micro-batches, splitting mid-stream (partial
+      // frames must carry across batch boundaries via state)
+      val parts = corpus.grouped(math.max(1, corpus.size / 3 + 1)).toSeq
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+      val got = spark.table("framed_out").count()
+      val expected = {
+        import spark.implicits._
+        RtcmPipeline.frameChunks(spark.createDataset(corpus)).count()
+      }
+      assert(got == expected)
+      assert(got == 96) // 2 mounts × 48 frames
+    } finally q.stop()
+  }
+}
