@@ -20,11 +20,12 @@ object Dedup extends QueryModule {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  // Word 3-shingles, distinct, as a column (docs shorter than 3 words
-  // are excluded by the caller's filter).
+  // Word 3-shingles, distinct, built from a pre-materialized word
+  // array: referencing split(text) inside the lambda would re-split
+  // the whole text on every element access (O(len·words) per doc).
   private val shinglesExpr =
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), " +
-      "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))"
+    "array_distinct(transform(sequence(0, size(ws) - 3), " +
+      "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
 
   // d01: exact dedup via content hash — keeper id + multiplicity per
   // distinct content.
@@ -41,7 +42,8 @@ object Dedup extends QueryModule {
   /** Per-doc shingle sets, filtered to docs with ≥3 words. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("sh"))
 
   // d02: near-dup pairs with exact shingle-Jaccard ≥ 0.9 — the
@@ -51,8 +53,7 @@ object Dedup extends QueryModule {
   // i.e. linear scale-out instead of the quadratic cross join.
   private def d02(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).cache()
-    val sig = sh.withColumn("sig",
-      expr("transform(sequence(0, 63), s -> array_min(transform(sh, x -> xxhash64(s, x))))"))
+    val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
     val bands = sig.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
@@ -92,8 +93,8 @@ object Dedup extends QueryModule {
   // band counts — the intermediate a pipeline monitors for bucket
   // skew. Not SQL-expressible (xxhash64) → rows-only.
   private def d03(s: SparkSession, d: String): DataFrame = {
-    val sig = shingled(s, d).withColumn("sig",
-      expr("transform(sequence(0, 63), s -> array_min(transform(sh, x -> xxhash64(s, x))))"))
+    val sig = shingled(s, d)
+      .withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
     val bands = sig.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
@@ -106,18 +107,24 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  // d04: SimHash — 64-bit bit-vote fingerprint over word hashes;
-  // near-dup candidates via 4×16-bit band join + hamming ≤ 6 filter
-  // (banding trades recall for linearity; guaranteed complete for
-  // hamming ≤ 3 by pigeonhole). Rows-only (xxhash64).
+  // d04: SimHash — 64-bit bit-vote fingerprint over word-bigram hashes
+  // (bigrams, not unigrams: on a shared-vocabulary corpus unigram
+  // votes converge to one global fingerprint and the band join goes
+  // quadratic); near-dup candidates via 4×16-bit band join + hamming
+  // ≤ 6 filter before the pair-dedup (banding trades recall for
+  // linearity; complete for hamming ≤ 3 by pigeonhole).
+  // Each feature is hashed ONCE (hs), then 64 bit-extractions — not 64
+  // re-hashes. Rows-only (xxhash64).
   private def d04(s: SparkSession, d: String): DataFrame = {
     val withSim = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("bitsum",
-        expr("transform(sequence(0, 63), j -> aggregate(ws, 0L, (a, w) -> a + (shiftright(xxhash64(w), j) & 1)))"))
+      .withColumn("hs",
+        expr("transform(sequence(0, size(ws) - 2), i -> xxhash64(ws[i], ws[i+1]))"))
       .withColumn("simhash",
-        expr("aggregate(sequence(0, 63), 0L, (acc, j) -> acc + if(bitsum[j] * 2 > size(ws), shiftleft(1L, j), 0L))"))
+        expr("aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
+          "if(aggregate(hs, 0L, (a, h) -> a + (shiftright(h, j) & 1)) * 2 > size(hs), shiftleft(1L, j), 0L))"))
       .select(col("doc_id"), col("simhash"))
+      .cache()
     val chunks = withSim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
@@ -127,8 +134,8 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(expr("x.simhash ^ y.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -137,14 +144,11 @@ object Dedup extends QueryModule {
   // test SF; the LSH/IVF scale path lives in Similarity (s03).
   // Rows-only (float fold order is engine-specific).
   private def d05(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.load(s, d, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val dot = expr("aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0D, (acc, p) -> acc + p)")
-    val nx = expr("sqrt(aggregate(x.v, 0D, (acc, p) -> acc + p * p))")
-    val ny = expr("sqrt(aggregate(y.v, 0D, (acc, p) -> acc + p * p))")
+    import graft.functions.GraftFunctions.{cosineSimilarity}
+    val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (dot / (nx * ny)).as("cos"))
+        cosineSimilarity(col("x.embedding"), col("y.embedding")).as("cos"))
       .filter(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"),
         round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"))

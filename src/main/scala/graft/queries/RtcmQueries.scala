@@ -75,7 +75,27 @@ object RtcmQueries extends QueryModule {
       .agg(count(col("rtcm_obs_epoch")).as("n"))
       .orderBy("bucket", "mountpoint")
 
+  /** SQL-facing CRC audit via the codegen'd crc24q expression: every
+    * synthetic frame's stored CRC matches a recompute over its body
+    * (the same LUT the framing layer uses). */
+  private def crcAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.crc24q
+    import s.implicits._
+    val frames = SyntheticRtcm.mountPoints(NMounts).zipWithIndex.flatMap { case (m, i) =>
+      SyntheticRtcm.framesFor(m, 100 + i, NFrames, 42L + i).map { case (_, f) => (m, f) }
+    }
+    s.createDataset(frames).toDF("mountpoint", "frame")
+      .withColumn("calc_crc", crc24q(expr("substring(frame, 1, length(frame) - 3)")))
+      .withColumn("stored_crc",
+        expr("conv(hex(substring(frame, length(frame) - 2, 3)), 16, 10)").cast("int"))
+      .groupBy(col("mountpoint"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("calc_crc") === col("stored_crc"), 1L).otherwise(0L)).as("n_valid"))
+      .orderBy("mountpoint")
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rtcm_crc_audit" -> crcAudit,
     "rtcm_packages_e2e" -> packages,
     "rtcm_observations_e2e" -> observations,
     "rtcm_coordinates_latest" -> coordinatesLatest,

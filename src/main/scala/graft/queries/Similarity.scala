@@ -19,25 +19,22 @@ import org.apache.spark.sql.types._
   */
 object Similarity extends QueryModule {
 
+  import graft.functions.GraftFunctions.{cosineSimilarity, vectorDot, vectorNorm}
+
   private def emb(s: SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
 
-  private val vDouble = "transform(embedding, x -> cast(x as double))"
-
-  private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0D, (acc, t) -> acc + t)")
-
-  private def normExpr(a: String): Column =
-    expr(s"sqrt(aggregate($a, 0D, (acc, t) -> acc + t * t))")
-
   // s01: brute-force cosine top-20 for the query vector vec_id = 0.
+  // Scoring runs through the codegen'd VectorDot/VectorNorm
+  // expressions — numerically identical (left-to-right double fold) to
+  // the oracle's list_sum formula.
   private def s01(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).select(col("vec_id"), expr(vDouble).as("v"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        (dotExpr("v", "qv") / (normExpr("v") * normExpr("qv"))).as("cos"))
+        cosineSimilarity(col("embedding"), col("qv")).as("cos"))
       .select(col("vec_id"), round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(20)
@@ -60,7 +57,8 @@ object Similarity extends QueryModule {
   // DECIMAL(38,30) sums make the element means order-independent.
   private def s02(s: SparkSession, d: String): DataFrame =
     emb(s, d)
-      .select(col("label"), posexplode(expr(vDouble)).as(Seq("pos", "v")))
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast(DecimalType(38, 30))).cast(DoubleType) /
         count(col("v"))).as("mean_v"))
@@ -89,24 +87,24 @@ object Similarity extends QueryModule {
   // query, exact-score only those buckets. Rows-only: approximation
   // contract (recall vs s01) is asserted in the ScalaTest suite.
   private def s03(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).select(col("vec_id"), col("label"), expr(vDouble).as("v")).cache()
+    val e = emb(s, d).select(col("vec_id"), col("label"), col("embedding")).cache()
     // coarse quantizer: per-label element-wise mean (collect 10×64 to
     // the driver — the quantizer is tiny and broadcast, as in IVF)
     val cent = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg(col("x")).as("m"))
       .groupBy("label").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), expr("transform(pm, t -> t.m)").as("cv"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val probes = cent.crossJoin(broadcast(q))
-      .select(col("label"), (dotExpr("cv", "qv") / (normExpr("cv") * normExpr("qv"))).as("cc"))
+      .select(col("label"), cosineSimilarity(col("cv"), col("qv")).as("cc"))
       .orderBy(desc("cc")).limit(2)
       .select(col("label"))
     e.join(broadcast(probes), "label")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(dotExpr("v", "qv") / (normExpr("v") * normExpr("qv")), 6)
+        round(cosineSimilarity(col("embedding"), col("qv")), 6)
           .cast(DecimalType(18, 6)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)

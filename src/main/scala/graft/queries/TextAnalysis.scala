@@ -140,12 +140,25 @@ object TextAnalysis extends QueryModule {
       |  FROM documents) d
       |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin
 
+  // t06: document fingerprinting via the codegen'd 64-bit rolling
+  // hash (order-sensitive content id) — fingerprint uniqueness per
+  // language. Rows-only (engine-specific hash).
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.rollingHash64
+    docs(s, d)
+      .select(col("lang"), rollingHash64(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct_fp"))
+      .orderBy("lang")
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
     "t03_lang_id_accuracy" -> t03,
     "t04_word_frequency" -> t04,
-    "t05_bigram_profile" -> t05)
+    "t05_bigram_profile" -> t05,
+    "t06_doc_fingerprints" -> t06)
 
   override def oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
