@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audit: asserts the scale-critical plan properties
+  * (filter/column pushdown to parquet, broadcast joins for dims,
+  * whole-stage codegen coverage) for representative queries and
+  * prints a report. Run: `sbt "runMain graft.PlanAudit [sfDir]"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = 0
+    // codegen stages print as "WholeStageCodegen (n)" in formatted
+    // mode and as "*(n)" markers in the simple plan string
+    val codegenCheck: String => Boolean =
+      s => s.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(s).isDefined
+    def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // execute THIS QueryExecution first (collect, not a write —
+      // writes clone the plan): AQE finalizes the adaptive plan and
+      // inserts the WholeStageCodegen stages only on execution
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val formatted = try df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      catch { case _: Throwable => plan }
+      checks.foreach { case (desc, p) =>
+        val ok = p(formatted) || p(plan)
+        if (!ok) failures += 1
+        println(f"[plan] ${if (ok) "PASS" else "FAIL"}%s  $name%-28s $desc")
+      }
+    }
+
+    // Q6-shape: pure filter+agg — predicates and projection must reach
+    // the parquet scan.
+    audit("h06_filter_agg")(
+      "filters pushed to scan" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate)")),
+      "column-pruned read (4 cols)" -> (s =>
+        s.contains("ReadSchema") && !s.contains("l_orderkey")),
+      "whole-stage codegen" -> codegenCheck)
+
+    // dim joins must broadcast, not shuffle, the small side
+    audit("q01_rate_avg_2level")(
+      "customer dim broadcast" -> (_.contains("BroadcastHashJoin")))
+    audit("h03_topk_join")(
+      "filtered dim broadcast" -> (_.contains("BroadcastHashJoin")),
+      "shipdate filter pushed" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate)")))
+    audit("h05_join_chain")(
+      ">=3 broadcast joins in chain" -> (s =>
+        "BroadcastHashJoin".r.findAllIn(s).size >= 3),
+      "orderdate filter pushed" -> (_.contains("GreaterThanOrEqual(o_orderdate")))
+    audit("q07_latest_per_key_join")(
+      "dims broadcast around window" -> (s =>
+        "BroadcastHashJoin".r.findAllIn(s).size >= 2))
+    audit("q16b_in_subquery_semi")(
+      "semi join broadcasts aggregated side" -> (s =>
+        s.contains("BroadcastHashJoin") && s.contains("LeftSemi")))
+    audit("h04_exists_semi")(
+      "exists as semi join" -> (_.contains("LeftSemi")),
+      "quantity filter pushed" -> (_.contains("GreaterThanOrEqual(l_quantity,45")))
+
+    // aggregates must be partial+final (map-side combine)
+    audit("h01_pricing_summary")(
+      "partial aggregation" -> (_.contains("HashAggregate")),
+      "codegen'd agg" -> codegenCheck)
+
+    // top-k: sort only after aggregation, with limit
+    audit("h10_returned_topk")(
+      "TakeOrderedAndProject (no full sort)" -> (_.contains("TakeOrderedAndProject")))
+
+    println(s"[plan] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
