@@ -283,7 +283,72 @@ object Relational extends QueryModule {
       |    FROM events) x) y
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Approximate aggregates — the sketch-based scale path (HLL++ count
+  // distinct, GK quantiles). Rows-only: sketch results are
+  // engine-specific by construction; the exactness baseline is a01.
+  private def a03(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+      .orderBy("event_type")
+
+  // Anti-join coverage (NOT EXISTS): customers with no urgent orders.
+  private def a04(s: SparkSession, d: String): DataFrame = {
+    val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    t(s, d, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal"), 18, 2).as("sum_bal"))
+      .orderBy("segment")
+  }
+
+  private val a04Sql =
+    s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+       |  ${dsumSql("c_acctbal", 18, 2)} AS sum_bal
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // As-of join (graft.operators.AsOfJoin): each non-error event picks
+  // up the user's most recent error at-or-before it; aggregated per
+  // user. Oracle: DuckDB's native ASOF LEFT JOIN.
+  private def a05(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val others = ev.filter(col("event_type") =!= "error")
+    graft.operators.AsOfJoin
+      .backward(others, errors, "user_id", "ts", "ts", payload = Seq("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("asof_age_s")).as("n_matched"),
+        davg(col("asof_age_s")).as("avg_age_s"),
+        max(col("asof_age_s")).as("max_age_s"))
+      .orderBy("user_id")
+  }
+
+  private val a05Sql =
+    s"""SELECT user_id, COUNT(*) AS n_events, COUNT(age) AS n_matched,
+       |  ${davgSql("age")} AS avg_age_s, MAX(age) AS max_age_s
+       |FROM (
+       |  SELECT l.user_id,
+       |    CAST(floor(epoch(l.ts)) AS BIGINT) - CAST(floor(epoch(r.ts)) AS BIGINT) AS age
+       |  FROM (SELECT * FROM events WHERE event_type <> 'error') l
+       |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+       |    ON l.user_id = r.user_id AND l.ts >= r.ts) x
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a03_approx_sketches" -> a03,
+    "a04_anti_join" -> a04,
+    "a05_asof_join" -> a05,
     "h01_pricing_summary" -> h01,
     "h03_topk_join" -> h03,
     "h04_exists_semi" -> h04,
@@ -298,6 +363,8 @@ object Relational extends QueryModule {
     "w03_sessionize_gap" -> w03)
 
   override def oracle: Map[String, String] = Map(
+    "a04_anti_join" -> a04Sql,
+    "a05_asof_join" -> a05Sql,
     "h01_pricing_summary" -> h01Sql,
     "h03_topk_join" -> h03Sql,
     "h04_exists_semi" -> h04Sql,
