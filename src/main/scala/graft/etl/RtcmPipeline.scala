@@ -189,6 +189,23 @@ object RtcmPipeline {
       .drop("rn")
   }
 
+  /** Register the reference's per-constellation observation tables
+    * (gps_observations … sbas_observations, SURVEY.md §1.4) as views
+    * over the unified table — name-level query parity without 6
+    * physical copies; constellation is a partition column so each
+    * view prunes to its partitions on the landed layout. */
+  def registerConstellationViews(decoded: Dataset[DecodedFrame]): Unit = {
+    val obs = observations(decoded)
+    Seq("GPS" -> "gps", "GLONASS" -> "glonass", "GALILEO" -> "galileo",
+      "BEIDOU" -> "beidou", "QZSS" -> "qzss", "SBAS" -> "sbas").foreach {
+      case (constellation, prefix) =>
+        obs.filter(col("constellation") === constellation)
+          .createOrReplaceTempView(s"${prefix}_observations")
+    }
+    packages(decoded).createOrReplaceTempView("rtcm_packages")
+    latestCoordinates(decoded).createOrReplaceTempView("coordinates")
+  }
+
   /** Dead-letter rows (decode failures). */
   def errors(decoded: Dataset[DecodedFrame]): DataFrame =
     decoded.filter(col("error").isNotNull)
