@@ -17,12 +17,22 @@ object RtcmQueries extends QueryModule {
   private val NMounts = 4
   private val NFrames = 240
 
-  private def decoded(s: SparkSession) = {
-    import s.implicits._
-    val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
-      .repartition(8, col("mountPoint"))
-    RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks))
-  }
+  // The corpus is deterministic, so the decoded Dataset is cached per
+  // session: six queries share one framing+decode pass.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, org.apache.spark.sql.Dataset[graft.etl.DecodedFrame]]()
+
+  private def decoded(s: SparkSession): org.apache.spark.sql.Dataset[graft.etl.DecodedFrame] =
+    cache.synchronized {
+      Option(cache.get(s)).getOrElse {
+        import s.implicits._
+        val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
+          .repartition(8, col("mountPoint"))
+        val d = RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks)).persist()
+        cache.put(s, d)
+        d
+      }
+    }
 
   /** rtcm_packages: one metadata row per CRC-valid frame. */
   private def packages(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.etl.{RawChunk, RtcmPipeline, SparkTestSession, SyntheticRtcm}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming landing: chunk stream → stateful framing →
+  * decode → foreachBatch parquet sink (packages + constellation-
+  * partitioned observations + coordinate log), across several
+  * micro-batches with checkpointing.
+  */
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("startParquetSink lands all three tables across micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
+    val corpus = SyntheticRtcm.corpus(2, 64)
+    val input = MemoryStream[RawChunk]
+    val q = RtcmStreaming.startParquetSink(
+      RtcmStreaming.decodeStream(input.toDS()), out, ckpt)
+    try {
+      corpus.grouped(corpus.size / 3 + 1).foreach { part =>
+        input.addData(part)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val pkgs = spark.read.parquet(s"$out/rtcm_packages")
+    assert(pkgs.count() == 128) // 2 mounts × 64 frames, across batches
+    val obs = spark.read.parquet(s"$out/observations")
+    assert(obs.count() > 0)
+    // constellation is a physical partition column of the landed table
+    assert(obs.schema.fieldNames.contains("constellation"))
+    val dirs = new java.io.File(s"$out/observations").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("constellation=")))
+    val coords = spark.read.parquet(s"$out/coordinates_log")
+    assert(coords.count() > 0)
+
+    // landed packages match the batch pipeline on the same corpus
+    val batch = RtcmPipeline.packages(
+      RtcmPipeline.decode(RtcmPipeline.frameChunks(spark.createDataset(corpus))))
+    assert(pkgs.select("rtcm_package_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      batch.select("rtcm_package_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
