@@ -31,13 +31,17 @@ object GrafanaMacros {
                 intervalMs: Long = 600000L,
                 templateVars: Map[String, String] = Map.empty): String = {
     var sql = rawSql
+    // interval substitutions first: the dashboards write
+    // $__timeGroup(col, $__interval) with the bare interval token
+    // ($__interval_ms before $__interval — prefix collision)
+    sql = IntervalMs.replaceAllIn(sql, intervalMs.toString)
+    sql = sql.replace("$__interval", s"${intervalMs / 1000}s")
     sql = TimeFilter.replaceAllIn(sql, m =>
       s"(${m.group(1)} >= TIMESTAMP '${range.fromIso}' AND ${m.group(1)} < TIMESTAMP '${range.toIso}')")
     sql = TimeGroupAlias.replaceAllIn(sql, m =>
-      s"${bucketSql(m.group(1), seconds(m.group(2), m.group(3)))} AS time_bucket")
+      s"${bucketSql(m.group(1), seconds(m.group(2), m.group(3)))} AS time")
     sql = TimeGroup.replaceAllIn(sql, m =>
       bucketSql(m.group(1), seconds(m.group(2), m.group(3))))
-    sql = IntervalMs.replaceAllIn(sql, intervalMs.toString)
     templateVars.foreach { case (k, v) =>
       sql = sql.replace("${" + k + "}", v).replace("$" + k, v)
     }

@@ -32,7 +32,7 @@ object MiscQueries extends QueryModule {
   }
 
   private val g01Sql =
-    """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS time_bucket, user_id,
+    """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS time, user_id,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS bytes
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'

@@ -16,7 +16,7 @@ class GrafanaMacrosSpec extends AnyFunSuite {
     assert(translate("$__timeGroup(ts, '5m')", r) ==
       "CAST(floor(unix_timestamp(ts) / 300) * 300 AS BIGINT)")
     assert(translate("$__timeGroupAlias(ts, '1h')", r) ==
-      "CAST(floor(unix_timestamp(ts) / 3600) * 3600 AS BIGINT) AS time_bucket")
+      "CAST(floor(unix_timestamp(ts) / 3600) * 3600 AS BIGINT) AS time")
     assert(translate("$__timeGroup(ts, 90s)", r).contains("/ 90)"))
   }
 
@@ -33,7 +33,7 @@ class GrafanaMacrosSpec extends AnyFunSuite {
       """SELECT $__timeGroupAlias(ts, '10m'), user_id, SUM(value) AS v
         |FROM events WHERE $__timeFilter(ts) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, r)
     val out = spark.sql(sql)
-    assert(out.columns.toSeq == Seq("time_bucket", "user_id", "v"))
+    assert(out.columns.toSeq == Seq("time", "user_id", "v"))
     assert(out.count() > 0)
   }
 }
