@@ -345,10 +345,94 @@ object Relational extends QueryModule {
        |    ON l.user_id = r.user_id AND l.ts >= r.ts) x
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // TPC-H Q17 shape: correlated scalar subquery (per-part average),
+  // expressed Spark-first as an aggregate + equi-join.
+  private def h17(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(round(col("l_quantity") * 100, 0).cast(LongType)).cast(DoubleType) / 100 /
+        count(col("l_quantity"))).as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(dsum(col("l_extendedprice"), 18, 2).as("low_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val h17Sql =
+    s"""SELECT ${dsumSql("l_extendedprice", 18, 2)} AS low_qty_revenue, COUNT(*) AS n_lines
+       |FROM lineitem l1
+       |WHERE l_quantity < 0.2 * (
+       |  SELECT CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(l_quantity)
+       |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  // Set operations: INTERSECT/EXCEPT of active-user sets between two
+  // weeks (reference uses none — engine-breadth coverage).
+  private def set01(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    def usersIn(from: String, to: String) = ev
+      .filter(col("ts") >= lit(from).cast(TimestampType) && col("ts") < lit(to).cast(TimestampType))
+      .select(col("user_id"))
+    val w1 = usersIn("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+    val w2 = usersIn("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    val both = w1.intersect(w2).agg(count(lit(1)).as("n")).withColumn("set_op", lit("both_weeks"))
+    val only1 = w1.except(w2).agg(count(lit(1)).as("n")).withColumn("set_op", lit("week1_only"))
+    val all = w1.union(w2).distinct().agg(count(lit(1)).as("n")).withColumn("set_op", lit("union"))
+    both.unionByName(only1).unionByName(all).select(col("set_op"), col("n")).orderBy("set_op")
+  }
+
+  private val set01Sql =
+    """WITH w1 AS (SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+      |     w2 AS (SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00')
+      |SELECT 'both_weeks' AS set_op, COUNT(*) AS n FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2) x
+      |UNION ALL
+      |SELECT 'union' AS set_op, COUNT(*) AS n FROM (SELECT * FROM w1 UNION SELECT * FROM w2) y
+      |UNION ALL
+      |SELECT 'week1_only' AS set_op, COUNT(*) AS n FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2) z
+      |ORDER BY 1""".stripMargin
+
+  // ntile decile distribution of order values.
+  private def w04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        dec(min(col("o_totalprice")), 18, 2).as("min_price"),
+        dec(max(col("o_totalprice")), 18, 2).as("max_price"))
+      .orderBy("decile")
+  }
+
+  private val w04Sql =
+    s"""SELECT decile, COUNT(*) AS n, ${dsumSql("o_totalprice", 18, 2)} AS sum_price,
+       |  CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+       |  CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+       |FROM (SELECT o_totalprice,
+       |        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+       |      FROM orders) x
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // CUBE grouping-sets over two dimensions.
+  private def a06(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+      .orderBy(col("status").asc_nulls_first, col("priority").asc_nulls_first)
+
+  private val a06Sql =
+    s"""SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice", 18, 2)} AS sum_price
+       |FROM orders GROUP BY CUBE(1, 2)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a03_approx_sketches" -> a03,
     "a04_anti_join" -> a04,
     "a05_asof_join" -> a05,
+    "a06_cube" -> a06,
+    "h17_corr_subquery" -> h17,
+    "set01_intersect_except" -> set01,
+    "w04_ntile_deciles" -> w04,
     "h01_pricing_summary" -> h01,
     "h03_topk_join" -> h03,
     "h04_exists_semi" -> h04,
@@ -365,6 +449,10 @@ object Relational extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "a04_anti_join" -> a04Sql,
     "a05_asof_join" -> a05Sql,
+    "a06_cube" -> a06Sql,
+    "h17_corr_subquery" -> h17Sql,
+    "set01_intersect_except" -> set01Sql,
+    "w04_ntile_deciles" -> w04Sql,
     "h01_pricing_summary" -> h01Sql,
     "h03_topk_join" -> h03Sql,
     "h04_exists_semi" -> h04Sql,
