@@ -36,11 +36,11 @@ object Dashboard extends QueryModule {
           .cast(DoubleType) / 600, 6).cast(DecimalType(18, 6)).as("click_rate"),
         round(sum(when(col("event_type") === "error", dec(col("value"), 18, 4)))
           .cast(DoubleType) / 600, 6).cast(DecimalType(18, 6)).as("error_rate"))
+    def outerAvg(rc: String) =
+      fixedDec(rhu((sum(col(rc)) * lit(1000000L)).cast(LongType), count(col(rc)), 1), 6)
     val outer = inner.groupBy(col("user_id")).agg(
-      round(sum(col("click_rate")).cast(DoubleType) / count(col("click_rate")), 6)
-        .cast(DecimalType(18, 6)).as("avg_click_rate"),
-      round(sum(col("error_rate")).cast(DoubleType) / count(col("error_rate")), 6)
-        .cast(DecimalType(18, 6)).as("avg_error_rate"))
+      outerAvg("click_rate").as("avg_click_rate"),
+      outerAvg("error_rate").as("avg_error_rate"))
     outer
       .join(broadcast(cust(s, d)), outer("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"),
@@ -50,8 +50,8 @@ object Dashboard extends QueryModule {
 
   private val q01Sql =
     s"""SELECT u.user_id, c.c_mktsegment AS segment,
-       |  CAST(ROUND(CAST(SUM(u.click_rate) AS DOUBLE)/COUNT(u.click_rate), 6) AS DECIMAL(18,6)) AS avg_click_rate,
-       |  CAST(ROUND(CAST(SUM(u.error_rate) AS DOUBLE)/COUNT(u.error_rate), 6) AS DECIMAL(18,6)) AS avg_error_rate
+       |  ${fixedDecSql(rhuSql("CAST(SUM(u.click_rate)*1000000 AS BIGINT)", "COUNT(u.click_rate)", 1), 6)} AS avg_click_rate,
+       |  ${fixedDecSql(rhuSql("CAST(SUM(u.error_rate)*1000000 AS BIGINT)", "COUNT(u.error_rate)", 1), 6)} AS avg_error_rate
        |FROM (
        |  SELECT user_id, ${bucketSql("ts", 600)} AS bucket,
        |    CAST(ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view') THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)/600, 6) AS DECIMAL(18,6)) AS click_rate,
@@ -104,8 +104,8 @@ object Dashboard extends QueryModule {
       .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
       .agg(round(sum(k).cast(DoubleType) / 600, 9).cast(DecimalType(18, 9)).as("kps"))
     inner.groupBy(col("user_id"))
-      .agg(round(sum(col("kps")).cast(DoubleType) / count(col("kps")), 6)
-        .cast(DecimalType(18, 6)).as("avg_kps"))
+      .agg(fixedDec(rhu((sum(col("kps")) * lit(1000000000L)).cast(LongType),
+        count(col("kps")) * lit(1000L), 1), 6).as("avg_kps"))
       .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"), col("avg_kps"))
       .orderBy(col("segment"), col("user_id"))
@@ -113,7 +113,7 @@ object Dashboard extends QueryModule {
 
   private val q04Sql =
     s"""SELECT u.user_id, c.c_mktsegment AS segment,
-       |  CAST(ROUND(CAST(SUM(u.kps) AS DOUBLE)/COUNT(u.kps), 6) AS DECIMAL(18,6)) AS avg_kps
+       |  ${fixedDecSql(rhuSql("CAST(SUM(u.kps)*1000000000 AS BIGINT)", "COUNT(u.kps)*1000", 1), 6)} AS avg_kps
        |FROM (
        |  SELECT user_id, ${bucketSql("ts", 600)} AS bucket,
        |    CAST(ROUND(CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DOUBLE)/600, 9) AS DECIMAL(18,9)) AS kps
@@ -277,13 +277,17 @@ object Dashboard extends QueryModule {
   // bucket) — explicit columns incl. one the data never produces
   // ('stream' ≙ BeiDou B5D), so NULL-column parity is explicit rather
   // than pivot()'s observed-values mode. Ref: Disturbances.json:122+.
-  private def pivotAvg(cat: String): org.apache.spark.sql.Column =
-    round(sum(when(col("event_type") === cat, dec(col("value"), 18, 4))).cast(DoubleType) /
-      count(when(col("event_type") === cat, col("value"))), 6).cast(DecimalType(18, 6))
+  private def pivotAvg(cat: String): org.apache.spark.sql.Column = {
+    val s = sum(when(col("event_type") === cat, round(col("value") * 1e4, 0).cast(LongType)))
+    val c = count(when(col("event_type") === cat, col("value")))
+    fixedDec(rhu(s, c, 100), 6)
+  }
 
-  private def pivotAvgSql(cat: String): String =
-    s"CAST(ROUND(CAST(SUM(CASE WHEN event_type = '$cat' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)" +
-      s"/COUNT(CASE WHEN event_type = '$cat' THEN value END), 6) AS DECIMAL(18,6))"
+  private def pivotAvgSql(cat: String): String = {
+    val s = s"SUM(CASE WHEN event_type = '$cat' THEN CAST(ROUND(value * 10000, 0) AS BIGINT) END)"
+    val c = s"COUNT(CASE WHEN event_type = '$cat' THEN value END)"
+    fixedDecSql(rhuSql(s, c, 100), 6)
+  }
 
   private def q12(s: SparkSession, d: String): DataFrame =
     ev(s, d).filter(col("user_id") < 50)
@@ -315,20 +319,21 @@ object Dashboard extends QueryModule {
 
   // Q14 analog on lineitem: monthly pivot by returnflag.
   private def q14(s: SparkSession, d: String): DataFrame = {
-    def p(f: String) =
-      round(sum(when(col("l_returnflag") === f, dec(col("l_extendedprice"), 18, 2)))
-        .cast(DoubleType) /
-        count(when(col("l_returnflag") === f, col("l_extendedprice"))), 4)
-        .cast(DecimalType(18, 4))
+    def p(f: String) = {
+      val sm = sum(when(col("l_returnflag") === f,
+        round(col("l_extendedprice") * 100, 0).cast(LongType)))
+      val c = count(when(col("l_returnflag") === f, col("l_extendedprice")))
+      fixedDec(rhu(sm, c, 100), 4)
+    }
     Tables.load(s, d, "lineitem")
       .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
       .agg(p("A").as("avg_price_a"), p("N").as("avg_price_n"), p("R").as("avg_price_r"))
       .orderBy("ym")
   }
 
-  private def q14PSql(f: String) =
-    s"CAST(ROUND(CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)" +
-      s"/COUNT(CASE WHEN l_returnflag = '$f' THEN l_extendedprice END), 4) AS DECIMAL(18,4))"
+  private def q14PSql(f: String) = fixedDecSql(rhuSql(
+    s"SUM(CASE WHEN l_returnflag = '$f' THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) END)",
+    s"COUNT(CASE WHEN l_returnflag = '$f' THEN l_extendedprice END)", 100), 4)
 
   private val q14Sql =
     s"""SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS ym,
@@ -337,11 +342,12 @@ object Dashboard extends QueryModule {
 
   // Q15 analog on orders: pivot by orderstatus per priority.
   private def q15(s: SparkSession, d: String): DataFrame = {
-    def p(st: String) =
-      round(sum(when(col("o_orderstatus") === st, dec(col("o_totalprice"), 18, 2)))
-        .cast(DoubleType) /
-        count(when(col("o_orderstatus") === st, col("o_totalprice"))), 4)
-        .cast(DecimalType(18, 4))
+    def p(st: String) = {
+      val sm = sum(when(col("o_orderstatus") === st,
+        round(col("o_totalprice") * 100, 0).cast(LongType)))
+      val c = count(when(col("o_orderstatus") === st, col("o_totalprice")))
+      fixedDec(rhu(sm, c, 100), 4)
+    }
     Tables.load(s, d, "orders")
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(p("F").as("avg_f"), p("O").as("avg_o"), p("P").as("avg_p"),
@@ -349,9 +355,9 @@ object Dashboard extends QueryModule {
       .orderBy("priority")
   }
 
-  private def q15PSql(st: String) =
-    s"CAST(ROUND(CAST(SUM(CASE WHEN o_orderstatus = '$st' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)" +
-      s"/COUNT(CASE WHEN o_orderstatus = '$st' THEN o_totalprice END), 4) AS DECIMAL(18,4))"
+  private def q15PSql(st: String) = fixedDecSql(rhuSql(
+    s"SUM(CASE WHEN o_orderstatus = '$st' THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END)",
+    s"COUNT(CASE WHEN o_orderstatus = '$st' THEN o_totalprice END)", 100), 4)
 
   private val q15Sql =
     s"""SELECT o_orderpriority AS priority,

@@ -72,7 +72,8 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= 0.9)
     verified
       .select(col("doc_a"), col("doc_b"),
-        round(col("jac"), 3).cast(DecimalType(9, 3)).as("jaccard"))
+        Q.fixedDec(Q.rhu(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"),
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long"), 1000L), 3).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -82,8 +83,7 @@ object Dedup extends QueryModule {
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
       |  FROM documents WHERE len(string_split(text,' ')) >= 3)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |       / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS DECIMAL(9,3)) AS jaccard
+      |  CAST(CAST(CAST(SIGN(len(list_intersect(a.sh, b.sh))) * FLOOR((ABS(len(list_intersect(a.sh, b.sh))) * 2000 + len(list_distinct(list_concat(a.sh, b.sh)))) / (len(list_distinct(list_concat(a.sh, b.sh))) * 2)) AS BIGINT) AS DECIMAL(38,0)) / 1000 AS DECIMAL(18,3)) AS jaccard
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9

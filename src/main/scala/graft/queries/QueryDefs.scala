@@ -46,17 +46,42 @@ object Q {
       lit(scale.toLong)).cast(DecimalType(p, s))
   }
 
-  /** Order-insensitive "average": exact scaled-long sum divided as
-    * double, rounded, fixed to DECIMAL(18,6). Value-identical to SQL
-    * CAST(ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/COUNT(x), 6)
-    *      AS DECIMAL(18,6)) while |Σ x·10^4| < 2^53 (double-exact). */
-  def davg(c: Column): Column =
-    round((sum(round(c * 1e4, 0).cast(LongType)).cast(DoubleType) / 1e4) / count(c), 6)
-      .cast(DecimalType(18, 6))
+  /** Exact round-half-away-from-zero of (S·mul)/C for integer S
+    * (possibly negative) and C > 0, computed with the integer identity
+    * n = sign(S)·⌊(2·|S|·mul + C) / (2·C)⌋ in double arithmetic —
+    * exact while 2·|S|·mul < 2^53. This replaces ROUND(double, s)
+    * for count-divided averages: a quotient with a power-of-two
+    * denominator can be EXACTLY a decimal tie in double, and the
+    * engines break ties differently (Spark half-up, DuckDB
+    * half-even). */
+  def rhu(s: Column, c: Column, mul: Long): Column =
+    (signum(s) * floor((abs(s).cast(DoubleType) * (2L * mul) + c) /
+      (c.cast(DoubleType) * 2))).cast(LongType)
+
+  def rhuSql(s: String, c: String, mul: Long): String =
+    s"CAST(SIGN($s) * FLOOR((ABS($s) * ${2 * mul} + ($c)) / (($c) * 2)) AS BIGINT)"
+
+  /** Fixed-point decimal from an integer numerator at `outScale`. */
+  def fixedDec(n: Column, outScale: Int): Column =
+    (n.cast(DecimalType(38, 0)) / lit(math.pow(10, outScale).toLong))
+      .cast(DecimalType(18, outScale))
+
+  def fixedDecSql(n: String, outScale: Int): String =
+    s"CAST(CAST($n AS DECIMAL(38,0)) / ${math.pow(10, outScale).toLong} AS DECIMAL(18,$outScale))"
+
+  /** Order-insensitive exact "average" of a 2-dp-exact column at
+    * DECIMAL(18,6): scaled-long sum, integer round-half-up division
+    * by the count. */
+  def davg(c: Column): Column = {
+    val s = sum(round(c * 1e4, 0).cast(LongType))
+    fixedDec(rhu(s, count(c), 100), 6)
+  }
 
   /** SQL fragment for davg over expression `x` (DuckDB side). */
-  def davgSql(x: String): String =
-    s"CAST(ROUND(CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DOUBLE)/COUNT($x), 6) AS DECIMAL(18,6))"
+  def davgSql(x: String): String = {
+    val s = s"SUM(CAST(ROUND(($x) * 10000, 0) AS BIGINT))"
+    fixedDecSql(rhuSql(s, s"COUNT($x)", 100), 6)
+  }
 
   def dsumSql(x: String, p: Int, s: Int): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL($p,$s))) AS DECIMAL($p,$s))"

@@ -58,12 +58,10 @@ object TextAnalysis extends QueryModule {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum(col("n_chars")).cast(DoubleType) / sum(toks), 6)
-          .cast(DecimalType(18, 6)).as("avg_token_len"),
+        fixedDec(rhu(sum(col("n_chars")), sum(toks), 1000000L), 6).as("avg_token_len"),
         sum(when(toks < 20, 1L).otherwise(0L)).as("n_short"),
         sum(when(toks > 80, 1L).otherwise(0L)).as("n_long"),
-        round(sum(stopHits).cast(DoubleType) * 1000 / sum(toks), 6)
-          .cast(DecimalType(18, 6)).as("stop_per_1k_tokens"))
+        fixedDec(rhu(sum(stopHits), sum(toks), 1000000000L), 6).as("stop_per_1k_tokens"))
       .orderBy("source")
   }
 
@@ -71,10 +69,10 @@ object TextAnalysis extends QueryModule {
     val toks = tokenCountSql("text")
     val stop = s"CAST(floor((length(text) - length(replace(text, ' the ', ''))) / 5) AS BIGINT)"
     s"""SELECT source, COUNT(*) AS n_docs,
-       |  CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM($toks), 6) AS DECIMAL(18,6)) AS avg_token_len,
+       |  ${fixedDecSql(rhuSql("CAST(SUM(n_chars) AS BIGINT)", s"CAST(SUM($toks) AS BIGINT)", 1000000L), 6)} AS avg_token_len,
        |  CAST(SUM(CASE WHEN ($toks) < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
        |  CAST(SUM(CASE WHEN ($toks) > 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
-       |  CAST(ROUND(CAST(SUM($stop) AS DOUBLE) * 1000 / SUM($toks), 6) AS DECIMAL(18,6)) AS stop_per_1k_tokens
+       |  ${fixedDecSql(rhuSql(s"CAST(SUM($stop) AS BIGINT)", s"CAST(SUM($toks) AS BIGINT)", 1000000000L), 6)} AS stop_per_1k_tokens
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
