@@ -104,7 +104,16 @@ object RtcmQueries extends QueryModule {
       .orderBy("mountpoint")
   }
 
+  /** Q16-shaped template-variable query from the Disturbances
+    * dashboard: DISTINCT signals per constellation, ordered (the list
+    * feeding the SNR panels' column sets). */
+  private def templateSignals(s: SparkSession, d: String): DataFrame =
+    RtcmPipeline.observations(decoded(s))
+      .select(col("constellation"), col("sat_signal")).distinct()
+      .orderBy("constellation", "sat_signal")
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rtcm_template_signals" -> templateSignals,
     "rtcm_crc_audit" -> crcAudit,
     "rtcm_packages_e2e" -> packages,
     "rtcm_observations_e2e" -> observations,

@@ -55,4 +55,26 @@ class WatermarkSpec extends AnyFunSuite {
       assert(out(60L) == 1L)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark across batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp((1704067200L + s) * 1000L)
+
+    val input = MemoryStream[Pkg]
+    val dedup = input.toDS()
+      .withWatermark("receive_time", "60 seconds")
+      .dropDuplicatesWithinWatermark("mountpoint", "receive_time")
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Pkg("A", ts(1)), Pkg("A", ts(1)), Pkg("B", ts(2)))
+      q.processAllAvailable()
+      // duplicate of ("A", ts(1)) arriving in a LATER batch while the
+      // key is still inside the watermark → suppressed by state
+      input.addData(Pkg("A", ts(1)), Pkg("A", ts(30)))
+      q.processAllAvailable()
+      assert(spark.table("dd_out").count() == 3)
+    } finally q.stop()
+  }
 }
