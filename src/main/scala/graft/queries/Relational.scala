@@ -290,10 +290,10 @@ object Relational extends QueryModule {
     t(s, d, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+        percentile_approx(col("value"), lit(0.5), lit(100)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(100)).as("p99_value"))
       .orderBy("event_type")
 
   // Anti-join coverage (NOT EXISTS): customers with no urgent orders.
