@@ -3,33 +3,61 @@
 DuckDB over the sf parquet tables and compare against the Spark result
 parquet written by graft.Verify.
 
+DRIVER-FAITHFUL COMPARISON (round-2 fix): both sides are compared as
+EXACT Arrow values — str(Decimal) keeps its scale ("94201.00"), floats
+use repr ("94201.0") — so a DECIMAL output on one side vs DOUBLE on the
+other FAILS here exactly like it fails the driver's hash (round-1 lost
+25 queries to that drift because .df() float-ified both sides and hid
+it). A schema guard additionally rejects ANY decimal or int32 column in
+an oracle-checked output, on either side: every query def must
+final-cast decimals to DOUBLE and ranks/ntiles to BIGINT.
+
 Usage: python3 scripts/check.py [sfDir] [outDir]
 (Dev tool only — the Scala library has no duckdb dependency.)
 """
+import glob
 import json
 import os
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+BANNED = "decimal/int32 output column (final-cast to DOUBLE/BIGINT)"
 
-def canon(df):
-    import pandas as pd
-    df = df.reindex(sorted(df.columns), axis=1)
-    # canonical string form per cell (decimal.Decimal, floats, None)
+
+def banned_fields(schema):
+    bad = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_decimal(t) or t == pa.int32():
+            bad.append(f"{f.name}:{t}")
+    return bad
+
+
+def canon(tbl):
+    """(sorted column names, sorted rows of exact-value strings)."""
+    cols = sorted(tbl.column_names)
+    pycols = [tbl.column(c).to_pylist() for c in cols]
+
     def cell(v):
-        if v is None or v != v:
+        if v is None:
             return "<NULL>"
         if isinstance(v, float):
-            return repr(v)
-        return str(v)
-    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
-    return list(df.columns), rows
+            if v != v:
+                return "<NULL>"
+            return repr(v)  # float repr: 94201.0
+        return str(v)  # Decimal str keeps scale: 94201.00 → must not appear
+
+    rows = sorted(tuple(cell(c[i]) for c in pycols)
+                  for i in range(tbl.num_rows))
+    return cols, rows
 
 
 def main():
@@ -46,15 +74,20 @@ def main():
         path = os.path.join(OUT_DIR, name)
         if not os.path.isdir(path):
             continue
-        got = con.sql(
-            f"SELECT * FROM read_parquet('{path}/*.parquet')").df()
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        got = pa.concat_tables([pq.read_table(p) for p in parts])
         if name not in oracle:
-            print(f"  ~ {name}: rows-only ({len(got)} rows)")
+            print(f"  ~ {name}: rows-only ({got.num_rows} rows)")
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            exp = con.sql(oracle[name]).arrow()
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        bad = banned_fields(got.schema) + banned_fields(exp.schema)
+        if bad:
+            print(f"  ✗ {name}: {BANNED}: {bad}")
             n_fail += 1
             continue
         gc, gr = canon(got)
@@ -74,7 +107,8 @@ def main():
         else:
             n_pass += 1
             print(f"  ✓ {name} ({len(gr)} rows)")
-    missing = set(oracle) - {n for n in names if os.path.isdir(os.path.join(OUT_DIR, n))}
+    missing = set(oracle) - {n for n in names
+                             if os.path.isdir(os.path.join(OUT_DIR, n))}
     for m in sorted(missing):
         print(f"  ✗ {m}: no spark output written")
         n_fail += 1

@@ -107,18 +107,32 @@ object RtcmPipeline {
   }
 
   /** Frame raw byte chunks (batch): per-mountpoint sequential fold of
-    * the framing state machine, arrival order restored via `seq`. */
+    * the framing state machine, arrival order restored via `seq`.
+    *
+    * Memory-bounded like the streaming path: instead of buffering a
+    * mountpoint's whole replay to sort it (a huge mountpoint could OOM
+    * an executor), the chunks are hash-repartitioned on the key and
+    * secondary-sorted by Spark's EXTERNAL sort (spills to disk), then
+    * folded lazily per partition — the only per-key state held at once
+    * is the framing state machine's bounded carry buffer. */
   def frameChunks(chunks: Dataset[RawChunk]): Dataset[EncodedFrame] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks.groupByKey(_.mountPoint).flatMapGroups { (mount, it) =>
-      var state = RtcmFraming.emptyState
-      it.toSeq.sortBy(_.seq).iterator.flatMap { chunk =>
-        val (s2, frames) = RtcmFraming.feed(state, chunk.data)
-        state = s2
-        frames.map(fr => EncodedFrame(mount, chunk.receiveMicros, fr))
+    chunks.repartition(col("mountPoint"))
+      .sortWithinPartitions(col("mountPoint"), col("seq"))
+      .mapPartitions { it =>
+        var current: String = null
+        var state = RtcmFraming.emptyState
+        it.flatMap { chunk =>
+          if (chunk.mountPoint != current) {
+            current = chunk.mountPoint
+            state = RtcmFraming.emptyState
+          }
+          val (s2, frames) = RtcmFraming.feed(state, chunk.data)
+          state = s2
+          frames.map(fr => EncodedFrame(chunk.mountPoint, chunk.receiveMicros, fr))
+        }
       }
-    }
   }
 
   def decode(frames: Dataset[EncodedFrame]): Dataset[DecodedFrame] = {

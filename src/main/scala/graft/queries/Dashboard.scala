@@ -67,12 +67,12 @@ object Dashboard extends QueryModule {
       .filter(col("event_type").isin("click", "view"))
       .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
       .agg(round(sum(dec(col("value"), 18, 4)).cast(DoubleType) / 600, 6)
-        .cast(DecimalType(18, 6)).as("rate"))
+        .cast(DecimalType(18, 6)).cast(DoubleType).as("rate"))
       .orderBy("bucket", "user_id")
 
   private val q02Sql =
     s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
-       |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/600, 6) AS DECIMAL(18,6)) AS rate
+       |  CAST(CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/600, 6) AS DECIMAL(18,6)) AS DOUBLE) AS rate
        |FROM events WHERE event_type IN ('click','view')
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -99,10 +99,13 @@ object Dashboard extends QueryModule {
   // Q4 analog: 2-level agg over a JSON-extracted payload-size column.
   // Ref: "Data flow average [kB/s]", RTCM monitor.json:529.
   private def q04(s: SparkSession, d: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    // project the JSON extraction ONCE before the aggregate: at 100 TB
+    // the JSON parse is the scan cost, so it must not run per
+    // aggregate expression
     val inner = ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
-      .agg(round(sum(k).cast(DoubleType) / 600, 9).cast(DecimalType(18, 9)).as("kps"))
+      .agg(round(sum(col("k")).cast(DoubleType) / 600, 9).cast(DecimalType(18, 9)).as("kps"))
     inner.groupBy(col("user_id"))
       .agg(fixedDec(rhu((sum(col("kps")) * lit(1000000000L)).cast(LongType),
         count(col("kps")) * lit(1000L), 1), 6).as("avg_kps"))
@@ -123,20 +126,20 @@ object Dashboard extends QueryModule {
 
   // Q5 analog: bucketed sum-rate timeseries over the JSON payload size.
   // Ref: "Data flow $interval-average", RTCM monitor.json:645.
-  private def q05(s: SparkSession, d: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
+  private def q05(s: SparkSession, d: String): DataFrame =
     ev(s, d)
+      // one get_json_object per row (not per aggregate expression)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
-      .agg(sum(k).as("bytes"),
-        round(sum(k).cast(DoubleType) / 600 / 8 / 1024, 9)
-          .cast(DecimalType(18, 9)).as("kbps"))
+      .agg(sum(col("k")).as("bytes"),
+        round(sum(col("k")).cast(DoubleType) / 600 / 8 / 1024, 9)
+          .cast(DecimalType(18, 9)).cast(DoubleType).as("kbps"))
       .orderBy("bucket", "user_id")
-  }
 
   private val q05Sql =
     s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
        |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS bytes,
-       |  CAST(ROUND(CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DOUBLE)/600/8/1024, 9) AS DECIMAL(18,9)) AS kbps
+       |  CAST(CAST(ROUND(CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DOUBLE)/600/8/1024, 9) AS DECIMAL(18,9)) AS DOUBLE) AS kbps
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // Q6 analog: disconnect table — pair each 'error' event with the next
@@ -180,7 +183,7 @@ object Dashboard extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), unix_timestamp(col("ts")).as("last_epoch"),
-        dec(col("value"), 18, 4).as("last_value"))
+        decd(col("value"), 18, 4).as("last_value"))
     latest
       .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
       .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -193,7 +196,7 @@ object Dashboard extends QueryModule {
     """SELECT e.user_id, e.last_epoch, e.last_value, c.c_name AS name, n.n_name AS nation
       |FROM (
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
-      |         CAST(value AS DECIMAL(18,4)) AS last_value,
+      |         CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS last_value,
       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) e
       |JOIN customer c ON e.user_id = c.c_custkey
@@ -326,7 +329,8 @@ object Dashboard extends QueryModule {
       fixedDec(rhu(sm, c, 100), 4)
     }
     Tables.load(s, d, "lineitem")
-      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast(LongType).as("ym"))
       .agg(p("A").as("avg_price_a"), p("N").as("avg_price_n"), p("R").as("avg_price_r"))
       .orderBy("ym")
   }
@@ -336,7 +340,7 @@ object Dashboard extends QueryModule {
     s"COUNT(CASE WHEN l_returnflag = '$f' THEN l_extendedprice END)", 100), 4)
 
   private val q14Sql =
-    s"""SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS ym,
+    s"""SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ym,
        |  ${q14PSql("A")} AS avg_price_a, ${q14PSql("N")} AS avg_price_n, ${q14PSql("R")} AS avg_price_r
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -83,7 +83,7 @@ object Dedup extends QueryModule {
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
       |  FROM documents WHERE len(string_split(text,' ')) >= 3)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(CAST(CAST(SIGN(len(list_intersect(a.sh, b.sh))) * FLOOR((ABS(len(list_intersect(a.sh, b.sh))) * 2000 + len(list_distinct(list_concat(a.sh, b.sh)))) / (len(list_distinct(list_concat(a.sh, b.sh))) * 2)) AS BIGINT) AS DECIMAL(38,0)) / 1000 AS DECIMAL(18,3)) AS jaccard
+      |  CAST(CAST(CAST(CAST(SIGN(len(list_intersect(a.sh, b.sh))) * FLOOR((ABS(len(list_intersect(a.sh, b.sh))) * 2000 + len(list_distinct(list_concat(a.sh, b.sh)))) / (len(list_distinct(list_concat(a.sh, b.sh))) * 2)) AS BIGINT) AS DECIMAL(38,0)) / 1000 AS DECIMAL(18,3)) AS DOUBLE) AS jaccard
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
@@ -151,7 +151,7 @@ object Dedup extends QueryModule {
         cosineSimilarity(col("x.embedding"), col("y.embedding")).as("cos"))
       .filter(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"),
-        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"))
+        round(col("cos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -32,6 +32,21 @@ object Q {
 
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** OUTPUT-COLUMN decimal: exact fixed-point arithmetic, then a final
+    * DOUBLE cast. The verify gate canonicalizes result cells as floats,
+    * so a DECIMAL output's trailing zero at scale ("94201.00") would
+    * hash differently from the float form ("94201.0") even though the
+    * values are identical. Both engines convert the same exact decimal
+    * to the same nearest double, so a final CAST(x AS DOUBLE) on BOTH
+    * sides is representation-proof. Every query's *final* decimal
+    * column must go through decd/dsum/fixedDec/davg (all DOUBLE-final);
+    * intermediates may stay decimal. */
+  def decd(c: Column, p: Int, s: Int): Column =
+    c.cast(DecimalType(p, s)).cast(DoubleType)
+
+  def decdSql(x: String, p: Int, s: Int): String =
+    s"CAST(CAST($x AS DECIMAL($p,$s)) AS DOUBLE)"
+
   /** Exact decimal sum: equivalent to SQL
     * CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DECIMAL(p,s)), but summed as
     * scaled longs — a primitive codegen sum instead of per-row
@@ -43,7 +58,7 @@ object Q {
     // divide by an INTEGER literal: decimal / double would fall back to
     // double division and lose the exactness this exists for
     (sum(round(c * scale, 0).cast(LongType)).cast(DecimalType(38, 0)) /
-      lit(scale.toLong)).cast(DecimalType(p, s))
+      lit(scale.toLong)).cast(DecimalType(p, s)).cast(DoubleType)
   }
 
   /** Exact round-half-away-from-zero of (S·mul)/C for integer S
@@ -61,17 +76,18 @@ object Q {
   def rhuSql(s: String, c: String, mul: Long): String =
     s"CAST(SIGN($s) * FLOOR((ABS($s) * ${2 * mul} + ($c)) / (($c) * 2)) AS BIGINT)"
 
-  /** Fixed-point decimal from an integer numerator at `outScale`. */
+  /** Fixed-point value from an integer numerator at `outScale`, final
+    * DOUBLE (see decd for why outputs must not stay DECIMAL). */
   def fixedDec(n: Column, outScale: Int): Column =
     (n.cast(DecimalType(38, 0)) / lit(math.pow(10, outScale).toLong))
-      .cast(DecimalType(18, outScale))
+      .cast(DecimalType(18, outScale)).cast(DoubleType)
 
   def fixedDecSql(n: String, outScale: Int): String =
-    s"CAST(CAST($n AS DECIMAL(38,0)) / ${math.pow(10, outScale).toLong} AS DECIMAL(18,$outScale))"
+    s"CAST(CAST(CAST($n AS DECIMAL(38,0)) / ${math.pow(10, outScale).toLong} AS DECIMAL(18,$outScale)) AS DOUBLE)"
 
-  /** Order-insensitive exact "average" of a 2-dp-exact column at
-    * DECIMAL(18,6): scaled-long sum, integer round-half-up division
-    * by the count. */
+  /** Order-insensitive exact "average" of a 2-dp-exact column, exact
+    * at 6 decimals (scaled-long sum, integer round-half-up division by
+    * the count), emitted as DOUBLE via fixedDec. */
   def davg(c: Column): Column = {
     val s = sum(round(c * 1e4, 0).cast(LongType))
     fixedDec(rhu(s, count(c), 100), 6)
@@ -84,7 +100,7 @@ object Q {
   }
 
   def dsumSql(x: String, p: Int, s: Int): String =
-    s"CAST(SUM(CAST(($x) AS DECIMAL($p,$s))) AS DECIMAL($p,$s))"
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL($p,$s))) AS DECIMAL($p,$s)) AS DOUBLE)"
 
   def bucketSql(ts: String, secs: Long): String =
     s"CAST(floor(epoch($ts)/$secs)*$secs AS BIGINT)"

@@ -158,13 +158,13 @@ object Relational extends QueryModule {
     bigOrders
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"),
-        dec(col("o_totalprice"), 18, 2).as("totalprice"), col("sum_qty"))
+        decd(col("o_totalprice"), 18, 2).as("totalprice"), col("sum_qty"))
       .orderBy(desc("sum_qty"), col("o_orderkey"))
       .limit(100)
   }
 
   private val h18Sql =
-    s"""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, sum_qty
+    s"""SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, sum_qty
        |FROM (SELECT l_orderkey, ${dsumSql("l_quantity", 18, 2)} AS sum_qty
        |      FROM lineitem GROUP BY 1) l
        |JOIN orders ON l_orderkey = o_orderkey
@@ -224,15 +224,16 @@ object Relational extends QueryModule {
     t(s, d, "orders").filter(col("o_custkey") < 100)
       .select(col("o_custkey"), col("o_orderkey"),
         unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
-        sum(dec(col("o_totalprice"), 18, 2)).over(w).cast(DecimalType(18, 2)).as("running_total"))
+        sum(dec(col("o_totalprice"), 18, 2)).over(w).cast(DecimalType(18, 2))
+          .cast(DoubleType).as("running_total"))
       .orderBy("o_custkey", "orderdate_epoch", "o_orderkey")
   }
 
   private val w01Sql =
     """SELECT o_custkey, o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
       |FROM orders WHERE o_custkey < 100
       |ORDER BY 1, 3, 2""".stripMargin
 
@@ -240,15 +241,15 @@ object Relational extends QueryModule {
   private def w02(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
     t(s, d, "orders")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-        dec(col("o_totalprice"), 18, 2).as("totalprice"))
+        decd(col("o_totalprice"), 18, 2).as("totalprice"))
       .orderBy("o_custkey", "rn")
   }
 
   private val w02Sql =
-    """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    """SELECT o_custkey, rn, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        ROW_NUMBER() OVER (PARTITION BY o_custkey
       |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -390,23 +391,55 @@ object Relational extends QueryModule {
       |SELECT 'week1_only' AS set_op, COUNT(*) AS n FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2) z
       |ORDER BY 1""".stripMargin
 
-  // ntile decile distribution of order values.
+  // ntile decile distribution of order values. NTILE over an
+  // unpartitioned window would move ALL rows to one partition (the
+  // scale-killer Spark itself warns about), so the global rank is
+  // computed distributed: range-partition on the sort key, rank
+  // locally per range, then add each range's exclusive prefix count
+  // (32 numbers, driver-side prefix sum — the same O(#partitions)
+  // driver step a distributed sort-rank uses). The decile follows from
+  // the rank by NTILE's closed form: the first n%10 tiles get
+  // ⌈n/10⌉ rows, the rest ⌊n/10⌋.
   private def w04(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, d, "orders")
-      .withColumn("decile", ntile(10).over(w))
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val ranged = o.repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin the range assignment; both passes reuse it
+    val perPid = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nTotal = perPid.values.sum
+    val pids = perPid.keys.toSeq.sorted
+    // pid -> rows in all preceding ranges (exclusive prefix sum)
+    val offsets = pids.zip(
+      pids.scanLeft(0L)((acc, pid) => acc + perPid(pid)).dropRight(1)).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(e)
+    }
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val base = nTotal / 10
+    val rem = nTotal % 10
+    val rn = col("rn")
+    // exact while n < 2^53 (double floor-division on long-valued args)
+    val decile =
+      if (base == 0) rn
+      else when(rn <= rem * (base + 1), floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(floor((rn - 1 - rem * (base + 1)) / base) + rem + 1)
+    ranged
+      .withColumn("rn", (row_number().over(localW).cast(LongType)) + offExpr)
+      .withColumn("decile", decile.cast(LongType))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         dsum(col("o_totalprice"), 18, 2).as("sum_price"),
-        dec(min(col("o_totalprice")), 18, 2).as("min_price"),
-        dec(max(col("o_totalprice")), 18, 2).as("max_price"))
+        decd(min(col("o_totalprice")), 18, 2).as("min_price"),
+        decd(max(col("o_totalprice")), 18, 2).as("max_price"))
       .orderBy("decile")
   }
 
   private val w04Sql =
     s"""SELECT decile, COUNT(*) AS n, ${dsumSql("o_totalprice", 18, 2)} AS sum_price,
-       |  CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-       |  CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+       |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+       |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
        |FROM (SELECT o_totalprice,
        |        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
        |      FROM orders) x

@@ -35,52 +35,63 @@ object Similarity extends QueryModule {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         cosineSimilarity(col("embedding"), col("qv")).as("cos"))
-      .select(col("vec_id"), round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"))
+      .select(col("vec_id"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(20)
   }
 
   private val s01Sql =
     """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-      |SELECT vec_id, CAST(ROUND(
+      |SELECT vec_id, CAST(CAST(ROUND(
       |    list_sum(list_transform(range(1, 65),
       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-      |  , 6) AS DECIMAL(18,6)) AS cos_sim
+      |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
       |FROM embeddings e, q
       |WHERE e.vec_id <> 0
       |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
 
-  // s02: per-label centroid norm — element-wise exact-decimal mean
-  // (posexplode ⇄ unnest zip), then norm of the mean vector.
-  // DECIMAL(38,30) sums make the element means order-independent.
-  private def s02(s: SparkSession, d: String): DataFrame =
-    emb(s, d)
-      .select(col("label"),
-        posexplode(expr("transform(embedding, x -> cast(x as double))")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast(DecimalType(38, 30))).cast(DoubleType) /
-        count(col("v"))).as("mean_v"))
-      .groupBy(col("label"))
-      .agg(round(sqrt(sum(col("mean_v") * col("mean_v"))), 6)
-        .cast(DecimalType(18, 6)).as("centroid_norm"),
-        count(lit(1)).as("n_dims"))
-      .orderBy("label")
+  // s02: per-label centroid norm, SINGLE-PASS — 64 scaled-long element
+  // sums + a count in ONE hash aggregate (partial map-side, one
+  // shuffle of 10 labels × 65 longs), then the norm of the mean as a
+  // generated left-associative expression chain. No posexplode (the
+  // round-1 plan inflated rows 64× and shuffled twice for the same
+  // answer). Exactness: each element is rounded to a scaled long at
+  // 1e9 (identical double→long rounding in both engines), summed as
+  // integers (order-independent), and only then divided in double with
+  // identical association on both sides. Overflow bound: per-label
+  // Σ|v|·1e9 < 2^63 (≈2.3e9 vectors/label at |v|≤4).
+  private val Dims = 64
 
-  private val s02Sql =
-    """SELECT label,
-      |  CAST(ROUND(sqrt(SUM(mean_v * mean_v)), 6) AS DECIMAL(18,6)) AS centroid_norm,
-      |  COUNT(*) AS n_dims
-      |FROM (
-      |  SELECT label, pos,
-      |    CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / COUNT(v) AS mean_v
-      |  FROM (
-      |    SELECT label, unnest(range(1, 65)) AS pos,
-      |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-      |    FROM embeddings) x
-      |  GROUP BY 1, 2) m
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val sums = (0 until Dims).map(i =>
+      sum(round(col("embedding").getItem(i).cast(DoubleType) * 1e9, 0).cast(LongType))
+        .as(s"s_$i"))
+    val agged = emb(s, d).groupBy(col("label").cast(LongType).as("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n_vecs")): _*)
+    val means = (0 until Dims).map(i => (col(s"s_$i").cast(DoubleType) / 1e9) / col("n_vecs"))
+    val normSq = means.map(m => m * m).reduceLeft(_ + _)
+    agged.select(col("label"),
+      round(sqrt(normSq), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("centroid_norm"),
+      lit(64L).as("n_dims"))
+      .orderBy("label")
+  }
+
+  private val s02Sql = {
+    val sums = (1 to Dims).map(i =>
+      s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS s_$i")
+      .mkString(", ")
+    def mean(i: Int) = s"((CAST(s_$i AS DOUBLE) / 1e9) / n_vecs)"
+    val normSq = (1 to Dims).map(i => s"${mean(i)} * ${mean(i)}").mkString(" + ")
+    s"""SELECT label,
+       |  CAST(CAST(ROUND(sqrt($normSq), 6) AS DECIMAL(18,6)) AS DOUBLE) AS centroid_norm,
+       |  CAST(64 AS BIGINT) AS n_dims
+       |FROM (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs, $sums
+       |      FROM embeddings GROUP BY 1) t
+       |ORDER BY 1""".stripMargin
+  }
 
   // s03: IVF approximate top-k — assign vectors to their label
   // centroid (the coarse quantizer), probe the 2 centroids nearest the
@@ -105,7 +116,7 @@ object Similarity extends QueryModule {
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(cosineSimilarity(col("embedding"), col("qv")), 6)
-          .cast(DecimalType(18, 6)).as("cos_sim"))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
