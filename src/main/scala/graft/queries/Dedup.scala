@@ -162,7 +162,24 @@ object Dedup extends QueryModule {
     "d04_simhash_pairs" -> d04,
     "d05_embedding_neardup" -> d05)
 
+  // Quadratic by definition — the oracle states the all-pairs
+  // semantics; see d05's scaladoc for why sub-quadratic banding cannot
+  // apply at this threshold on isotropic vectors.
+  private val d05Sql =
+    """SELECT vec_a, vec_b,
+      |  CAST(CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+      |FROM (
+      |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+      |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) p
+      |WHERE cos >= 0.45
+      |ORDER BY 1, 2""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "d01_exact_dedup_hash" -> d01Sql,
-    "d02_minhash_jaccard_pairs" -> d02Sql)
+    "d02_minhash_jaccard_pairs" -> d02Sql,
+    "d05_embedding_neardup" -> d05Sql)
 }

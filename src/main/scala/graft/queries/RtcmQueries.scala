@@ -8,31 +8,45 @@ import org.apache.spark.sql.types._
 /** End-to-end RTCM pipeline queries over a deterministic synthetic
   * corpus (SyntheticRtcm, seed-fixed): transport chunks → framing →
   * CRC → decode → MSM expansion → table projections → dashboard-shaped
-  * analytics. Not SQL-expressible from the parquet test tables, so no
-  * DuckDB oracle — the driver records rows-only checks; full
-  * value-level assertions live in the ScalaTest suites.
+  * analytics.
+  *
+  * Oracle strategy: the pipeline itself isn't SQL-expressible, but its
+  * OUTPUT TABLES are — graft.Verify dumps `rtcm_packages_e2e` /
+  * `rtcm_observations_e2e` / `rtcm_coordinates_e2e` as parquet, and
+  * every derived dashboard query here carries DuckDB oracle SQL that
+  * reads those dumps back (`__GRAFT_OUT__` is substituted with the
+  * verify out-dir at dump time). That turns the decode chain's
+  * analytics layer into value-checked queries instead of rows-only;
+  * only the byte-level stages (framing/CRC, checked exhaustively in
+  * ScalaTest) and the dump projections themselves stay rows-only.
   */
 object RtcmQueries extends QueryModule {
+  import Q._
 
   private val NMounts = 4
   private val NFrames = 240
 
-  // The corpus is deterministic, so the decoded Dataset is cached per
-  // session: six queries share one framing+decode pass.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, org.apache.spark.sql.Dataset[graft.etl.DecodedFrame]]()
+  /** Where the oracle SQL finds the e2e dumps; graft.Verify replaces
+    * this with the actual out-dir when writing oracle_sql.json. */
+  val OutDirToken = "__GRAFT_OUT__"
+  private def dump(name: String): String =
+    s"read_parquet('$OutDirToken/$name/*.parquet')"
+
+  // The corpus is deterministic, so the decoded Dataset is computed
+  // once per session and shared by all queries here. Keyed by session
+  // UUID (a plain value), not the SparkSession itself: a Dataset
+  // strongly references its session, so a WeakHashMap keyed on the
+  // session could never collect its entries anyway (round-1 ADVICE).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.Dataset[graft.etl.DecodedFrame]]()
 
   private def decoded(s: SparkSession): org.apache.spark.sql.Dataset[graft.etl.DecodedFrame] =
-    cache.synchronized {
-      Option(cache.get(s)).getOrElse {
-        import s.implicits._
-        val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
-          .repartition(8, col("mountPoint"))
-        val d = RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks)).persist()
-        cache.put(s, d)
-        d
-      }
-    }
+    cache.computeIfAbsent(System.identityHashCode(s).toString, _ => {
+      import s.implicits._
+      val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
+        .repartition(8, col("mountPoint"))
+      RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks)).persist()
+    })
 
   /** rtcm_packages: one metadata row per CRC-valid frame. */
   private def packages(s: SparkSession, d: String): DataFrame =
@@ -43,26 +57,60 @@ object RtcmQueries extends QueryModule {
     RtcmPipeline.observations(decoded(s))
       .orderBy("mountpoint", "obs_epoch", "sat_id", "sat_signal")
 
-  /** Latest ARP per mountpoint (upsert-table semantics as window dedup). */
+  /** All ARP fixes (append log) — the base the upsert view derives from. */
+  private def coordinatesAll(s: SparkSession, d: String): DataFrame =
+    RtcmPipeline.coordinates(decoded(s))
+      .orderBy("mountpoint", "receive_time", "rtcm_package_id")
+
+  /** Latest ARP per mountpoint (upsert-table semantics as window
+    * dedup), timestamps as epoch micros for engine-exact compare. */
   private def coordinatesLatest(s: SparkSession, d: String): DataFrame =
-    RtcmPipeline.latestCoordinates(decoded(s)).orderBy("mountpoint")
+    RtcmPipeline.latestCoordinates(decoded(s))
+      .select(col("mountpoint"), unix_micros(col("receive_time")).as("receive_epoch_us"),
+        col("rtcm_package_id"), col("ecef_x"), col("ecef_y"), col("ecef_z"),
+        col("antenna_height"))
+      .orderBy("mountpoint")
+
+  private val coordinatesLatestSql =
+    s"""SELECT mountpoint, epoch_us(receive_time) AS receive_epoch_us, rtcm_package_id,
+       |  ecef_x, ecef_y, ecef_z, antenna_height
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY mountpoint
+       |        ORDER BY receive_time DESC, rtcm_package_id DESC) AS rn
+       |      FROM ${dump("rtcm_coordinates_e2e")}) c
+       |WHERE rn = 1 ORDER BY 1""".stripMargin
 
   /** Q12-shaped SNR pivot over the decoded GPS observations
-    * (Disturbances.json:122): avg SNR per minute per signal, fixed
-    * column set incl. never-emitted L5X. */
+    * (Disturbances.json:122): exact avg SNR per minute per signal,
+    * fixed column set incl. never-emitted L5X. SNR steps are dyadic
+    * (1 and 2^-4 dBHz), so the scaled-long davg pattern is exact. */
   private def snrPivot(s: SparkSession, d: String): DataFrame = {
-    def p(sig: String) =
-      round(avg(when(col("sat_signal") === sig, col("obs_snr"))), 6).as(s"avg_snr_$sig")
+    def p(sig: String) = {
+      val sm = sum(when(col("sat_signal") === sig,
+        round(col("obs_snr") * 1e4, 0).cast(LongType)))
+      val c = count(when(col("sat_signal") === sig, col("obs_snr")))
+      fixedDec(rhu(sm, c, 100), 6).as(s"avg_snr_$sig")
+    }
     RtcmPipeline.observations(decoded(s))
       .filter(col("constellation") === "GPS")
-      .groupBy(window(col("obs_epoch"), "60 seconds").getField("start").as("bucket"),
-        col("mountpoint"))
+      .groupBy(bucket(col("obs_epoch"), 60).as("bucket"), col("mountpoint"))
       .agg(p("L1C"), p("L2W"), p("L2X"), p("L5X"))
       .orderBy("bucket", "mountpoint")
   }
 
+  private val snrPivotSql = {
+    def p(sig: String) = fixedDecSql(rhuSql(
+      s"SUM(CASE WHEN sat_signal = '$sig' THEN CAST(ROUND(obs_snr * 1e4, 0) AS BIGINT) END)",
+      s"COUNT(CASE WHEN sat_signal = '$sig' THEN obs_snr END)", 100), 6) + s" AS avg_snr_$sig"
+    s"""SELECT ${bucketSql("obs_epoch", 60)} AS bucket, mountpoint,
+       |  ${p("L1C")}, ${p("L2W")}, ${p("L2X")}, ${p("L5X")}
+       |FROM ${dump("rtcm_observations_e2e")}
+       |WHERE constellation = 'GPS'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Q9-shaped latency: receive_time vs obs_epoch seconds-of-day delta
-    * per mountpoint (RTCM monitor.json:1072). */
+    * per (mountpoint, constellation) (RTCM monitor.json:1072), exact
+    * integer latency + davg. */
   private def latency(s: SparkSession, d: String): DataFrame = {
     val leap = when(col("constellation").isin("GPS", "GALILEO"), 18L)
       .when(col("constellation") === "BEIDOU", 4L).otherwise(0L)
@@ -71,23 +119,46 @@ object RtcmQueries extends QueryModule {
     RtcmPipeline.packages(decoded(s))
       .filter(col("rtcm_obs_epoch").isNotNull)
       .groupBy(col("mountpoint"), col("constellation"))
-      .agg(round(avg(lat), 3).as("avg_latency_s"), max(lat).as("max_latency_s"),
+      .agg(davg(lat).as("avg_latency_s"), max(lat).as("max_latency_s"),
         min(lat).as("min_latency_s"), count(lit(1)).as("n"))
       .orderBy("mountpoint", "constellation")
+  }
+
+  private val latencySql = {
+    // DuckDB % is remainder (sign of dividend); both operands are
+    // non-negative epoch seconds here so it equals Spark's pmod.
+    val lat = """((CAST(floor(epoch(receive_time)) AS BIGINT)
+      | + CASE WHEN constellation IN ('GPS','GALILEO') THEN 18
+      |        WHEN constellation = 'BEIDOU' THEN 4 ELSE 0 END) % 86400
+      | - CAST(floor(epoch(rtcm_obs_epoch)) AS BIGINT) % 86400)"""
+      .stripMargin.replace("\n", "")
+    s"""SELECT mountpoint, constellation,
+       |  ${davgSql(lat)} AS avg_latency_s,
+       |  MAX($lat) AS max_latency_s, MIN($lat) AS min_latency_s, COUNT(*) AS n
+       |FROM ${dump("rtcm_packages_e2e")}
+       |WHERE rtcm_obs_epoch IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Data-gap heatmap over packages (Q8 shape, RTCM monitor.json:949). */
   private def gaps(s: SparkSession, d: String): DataFrame =
     RtcmPipeline.packages(decoded(s))
       .filter(col("rtcm_obs_epoch").isNotNull)
-      .groupBy(window(col("receive_time"), "30 seconds").getField("start").as("bucket"),
-        col("mountpoint"))
+      .groupBy(bucket(col("receive_time"), 30).as("bucket"), col("mountpoint"))
       .agg(count(col("rtcm_obs_epoch")).as("n"))
       .orderBy("bucket", "mountpoint")
 
+  private val gapsSql =
+    s"""SELECT ${bucketSql("receive_time", 30)} AS bucket, mountpoint,
+       |  COUNT(rtcm_obs_epoch) AS n
+       |FROM ${dump("rtcm_packages_e2e")}
+       |WHERE rtcm_obs_epoch IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** SQL-facing CRC audit via the codegen'd crc24q expression: every
     * synthetic frame's stored CRC matches a recompute over its body
-    * (the same LUT the framing layer uses). */
+    * (the same LUT the framing layer uses). Rows-only: crc24q has no
+    * DuckDB equivalent; exhaustive value checks live in Crc24qSpec. */
   private def crcAudit(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.crc24q
     import s.implicits._
@@ -112,17 +183,28 @@ object RtcmQueries extends QueryModule {
       .select(col("constellation"), col("sat_signal")).distinct()
       .orderBy("constellation", "sat_signal")
 
+  private val templateSignalsSql =
+    s"""SELECT DISTINCT constellation, sat_signal
+       |FROM ${dump("rtcm_observations_e2e")}
+       |ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rtcm_template_signals" -> templateSignals,
     "rtcm_crc_audit" -> crcAudit,
     "rtcm_packages_e2e" -> packages,
     "rtcm_observations_e2e" -> observations,
+    "rtcm_coordinates_e2e" -> coordinatesAll,
     "rtcm_coordinates_latest" -> coordinatesLatest,
     "rtcm_snr_pivot" -> snrPivot,
     "rtcm_latency_stats" -> latency,
     "rtcm_gap_heatmap" -> gaps)
 
-  /** Pipeline outputs aren't derivable from the parquet tables by SQL —
-    * no oracle entries (driver: rows-only). */
-  override def oracle: Map[String, String] = Map.empty
+  /** Derived analytics get oracles over the e2e parquet dumps; the
+    * dumps themselves and the CRC audit stay rows-only. */
+  override def oracle: Map[String, String] = Map(
+    "rtcm_template_signals" -> templateSignalsSql,
+    "rtcm_coordinates_latest" -> coordinatesLatestSql,
+    "rtcm_snr_pivot" -> snrPivotSql,
+    "rtcm_latency_stats" -> latencySql,
+    "rtcm_gap_heatmap" -> gapsSql)
 }
