@@ -139,10 +139,20 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  // d05: embedding near-dup — cosine ≥ 0.45 pairs (threshold chosen to
-  // be informative on this corpus: max pairwise cosine ≈ 0.51). Brute self-join at
-  // test SF; the LSH/IVF scale path lives in Similarity (s03).
-  // Rows-only (float fold order is engine-specific).
+  // d05: embedding near-dup at cosine ≥ 0.45 — EXHAUSTIVE all-pairs by
+  // design, value-checked against the quadratic oracle SQL.
+  //
+  // Why not LSH here: sign-LSH bit-agreement is p = 1 − θ/π, i.e.
+  // 0.648 at the 0.45 threshold vs ~0.53–0.60 for this corpus's
+  // background (isotropic unit vectors, |cos| mostly < 0.3). With a
+  // gap that thin, any band width r selective enough to reject the
+  // background (0.55^r ≲ 1/(b·n)) has recall p^r ≈ (0.648)^r ≈ 0 —
+  // e.g. r=19, b=96 catches 5% of true pairs, while r small enough to
+  // recall (r≤4) puts ~80% of ALL pairs in the candidate set (16
+  // buckets per band). Low-threshold dense all-pairs is intrinsically
+  // Ω(n²) compute; the scalable form is blocked execution of this
+  // exact plan, and the LSH regime that IS sub-quadratic (cos ≥ 0.99)
+  // is exercised by d06 below via operators.SignLsh.
   private def d05(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.{cosineSimilarity}
     val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -155,12 +165,74 @@ object Dedup extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  // d06: embedding near-dup in the regime LSH is FOR — duplicates with
+  // small noise (cos ≥ 0.99). The corpus is the embeddings table
+  // unioned with a deterministic perturbation of itself (element 1
+  // shifted by +0.02 → cos ≈ 0.9998 to its source, background ≤ 0.51),
+  // so every vec has exactly one planted near-dup. Spark path:
+  // sign-LSH banding (16 bands × 16 bits; miss ≈ 6e-17 at cos 0.9998)
+  // + exact-cosine verify of candidates only — linear, one band-join
+  // shuffle. Oracle states the quadratic all-pairs semantics.
+  private val NDupOffset = 100000L
+
+  private def d06(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSimilarity
+    val base = Tables.load(s, d, "embeddings")
+      .select(col("vec_id").cast(LongType).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pert = base.select((col("vec_id") + NDupOffset).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.02d)),
+        slice(col("v"), 2, 63)).as("v"))
+    val corpus = base.unionByName(pert)
+    val planes = graft.operators.SignLsh.hyperplanes(64, nBands = 16, bitsPerBand = 16,
+      seed = 0x5eed5L)
+    val bands = corpus
+      .select(col("vec_id"),
+        posexplode(graft.operators.SignLsh.bandValues(col("v"), planes, 16, 16))
+          .as(Seq("band", "bh")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cos", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= 0.99)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val d06Sql =
+    """WITH corpus AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(vec_id AS BIGINT) + 100000,
+      |         [CAST(embedding[1] AS DOUBLE) + 0.02] ||
+      |           list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+      |  FROM embeddings)
+      |SELECT vec_a, vec_b,
+      |  CAST(CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+      |FROM (
+      |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+      |    / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+      |     * sqrt(list_sum(list_transform(y.v, e -> e * e)))) AS cos
+      |  FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id) p
+      |WHERE cos >= 0.99
+      |ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup_hash" -> d01,
     "d02_minhash_jaccard_pairs" -> d02,
     "d03_lsh_candidates" -> d03,
     "d04_simhash_pairs" -> d04,
-    "d05_embedding_neardup" -> d05)
+    "d05_embedding_neardup" -> d05,
+    "d06_signlsh_neardup" -> d06)
 
   // Quadratic by definition — the oracle states the all-pairs
   // semantics; see d05's scaladoc for why sub-quadratic banding cannot
@@ -181,5 +253,6 @@ object Dedup extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "d01_exact_dedup_hash" -> d01Sql,
     "d02_minhash_jaccard_pairs" -> d02Sql,
-    "d05_embedding_neardup" -> d05Sql)
+    "d05_embedding_neardup" -> d05Sql,
+    "d06_signlsh_neardup" -> d06Sql)
 }

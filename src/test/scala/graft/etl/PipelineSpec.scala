@@ -118,4 +118,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == 96) // 2 mounts × 48 frames
     } finally q.stop()
   }
+
+  test("batch framing is order-restoring and streams per partition (no group buffering)") {
+    import spark.implicits._
+    // shuffled arrival order + byte-split chunks across many mounts:
+    // the external secondary sort must restore per-mount seq order and
+    // the lazy per-partition fold must produce exactly the sequential
+    // reference result
+    val corpus = SyntheticRtcm.corpus(6, 64)
+    val shuffled = new scala.util.Random(13L).shuffle(corpus)
+    val got = RtcmPipeline.frameChunks(spark.createDataset(shuffled).repartition(16))
+      .collect()
+      .map(f => (f.mountPoint, f.frame.toSeq))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = corpus.groupBy(_.mountPoint).map { case (m, cs) =>
+      var st = graft.rtcm.RtcmFraming.emptyState
+      val frames = cs.sortBy(_.seq).flatMap { c =>
+        val (s2, fs) = graft.rtcm.RtcmFraming.feed(st, c.data)
+        st = s2
+        fs
+      }
+      m -> frames.map(_.toSeq).toSet
+    }
+    assert(got == expected)
+    assert(got.values.map(_.size).sum == 6 * 64)
+  }
 }
