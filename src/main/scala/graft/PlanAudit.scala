@@ -78,6 +78,18 @@ object PlanAudit {
     audit("h10_returned_topk")(
       "TakeOrderedAndProject (no full sort)" -> (_.contains("TakeOrderedAndProject")))
 
+    // w04 deciles: the global rank must be distributed — a window with
+    // no PARTITION BY would plan Exchange SinglePartition under a
+    // WindowExec (all rows on one task at any scale). The rewrite
+    // range-partitions and ranks per range, so every Window keeps a
+    // partition key.
+    audit("w04_ntile_deciles")(
+      "no single-partition window" -> (s =>
+        !s.split("\n").sliding(6).exists(w =>
+          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))),
+      "windows are partitioned (pid)" -> (s =>
+        !s.contains("Window [") || s.contains("windowspecdefinition(pid")))
+
     println(s"[plan] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
