@@ -25,7 +25,7 @@ object GraftFunctions {
   def rollingHash64(s: Column): Column = c(RollingHash64(ex(s)))
   def minhash64(shingles: Column): Column = c(MinHash64(ex(shingles)))
 
-  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_dot" -> (es => VectorDot(es(0), es(1))),
     "vector_norm" -> (es => VectorNorm(es.head)),
     "crc24q" -> (es => Crc24qExpr(es.head)),
@@ -41,19 +41,16 @@ object GraftFunctions {
 }
 
 /** Injection-based registration for
-  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  * Derived from the SAME function list as GraftFunctions.register, so
+  * the SQL surface cannot diverge between the two registration paths. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def info(name: String) = new ExpressionInfo("graft.functions", name)
-    ext.injectFunction((FunctionIdentifier("vector_dot"), info("vector_dot"),
-      (es: Seq[Expression]) => VectorDot(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("vector_norm"), info("vector_norm"),
-      (es: Seq[Expression]) => VectorNorm(es.head)))
-    ext.injectFunction((FunctionIdentifier("crc24q"), info("crc24q"),
-      (es: Seq[Expression]) => Crc24qExpr(es.head)))
-    ext.injectFunction((FunctionIdentifier("rolling_hash64"), info("rolling_hash64"),
-      (es: Seq[Expression]) => RollingHash64(es.head)))
+    GraftFunctions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
   }
 }

@@ -37,16 +37,19 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, payload: Seq[String],
                tolerance: Option[Long] = None): DataFrame = {
+    // cast("timestamp") first: parquet written without UTC adjustment
+    // loads as TIMESTAMP_NTZ, which the strict unix_micros rejects;
+    // under the session's UTC zone the NTZ→LTZ cast is the identity
     val leftCols = left.columns.toSeq
     val l = left
-      .withColumn("__ts", unix_micros(col(leftTs)))
+      .withColumn("__ts", unix_micros(col(leftTs).cast("timestamp")))
       .withColumn("__tag", lit(1))
       .withColumn("__asof_ts", lit(null).cast("long"))
     val lWithNullPayload = payload.foldLeft(l)((df, p) =>
       df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
     val r = right
       .select((key +: rightTs +: payload).distinct.map(col): _*)
-      .withColumn("__ts", unix_micros(col(rightTs)))
+      .withColumn("__ts", unix_micros(col(rightTs).cast("timestamp")))
       .withColumn("__tag", lit(0))
       .withColumn("__asof_ts", col("__ts"))
     // rename payload BEFORE aligning: a payload column may share its
@@ -64,10 +67,16 @@ object AsOfJoin {
     // right row AT the left timestamp is visible to it
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(s"__asof_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
-      .withColumn("__matched_ts", last(
-        when(col("__tag") === 0, col("__asof_ts")), ignoreNulls = true).over(w))
+    // carry ONE struct of (ts, payload...): the struct is non-null for
+    // every right row even when its payload fields are NULL, so the
+    // matched timestamp and payload always come from the SAME (most
+    // recent) right row — per-column last(ignoreNulls) would skip a
+    // null payload cell and mix fields of two different right rows
+    val rightStruct = when(col("__tag") === 0,
+      struct((col("__asof_ts").as("__mts") +: payload.map(p => col(s"__p_$p").as(p))): _*))
+    val carried = unioned
+      .withColumn("__asof", last(rightStruct, ignoreNulls = true).over(w))
+      .withColumn("__matched_ts", col("__asof").getField("__mts"))
 
     // age in whole seconds (floor(epoch) difference), ordering at
     // full microsecond precision
@@ -80,7 +89,7 @@ object AsOfJoin {
       .filter(col("__tag") === 1)
       .withColumn("asof_age_s", when(inTolerance, ageS).cast("long"))
     val finalCols = leftCols.map(col) ++
-      payload.map(p => when(inTolerance, col(s"__asof_$p")).as(s"asof_$p")) :+
+      payload.map(p => when(inTolerance, col("__asof").getField(p)).as(s"asof_$p")) :+
       col("asof_age_s")
     out.select(finalCols: _*)
   }

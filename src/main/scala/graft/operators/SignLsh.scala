@@ -34,15 +34,13 @@ object SignLsh {
     Seq.fill(nBands * bitsPerBand)(Seq.fill(dims)(rnd.nextGaussian()))
   }
 
-  /** array<bigint> column of band values for an array<double> vector
-    * column: bitsPerBand sign bits packed per band. */
+  /** array<bigint> column of band values for an array<double|float>
+    * vector column: bitsPerBand sign bits packed per band. Backed by
+    * the tight-loop SignLshBands expression (the equivalent nested
+    * higher-order-function lambdas run interpreted with per-element
+    * boxing and were the near-dup query's bottleneck at sf1). */
   def bandValues(v: Column, planes: Seq[Seq[Double]], nBands: Int, bitsPerBand: Int): Column = {
-    val planesCol = typedLit(planes)
-    transform(sequence(lit(0), lit(nBands - 1)), b =>
-      aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, j) => {
-        val plane = element_at(planesCol, b * bitsPerBand + j + 1)
-        val dot = aggregate(zip_with(v, plane, (x, h) => x * h), lit(0d), (a, p) => a + p)
-        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
-      }))
+    import org.apache.spark.sql.GraftColumnBridge.{column => c, expression => ex}
+    c(graft.functions.SignLshBands(ex(v), planes.map(_.toArray).toArray, nBands, bitsPerBand))
   }
 }

@@ -48,6 +48,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.select("asof_rv").collect()(0).isNullAt(0))
   }
 
+  test("null payload on the newest matching right row is carried as null, not an older value") {
+    import spark.implicits._
+    val left = Seq(L("a", ts(30), 1)).toDF()
+    // newest matching right row (ts 20) has a NULL payload; the old
+    // per-column last(ignoreNulls) skipped it and leaked r10's value
+    // while age still came from ts 20 — the struct carry must keep
+    // the null AND the newest row's age together
+    val right = Seq(R("a", ts(10), "older"), R("a", ts(20), null)).toDF()
+    val row = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
+      .select("asof_rv", "asof_age_s").collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) == 10L)
+  }
+
   test("plan shuffles once on the key (window exchange), no join node") {
     import spark.implicits._
     val left = Seq(L("a", ts(10), 1)).toDF()
