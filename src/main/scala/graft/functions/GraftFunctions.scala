@@ -25,6 +25,15 @@ object GraftFunctions {
   def rollingHash64(s: Column): Column = c(RollingHash64(ex(s)))
   def minhash64(shingles: Column): Column = c(MinHash64(ex(shingles)))
 
+  /** Fused element-wise scaled-long vector sum (aggregate):
+    * array<long>[dims] of Σ round(v[i]·10^scale) per group. */
+  def vectorScaledSum(v: Column, dims: Int, scale: Int): Column =
+    c(VectorScaledLongSum(ex(v), dims, scale).toAggregateExpression())
+
+  /** round(x·10^scale) as LONG — codegen'd fixed-point conversion,
+    * value-identical to round(x*10^scale, 0).cast(long). */
+  def scaledLong(x: Column, scale: Int): Column = c(ScaledLong(ex(x), scale))
+
   private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_dot" -> (es => VectorDot(es(0), es(1))),
     "vector_norm" -> (es => VectorNorm(es.head)),

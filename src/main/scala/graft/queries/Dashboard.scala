@@ -281,7 +281,8 @@ object Dashboard extends QueryModule {
   // ('stream' ≙ BeiDou B5D), so NULL-column parity is explicit rather
   // than pivot()'s observed-values mode. Ref: Disturbances.json:122+.
   private def pivotAvg(cat: String): org.apache.spark.sql.Column = {
-    val s = sum(when(col("event_type") === cat, round(col("value") * 1e4, 0).cast(LongType)))
+    val s = sum(when(col("event_type") === cat,
+      graft.functions.GraftFunctions.scaledLong(col("value"), 4)))
     val c = count(when(col("event_type") === cat, col("value")))
     fixedDec(rhu(s, c, 100), 6)
   }
@@ -324,7 +325,7 @@ object Dashboard extends QueryModule {
   private def q14(s: SparkSession, d: String): DataFrame = {
     def p(f: String) = {
       val sm = sum(when(col("l_returnflag") === f,
-        round(col("l_extendedprice") * 100, 0).cast(LongType)))
+        graft.functions.GraftFunctions.scaledLong(col("l_extendedprice"), 2)))
       val c = count(when(col("l_returnflag") === f, col("l_extendedprice")))
       fixedDec(rhu(sm, c, 100), 4)
     }
@@ -348,7 +349,7 @@ object Dashboard extends QueryModule {
   private def q15(s: SparkSession, d: String): DataFrame = {
     def p(st: String) = {
       val sm = sum(when(col("o_orderstatus") === st,
-        round(col("o_totalprice") * 100, 0).cast(LongType)))
+        graft.functions.GraftFunctions.scaledLong(col("o_totalprice"), 2)))
       val c = count(when(col("o_orderstatus") === st, col("o_totalprice")))
       fixedDec(rhu(sm, c, 100), 4)
     }

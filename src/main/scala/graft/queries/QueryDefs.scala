@@ -55,9 +55,11 @@ object Q {
     * aggregations. Overflow bound: |Σ x·10^s| < 2^63 (~9e18). */
   def dsum(c: Column, p: Int, s: Int): Column = {
     val scale = math.pow(10, s)
-    // divide by an INTEGER literal: decimal / double would fall back to
-    // double division and lose the exactness this exists for
-    (sum(round(c * scale, 0).cast(LongType)).cast(DecimalType(38, 0)) /
+    // scaledLong = codegen'd round(c·10^s) (value-identical, no
+    // per-row BigDecimal); divide by an INTEGER literal: decimal /
+    // double would fall back to double division and lose the
+    // exactness this exists for
+    (sum(graft.functions.GraftFunctions.scaledLong(c, s)).cast(DecimalType(38, 0)) /
       lit(scale.toLong)).cast(DecimalType(p, s)).cast(DoubleType)
   }
 
@@ -89,7 +91,7 @@ object Q {
     * at 6 decimals (scaled-long sum, integer round-half-up division by
     * the count), emitted as DOUBLE via fixedDec. */
   def davg(c: Column): Column = {
-    val s = sum(round(c * 1e4, 0).cast(LongType))
+    val s = sum(graft.functions.GraftFunctions.scaledLong(c, 4))
     fixedDec(rhu(s, count(c), 100), 6)
   }
 

@@ -86,7 +86,7 @@ object RtcmQueries extends QueryModule {
   private def snrPivot(s: SparkSession, d: String): DataFrame = {
     def p(sig: String) = {
       val sm = sum(when(col("sat_signal") === sig,
-        round(col("obs_snr") * 1e4, 0).cast(LongType)))
+        graft.functions.GraftFunctions.scaledLong(col("obs_snr"), 4)))
       val c = count(when(col("sat_signal") === sig, col("obs_snr")))
       fixedDec(rhu(sm, c, 100), 6).as(s"avg_snr_$sig")
     }

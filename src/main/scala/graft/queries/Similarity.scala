@@ -53,25 +53,27 @@ object Similarity extends QueryModule {
       |WHERE e.vec_id <> 0
       |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
 
-  // s02: per-label centroid norm, SINGLE-PASS — 64 scaled-long element
-  // sums + a count in ONE hash aggregate (partial map-side, one
-  // shuffle of 10 labels × 65 longs), then the norm of the mean as a
-  // generated left-associative expression chain. No posexplode (the
-  // round-1 plan inflated rows 64× and shuffled twice for the same
-  // answer). Exactness: each element is rounded to a scaled long at
-  // 1e9 (identical double→long rounding in both engines), summed as
-  // integers (order-independent), and only then divided in double with
-  // identical association on both sides. Overflow bound: per-label
-  // Σ|v|·1e9 < 2^63 (≈2.3e9 vectors/label at |v|≤4).
+  // s02: per-label centroid norm, SINGLE-PASS — a FUSED vector
+  // aggregate (VectorScaledLongSum: one Array[Long] buffer of 64
+  // scaled-long element sums, one tight loop per row) + a count in ONE
+  // aggregate (partial map-side, one shuffle of 10 labels × an
+  // array<long>[64]), then the norm of the mean as a generated
+  // left-associative expression chain. No posexplode (round-1 inflated
+  // rows 64×, two shuffles); no 64 separate SUM expressions (the
+  // unfused form re-evaluated 64 extract+round exprs per row — 16×
+  // slower than DuckDB at sf10). Exactness: each element is rounded to
+  // a scaled long at 1e9 (identical double→long rounding in both
+  // engines), summed as integers (order-independent), divided in
+  // double with identical association on both sides. Overflow bound:
+  // per-label Σ|v|·1e9 < 2^63 (≈2.3e9 vectors/label at |v|≤4).
   private val Dims = 64
 
   private def s02(s: SparkSession, d: String): DataFrame = {
-    val sums = (0 until Dims).map(i =>
-      sum(round(col("embedding").getItem(i).cast(DoubleType) * 1e9, 0).cast(LongType))
-        .as(s"s_$i"))
     val agged = emb(s, d).groupBy(col("label").cast(LongType).as("label"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n_vecs")): _*)
-    val means = (0 until Dims).map(i => (col(s"s_$i").cast(DoubleType) / 1e9) / col("n_vecs"))
+      .agg(graft.functions.GraftFunctions.vectorScaledSum(col("embedding"), Dims, 9)
+        .as("sums"), count(lit(1)).as("n_vecs"))
+    val means = (0 until Dims).map(i =>
+      (element_at(col("sums"), i + 1).cast(DoubleType) / 1e9) / col("n_vecs"))
     val normSq = means.map(m => m * m).reduceLeft(_ + _)
     agged.select(col("label"),
       round(sqrt(normSq), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("centroid_norm"),

@@ -67,4 +67,50 @@ class FunctionsSpec extends AnyFunSuite {
       .select(sum(GraftFunctions.vectorNorm(col("v"))).as("s"))
     assert(df.collect()(0).getDouble(0) > 0)
   }
+
+  test("scaledLong equals round(x*10^s, 0).cast(long) on adversarial values") {
+    import spark.implicits._
+    val adversarial = Seq(
+      0.0, -0.0, 1.0, -1.0, 2.5, -2.5, 3.5, -3.5,
+      0.5, -0.5, 0.05, -0.05, 0.049999999999999994, // binade-crossing bug value /10
+      0.49999999999999994, -0.49999999999999994,
+      0.0009765625, -0.0009765625,                  // exact 2^-10: *1e4 has no tie, *1e9 does
+      976562.5e-9, 12345.6789, -98765.4321,
+      4.9999999999999996, 5.000000000000001,
+      1.0e-12, -1.0e-12, 4.0e8, -4.0e8, 123456789.123)
+    val rnd = new java.util.Random(11)
+    val vals = adversarial ++ Seq.fill(20000)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 4))
+    Seq(2, 4, 9).foreach { s =>
+      val df = vals.toDF("x").select(
+        GraftFunctions.scaledLong(col("x"), s).as("fast"),
+        round(col("x") * math.pow(10, s), 0).cast("long").as("ref"))
+      val bad = df.filter(col("fast") =!= col("ref")).collect()
+      assert(bad.isEmpty, s"scale $s: ${bad.take(3).mkString(",")}")
+    }
+    // interpreted path (ScaledLong.round) agrees with the codegen path
+    adversarial.foreach { x =>
+      Seq(2, 4, 9).foreach { s =>
+        val y = x * math.pow(10, s)
+        assert(ScaledLong.round(y) == ScaledLong.roundSlow(y), s"x=$x s=$s")
+      }
+    }
+  }
+
+  test("VectorScaledLongSum equals per-element SUM of scaledLong") {
+    import spark.implicits._
+    val rnd = new java.util.Random(23)
+    val df = spark.createDataset((0 until 2000).map(i =>
+      (i % 7, Array.fill(16)(rnd.nextGaussian().toFloat)))).toDF("g", "v")
+    val fused = df.groupBy(col("g"))
+      .agg(GraftFunctions.vectorScaledSum(col("v"), 16, 9).as("sums"))
+      .select(col("g"), posexplode(col("sums")).as(Seq("i", "s")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val unfused = df.groupBy(col("g"))
+      .agg((0 until 16).map(i => sum(
+        GraftFunctions.scaledLong(col("v").getItem(i).cast("double"), 9)).as(s"s_$i")).head,
+        (1 until 16).map(i => sum(
+          GraftFunctions.scaledLong(col("v").getItem(i).cast("double"), 9)).as(s"s_$i")): _*)
+      .collect().flatMap(r => (0 until 16).map(i => (r.getInt(0), i) -> r.getLong(1 + i))).toMap
+    assert(fused == unfused)
+  }
 }
