@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 
 /** Sink-side SQL builders for the JDBC/TimescaleDB landing path
   * (SURVEY.md §2.1 S5–S9). The container has no database, so the
@@ -65,4 +65,93 @@ object Sinks {
             "rtcm_package_id"), Seq("mountpoint")))
       case _ => Nil
     }
+
+  /** How a batch obtains its JDBC connections. Serializable so the
+    * append path can open one connection PER PARTITION on executors;
+    * a DriverManager-URL factory is the production impl, a recording
+    * fake is the test impl (no DB in this container). */
+  trait ConnectionFactory extends Serializable {
+    def connect(): java.sql.Connection
+  }
+
+  final case class UrlConnectionFactory(url: String, props: Map[String, String])
+      extends ConnectionFactory {
+    override def connect(): java.sql.Connection = {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      java.sql.DriverManager.getConnection(url, p)
+    }
+  }
+
+  /** Batched executor-side append: one connection per partition,
+    * single-row prepared INSERT + addBatch/executeBatch every
+    * `batchSize` rows — the JDBC shape of the reference's multi-row
+    * stored-proc insert (amortized round trips). */
+  def appendJdbc(df: DataFrame, table: String, factory: ConnectionFactory,
+                 batchSize: Int = 500): Unit = {
+    val columns = df.columns.toSeq
+    val sql = insertSql(table, columns, 1)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = factory.connect()
+        try {
+          val st = conn.prepareStatement(sql)
+          try {
+            var pending = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < columns.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+              st.addBatch()
+              pending += 1
+              if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) st.executeBatch()
+            ()
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Driver-side upsert of the (small, one row per mountpoint) latest
+    * coordinates — the reference's `upsert_coordinates` ON CONFLICT
+    * semantics executed verbatim. */
+  def upsertCoordinatesJdbc(latest: DataFrame, factory: ConnectionFactory,
+                            table: String = "coordinates"): Int = {
+    val columns = Seq("mountpoint", "ecef_x", "ecef_y", "ecef_z", "antenna_height",
+      "rtcm_package_id")
+    val sql = upsertSql(table, columns, Seq("mountpoint"))
+    val rows = latest.selectExpr(columns: _*).collect()
+    if (rows.isEmpty) return 0
+    val conn = factory.connect()
+    try {
+      val st = conn.prepareStatement(sql)
+      try {
+        rows.foreach { r =>
+          var i = 0
+          while (i < columns.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+          st.addBatch()
+        }
+        st.executeBatch()
+        rows.length
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** The executable foreachBatch body for the relational landing path
+    * (S5–S7): appends packages + observations executor-side, upserts
+    * latest coordinates. The parquet sink in RtcmStreaming remains the
+    * no-DB stand-in; this is the same batch wiring against any JDBC
+    * endpoint. */
+  def writeDecodedBatchJdbc(batch: Dataset[DecodedFrame],
+                            factory: ConnectionFactory): Unit = {
+    val b = batch.persist()
+    try {
+      appendJdbc(RtcmPipeline.packages(b), "rtcm_packages", factory)
+      appendJdbc(RtcmPipeline.observations(b), "observations", factory)
+      upsertCoordinatesJdbc(RtcmPipeline.latestCoordinates(b)
+        .selectExpr("mountpoint", "ecef_x", "ecef_y", "ecef_z", "antenna_height",
+          "rtcm_package_id"), factory)
+    } finally { b.unpersist(); () }
+  }
 }

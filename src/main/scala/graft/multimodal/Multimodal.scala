@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * decode/feature-extract as batched partition-local transforms.
   *
   * The Spark-side plumbing — schema, partitioning by modality, batch
-  * shape, feature schema — is real and tested. The codec step itself
-  * is STUBBED (`FakeCodec`): this container has no image/audio
-  * libraries, so decode produces deterministic pseudo-features from
-  * the bytes. Swapping in a real decoder changes ONE function.
+  * shape, feature schema — is real and tested. The metadata decode is
+  * REAL header parsing (`MediaCodec`: PNG/JPEG/GIF/BMP dimensions,
+  * WAV duration — published byte layouts, pure Scala); only the full
+  * pixel/sample decode is a declared stub (`FakeCodec` pseudo-
+  * features) because this container ships no imaging libraries —
+  * swapping in a real pixel decoder changes ONE function. Video
+  * container parsing (MP4 boxes) is not implemented: video records
+  * take the pseudo path, clearly marked per record by `format`.
   *
   * Scale notes: extraction is `mapPartitions` in fixed-size batches —
   * the same shape as a Pandas-UDF/`mapInPandas` stage (amortize model
@@ -30,33 +34,23 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
+      format: String,        // sniffed container (png/jpeg/gif/bmp/wav) or "unknown"
       n_bytes: Int,
-      width: Int,            // images/video (stub-decoded)
+      width: Int,            // images: real header dims; video: pseudo
       height: Int,
-      duration_ms: Int,      // audio/video (stub-decoded)
+      duration_ms: Int,      // audio: real (data bytes / byte rate); video: pseudo
       byte_histogram: Array[Double],  // 16-bin normalized histogram
       content_hash: Long)
 
-  /** STUB decoder — deterministic pseudo-decode of the binary payload.
-    * Replace with a real image/audio codec in production (???-marker):
-    * the signature and batch shape are the real contract. */
+  /** STUB pixel-level decoder — deterministic pseudo-features for
+    * payloads whose container we can't parse (video: no MP4 box parser
+    * here). The signature and batch shape are the real contract. */
   object FakeCodec {
     def decode(r: MediaRecord): MediaFeatures = {
-      val bytes = r.content
-      val hist = new Array[Double](16)
-      var i = 0
-      var h = 1469598103934665603L
-      while (i < bytes.length) {
-        hist((bytes(i) & 0xFF) >> 4) += 1
-        h = h * 1000003L + (bytes(i) & 0xFF)
-        i += 1
-      }
-      val n = math.max(1, bytes.length)
-      var b = 0
-      while (b < 16) { hist(b) /= n; b += 1 }
+      val (hist, h) = histAndHash(r.content)
       // pseudo-dimensions derived deterministically from content
       val w = 64 + (math.abs(h % 1024)).toInt
-      MediaFeatures(r.media_id, r.kind, bytes.length,
+      MediaFeatures(r.media_id, r.kind, "unknown", r.content.length,
         width = if (r.kind != "audio") w else 0,
         height = if (r.kind != "audio") (w * 3) / 4 else 0,
         duration_ms = if (r.kind != "image") 1000 + (math.abs(h % 59000)).toInt else 0,
@@ -64,6 +58,39 @@ object Multimodal {
         content_hash = h)
     }
   }
+
+  private def histAndHash(bytes: Array[Byte]): (Array[Double], Long) = {
+    val hist = new Array[Double](16)
+    var i = 0
+    var h = 1469598103934665603L
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xFF) >> 4) += 1
+      h = h * 1000003L + (bytes(i) & 0xFF)
+      i += 1
+    }
+    val n = math.max(1, bytes.length)
+    var b = 0
+    while (b < 16) { hist(b) /= n; b += 1 }
+    (hist, h)
+  }
+
+  /** Real metadata decode: sniff the container and read dimensions /
+    * duration from the header (MediaCodec); unrecognized payloads fall
+    * back to the declared pseudo path. */
+  def decodeRecord(r: MediaRecord): MediaFeatures =
+    MediaCodec.sniffImage(r.content) match {
+      case Some(img) =>
+        val (hist, h) = histAndHash(r.content)
+        MediaFeatures(r.media_id, r.kind, img.format, r.content.length,
+          img.width, img.height, 0, hist, h)
+      case None => MediaCodec.sniffWav(r.content) match {
+        case Some(a) =>
+          val (hist, h) = histAndHash(r.content)
+          MediaFeatures(r.media_id, r.kind, a.format, r.content.length,
+            0, 0, a.durationMs, hist, h)
+        case None => FakeCodec.decode(r)
+      }
+    }
 
   final val BatchSize = 64
 
@@ -76,23 +103,30 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch init hook: a real codec/model loads here, once per
         // batch, not once per record
-        batch.map(FakeCodec.decode)
+        batch.map(decodeRecord)
       }
     }
   }
 
   /** Synthesize a deterministic media table from the documents table
-    * (no binary test data exists): UTF-8 payload + kind by id. */
+    * (no binary test data exists): REAL containers — a valid 24-bpp
+    * BMP per image record, a valid 8-bit PCM WAV per audio record
+    * (payload bytes from the text) — and raw bytes for video (the
+    * pseudo-decode path). */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, src) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val payload = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image",
+            MediaCodec.buildBmp(16 + (id % 32).toInt, 12 + (id % 24).toInt, payload), src)
+          case 1 => MediaRecord(id, "audio",
+            MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)
+          case _ => MediaRecord(id, "video", payload, src)
         }
-        MediaRecord(id, kind, text.getBytes("UTF-8"), src)
       }
   }
 
@@ -104,6 +138,7 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
+        sum(when(col("format") =!= "unknown", 1L).otherwise(0L)).as("n_sniffed"),
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("width")), 3).as("avg_width"),
         round(avg(col("duration_ms")), 3).as("avg_duration_ms"),

@@ -82,4 +82,21 @@ object RtcmStreaming {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
   }
+
+  /** JDBC landing path (S5–S7 executed): each micro-batch appends
+    * packages/observations (executor-side, batched prepared inserts)
+    * and upserts latest coordinates — `Sinks.writeDecodedBatchJdbc`
+    * against any `ConnectionFactory` (production: UrlConnectionFactory
+    * with a postgres/timescale URL; tests: a recording fake). */
+  def startJdbcSink(decoded: Dataset[graft.etl.DecodedFrame],
+                    factory: graft.etl.Sinks.ConnectionFactory,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    decoded.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[graft.etl.DecodedFrame], _: Long) =>
+        graft.etl.Sinks.writeDecodedBatchJdbc(batch, factory)
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
 }

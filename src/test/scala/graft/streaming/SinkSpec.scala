@@ -47,4 +47,49 @@ class SinkSpec extends AnyFunSuite {
     assert(pkgs.select("rtcm_package_id").collect().map(_.getLong(0)).sorted.toSeq ==
       batch.select("rtcm_package_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("startJdbcSink executes batched inserts and the coordinates upsert") {
+    import graft.etl.{RecordingJdbc, Sinks}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    RecordingJdbc.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jdbc_ckpt").toString
+
+    val corpus = SyntheticRtcm.corpus(3, 48)
+    val input = MemoryStream[RawChunk]
+    val q = RtcmStreaming.startJdbcSink(
+      RtcmStreaming.decodeStream(input.toDS()), new RecordingJdbc.Factory, ckpt)
+    try {
+      corpus.grouped(corpus.size / 2 + 1).foreach { part =>
+        input.addData(part)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val execs = RecordingJdbc.execs.toArray(Array.empty[RecordingJdbc.Exec])
+    def rowsFor(table: String) =
+      execs.filter(_.sql.startsWith(s"INSERT INTO $table ")).map(_.rows).sum
+
+    // every decoded frame landed exactly once as a package row
+    val expected = RtcmPipeline.decode(
+      RtcmPipeline.frameChunks(spark.createDataset(corpus)))
+    assert(rowsFor("rtcm_packages") == expected.count())
+    assert(rowsFor("observations") ==
+      RtcmPipeline.observations(expected).count())
+
+    // the upsert ran with the reference's ON CONFLICT shape, once per
+    // mountpoint with an ARP fix per batch
+    val upserts = execs.filter(_.sql.contains("ON CONFLICT (mountpoint) DO UPDATE"))
+    assert(upserts.nonEmpty)
+    assert(upserts.map(_.rows).sum >= 3) // ≥ one latest row per mountpoint overall
+
+    // bound parameters are real row values: package ids seen in the
+    // insert params match the pipeline's deterministic FNV ids
+    val pkgSql = execs.find(_.sql.startsWith("INSERT INTO rtcm_packages")).get.sql
+    val insertedIds = RecordingJdbc.paramRows.toArray(Array.empty[(String, Vector[Any])])
+      .filter(_._1 == pkgSql).map(_._2.head.asInstanceOf[Long]).sorted.toSeq
+    val expectedIds = expected.select("rtcm_package_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(insertedIds == expectedIds)
+  }
 }
