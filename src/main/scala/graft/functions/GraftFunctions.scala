@@ -34,6 +34,13 @@ object GraftFunctions {
     * value-identical to round(x*10^scale, 0).cast(long). */
   def scaledLong(x: Column, scale: Int): Column = c(ScaledLong(ex(x), scale))
 
+  /** Grouped top-k aggregate: best-first array<struct<score, tiebreak,
+    * payload>> of the k highest-score rows per group — the map-side-
+    * combining alternative to a rank window (shuffle is bounded by
+    * groups × k, not the table size). */
+  def topKByScore(score: Column, tiebreak: Column, payload: Column, k: Int): Column =
+    c(TopKByScore(ex(score), ex(tiebreak), ex(payload), k).toAggregateExpression())
+
   private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_dot" -> (es => VectorDot(es(0), es(1))),
     "vector_norm" -> (es => VectorNorm(es.head)),

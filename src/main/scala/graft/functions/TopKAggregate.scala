@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Grouped top-k as an aggregate: per group, keep the k rows with the
+  * highest `score` (ties broken by ascending `tiebreak`), carrying a
+  * `payload` struct. Returns array<struct<score double, tiebreak
+  * long, payload>> sorted best-first — `posexplode` + pos+1
+  * reproduces ROW_NUMBER() ... WHERE rn <= k exactly.
+  *
+  * Why an aggregate and not a window: a rank window must shuffle and
+  * sort EVERY row into its group's partition — with few groups that's
+  * a skewed shuffle of the full table. This aggregate keeps a bounded
+  * k-row buffer per group on the MAP side, so the shuffle carries at
+  * most partitions × groups × k rows no matter how large the fact is
+  * — the grouped-top-k analogue of TakeOrderedAndProject.
+  *
+  * Buffer: insertion into a k-sized sorted array (k is small; O(k)
+  * insert beats heap constant factors and keeps merge trivial).
+  */
+case class TopKByScore(
+    score: Expression,
+    tiebreak: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKByScore.Buf] {
+  require(k > 0 && k <= 1024, s"k=$k out of range")
+
+  override def children: Seq[Expression] = Seq(score, tiebreak, payload)
+  override def nullable: Boolean = false
+
+  private def payloadType: StructType = payload.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("tiebreak", LongType, nullable = false),
+    StructField("payload", payloadType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, tiebreak.dataType, payload.dataType) match {
+      case (DoubleType, LongType, _: StructType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"top_k_by_score needs (double, bigint, struct), got $other")
+    }
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(payloadType)
+
+  override def createAggregationBuffer(): TopKByScore.Buf = new TopKByScore.Buf(k)
+
+  /** better(a, b): does entry a rank strictly before entry b? */
+  private def better(s1: Double, t1: Long, s2: Double, t2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && t1 < t2)
+
+  override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
+    val s = score.eval(input)
+    val t = tiebreak.eval(input)
+    val p = payload.eval(input)
+    if (s != null && t != null && p != null) {
+      insert(buf, s.asInstanceOf[Double], t.asInstanceOf[Long],
+        toUnsafe(p.asInstanceOf[InternalRow]).copy())
+    }
+    buf
+  }
+
+  private def insert(buf: TopKByScore.Buf, s: Double, t: Long, p: UnsafeRow): Unit = {
+    if (buf.n == k && !better(s, t, buf.scores(k - 1), buf.ties(k - 1))) return
+    var i = math.min(buf.n, k - 1)
+    // shift worse entries down, drop the overflow
+    while (i > 0 && better(s, t, buf.scores(i - 1), buf.ties(i - 1))) {
+      buf.scores(i) = buf.scores(i - 1)
+      buf.ties(i) = buf.ties(i - 1)
+      buf.rows(i) = buf.rows(i - 1)
+      i -= 1
+    }
+    buf.scores(i) = s
+    buf.ties(i) = t
+    buf.rows(i) = p
+    if (buf.n < k) buf.n += 1
+  }
+
+  override def merge(buf: TopKByScore.Buf, other: TopKByScore.Buf): TopKByScore.Buf = {
+    var i = 0
+    while (i < other.n) {
+      insert(buf, other.scores(i), other.ties(i), other.rows(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TopKByScore.Buf): Any =
+    new GenericArrayData((0 until buf.n).map(i =>
+      InternalRow(buf.scores(i), buf.ties(i), buf.rows(i))).toArray[Any])
+
+  override def serialize(buf: TopKByScore.Buf): Array[Byte] = {
+    val rowBytes = (0 until buf.n).map(i => buf.rows(i).getBytes)
+    val bb = ByteBuffer.allocate(4 + buf.n * 20 + rowBytes.map(_.length).sum)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.scores(i)).putLong(buf.ties(i))
+      bb.putInt(rowBytes(i).length).put(rowBytes(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByScore.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKByScore.Buf(k)
+    buf.n = bb.getInt()
+    var i = 0
+    while (i < buf.n) {
+      buf.scores(i) = bb.getDouble()
+      buf.ties(i) = bb.getLong()
+      val len = bb.getInt()
+      val rb = new Array[Byte](len)
+      bb.get(rb)
+      val row = new UnsafeRow(payloadType.size)
+      row.pointTo(rb, len)
+      buf.rows(i) = row
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), tiebreak = newChildren(1), payload = newChildren(2))
+}
+
+object TopKByScore {
+  /** Sorted best-first; parallel arrays sized k, n entries valid. */
+  final class Buf(k: Int) {
+    var n: Int = 0
+    val scores = new Array[Double](k)
+    val ties = new Array[Long](k)
+    val rows = new Array[UnsafeRow](k)
+  }
+}

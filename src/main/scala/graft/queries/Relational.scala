@@ -445,6 +445,36 @@ object Relational extends QueryModule {
        |      FROM orders) x
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Grouped top-k via the native TopKByScore aggregate: top-5 orders
+  // per priority. With 5 groups, a rank window would shuffle the WHOLE
+  // fact into 5 partitions (maximally skewed); the aggregate keeps a
+  // bounded k-row buffer per group map-side, so the shuffle carries
+  // ≤ partitions × 5 groups × 5 rows at any table size.
+  private def w05(s: SparkSession, d: String): DataFrame = {
+    val topk = graft.functions.GraftFunctions.topKByScore(
+      col("o_totalprice"), col("o_orderkey"),
+      struct(col("o_orderkey"), col("o_custkey")), 5)
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(topk.as("top"))
+      .select(col("priority"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("priority"), (col("i") + 1).cast(LongType).as("rn"),
+        col("e.payload.o_orderkey").as("o_orderkey"),
+        col("e.payload.o_custkey").as("o_custkey"),
+        decd(col("e.score"), 18, 2).as("totalprice"))
+      .orderBy("priority", "rn")
+  }
+
+  private val w05Sql =
+    """SELECT priority, rn, o_orderkey, o_custkey,
+      |  CAST(CAST(totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |FROM (SELECT o_orderpriority AS priority, o_orderkey, o_custkey,
+      |        o_totalprice AS totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) x
+      |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+
   // CUBE grouping-sets over two dimensions.
   private def a06(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
@@ -477,9 +507,11 @@ object Relational extends QueryModule {
     "a02_rollup" -> a02,
     "w01_running_total" -> w01,
     "w02_rank_per_group" -> w02,
-    "w03_sessionize_gap" -> w03)
+    "w03_sessionize_gap" -> w03,
+    "w05_topk_per_group" -> w05)
 
   override def oracle: Map[String, String] = Map(
+    "w05_topk_per_group" -> w05Sql,
     "a04_anti_join" -> a04Sql,
     "a05_asof_join" -> a05Sql,
     "a06_cube" -> a06Sql,

@@ -21,6 +21,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       expected.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  test("grouped top-k aggregate equals the rank window, with a partial (map-side) agg") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // skewed: 100k rows over 4 groups — the shape where a rank window
+    // funnels everything into 4 partitions
+    val rnd = new java.util.Random(31L)
+    val df = (0 until 100000).map { i =>
+      (s"g${i % 4}", rnd.nextDouble() * 1000, i.toLong)
+    }.toDF("g", "score", "id")
+
+    val viaAgg = df.groupBy(col("g"))
+      .agg(GraftFunctions.topKByScore(col("score"), col("id"),
+        struct(col("id")), 7).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).as("rn"), col("e.payload.id").as("id"),
+        col("e.score").as("score"))
+
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("g"), col("rn").cast("int").as("rn"), col("id"), col("score"))
+
+    val a = viaAgg.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = viaWindow.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b)
+    assert(a.size == 28)
+
+    // the plan aggregates partially before the shuffle (ObjectHashAggregate
+    // partial + final) and contains no Window node
+    viaAgg.collect()
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
