@@ -8,10 +8,54 @@ import org.apache.spark.sql.functions._
   * Grafana-macro SQL path (raw dashboard SQL → translate → spark.sql).
   */
 object MiscQueries extends QueryModule {
+  import Q._
 
-  // m01: multimodal binary-column pipeline (stub codec; real plumbing).
+  // m01: multimodal binary-column pipeline summary (incl. the
+  // non-SQL-reproducible histogram/hash columns → rows-only).
   private def m01(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.featureSummary(s, d)
+
+  // m02: media metadata ORACLE-CHECKED ACROSS THE BINARY BOUNDARY —
+  // the engine builds real BMP/WAV containers from the documents
+  // table, parses dimensions/durations back out of the binary headers
+  // (MediaCodec), and aggregates; the oracle recomputes the same
+  // values from the deterministic construction formulas in pure SQL.
+  // A mismatch anywhere in build→parse→aggregate fails the hash.
+  private def m02(s: SparkSession, d: String): DataFrame = {
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.syntheticMedia(s, d)
+        .repartition(8, org.apache.spark.sql.functions.col("kind"))).toDF()
+    feats.filter(col("kind") =!= "video") // video is the declared pseudo path
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        fixedDec(rhu(sum(col("width")), count(lit(1)), 1000000L), 6).as("avg_width"),
+        fixedDec(rhu(sum(col("duration_ms")), count(lit(1)), 1000000L), 6)
+          .as("avg_duration_ms"))
+      .orderBy("kind")
+  }
+
+  // Construction formulas (Multimodal.syntheticMedia + MediaCodec
+  // builders): image = BMP(16+id%32, 12+id%24), 54-byte header +
+  // 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz, 2000+(id%6000)*8
+  // samples), 44-byte header, duration = samples/8 ms exactly.
+  private val m02Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'audio' END AS kind,
+       |    CASE WHEN doc_id % 3 = 0 THEN 16 + CAST(doc_id % 32 AS BIGINT) ELSE 0 END AS width,
+       |    CASE WHEN doc_id % 3 = 0 THEN 0
+       |         ELSE 250 + CAST(doc_id % 6000 AS BIGINT) END AS duration_ms,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN 54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (12 + doc_id % 24)
+       |         ELSE 44 + 2000 + (doc_id % 6000) * 8 END AS n_bytes
+       |  FROM documents WHERE doc_id % 3 < 2)
+       |SELECT kind, COUNT(*) AS n_media,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |  ${fixedDecSql(rhuSql("CAST(SUM(width) AS BIGINT)", "COUNT(*)", 1000000L), 6)} AS avg_width,
+       |  ${fixedDecSql(rhuSql("CAST(SUM(duration_ms) AS BIGINT)", "COUNT(*)", 1000000L), 6)} AS avg_duration_ms
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
   // g01: a dashboard query in Grafana macro form, translated and run
   // through spark.sql over registered views — the reference's query
@@ -41,8 +85,10 @@ object MiscQueries extends QueryModule {
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> m01,
+    "m02_media_meta" -> m02,
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(
+    "m02_media_meta" -> m02Sql,
     "g01_grafana_macro_sql" -> g01Sql)
 }
