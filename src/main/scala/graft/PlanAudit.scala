@@ -90,6 +90,14 @@ object PlanAudit {
       "windows are partitioned (pid)" -> (s =>
         !s.contains("Window [") || s.contains("windowspecdefinition(pid")))
 
+    // w05 grouped top-k: must plan as a partial+final object aggregate
+    // (bounded k-row map-side buffers) with NO window node — the
+    // whole point vs the rank-window form.
+    audit("w05_topk_per_group")(
+      "partial+final object aggregate" -> (s =>
+        "ObjectHashAggregate".r.findAllIn(s).size >= 2),
+      "no window node" -> (s => !s.contains("Window")))
+
     println(s"[plan] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
