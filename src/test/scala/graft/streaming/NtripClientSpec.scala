@@ -52,6 +52,79 @@ class NtripClientSpec extends AnyFunSuite {
     t
   }
 
+  /** Multi-connection caster: serves the mountpoint each request asks
+    * for (chunked), until closed. */
+  private def serveMany(server: ServerSocket,
+                        perMount: Map[String, Seq[Array[Byte]]]): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val h = new Thread(() => {
+            try {
+              val rd = new BufferedReader(new InputStreamReader(sock.getInputStream, ISO_8859_1))
+              val req = Iterator.continually(rd.readLine())
+                .takeWhile(l => l != null && l.nonEmpty).toSeq
+              val mount = req.head.split(" ")(1).stripPrefix("/")
+              val out = sock.getOutputStream
+              def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+              w("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n")
+              val body = perMount(mount).flatMap(_.toSeq).toArray
+              var off = 0
+              val lens = Iterator.continually(Seq(11, 47, 96, 201)).flatten
+              while (off < body.length) {
+                val n = math.min(lens.next(), body.length - off)
+                w(f"$n%x\r\n"); out.write(body, off, n); w("\r\n")
+                off += n
+              }
+              w("0\r\n\r\n")
+              out.flush()
+            } finally sock.close()
+          })
+          h.setDaemon(true)
+          h.start()
+        }
+      } catch { case _: Throwable => () } // server closed
+    })
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  test("DataSourceV2 micro-batch source: live caster → readStream → framer") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val frames = Map(
+      "MNT0" -> SyntheticRtcm.framesFor("MNT0", 100, 30, 42L).map(_._2),
+      "MNT1" -> SyntheticRtcm.framesFor("MNT1", 101, 30, 43L).map(_._2))
+    val server = new ServerSocket(0)
+    try {
+      serveMany(server, frames)
+      val chunks = spark.readStream
+        .format("graft.streaming.NtripSourceProvider")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+        .option("mountpoints", "MNT0,MNT1")
+        .load()
+        .as[RawChunk]
+      val q = RtcmStreaming.frameStream(chunks)
+        .writeStream.format("memory").queryName("ntrip_dsv2_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        def landed(): Long = spark.table("ntrip_dsv2_out").count()
+        while (landed() < 60 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          q.processAllAvailable()
+        }
+        val got = spark.table("ntrip_dsv2_out")
+          .selectExpr("mountPoint", "frame").collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got == frames.map { case (m, fs) => m -> fs.map(_.toSeq).toSet })
+      } finally q.stop()
+    } finally server.close()
+  }
+
   test("sourcetable request over a live socket") {
     val server = new ServerSocket(0)
     try {
