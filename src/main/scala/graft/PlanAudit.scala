@@ -90,6 +90,14 @@ object PlanAudit {
       "windows are partitioned (pid)" -> (s =>
         !s.contains("Window [") || s.contains("windowspecdefinition(pid")))
 
+    // q05 sums the JSON-extracted column twice (bytes + kbps): the
+    // parse must stay ONE Project expression per row, not be collapsed
+    // into per-aggregate re-evaluation (each plan node prints at most
+    // twice in the AQE tree — >4 occurrences would mean duplication).
+    audit("q05_flow_timeseries")(
+      "JSON parsed once per row" -> (s =>
+        "get_json_object".r.findAllIn(s).size <= 4))
+
     // w05 grouped top-k: must plan as a partial+final object aggregate
     // (bounded k-row map-side buffers) with NO window node — the
     // whole point vs the rank-window form.
