@@ -117,7 +117,13 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[NtripOffset].n
     val e = end.asInstanceOf[NtripOffset].n
     val rows = buffer.synchronized {
-      ((s - committed).toInt until (e - committed).toInt).map(buffer(_)).toArray
+      // clamp to what the buffer still holds: after a restart the
+      // checkpointed range may predate this process's buffer (live TCP
+      // is not replayable — the documented at-least-once trade), and
+      // must not crash the query
+      val lo = math.max(0L, s - committed).toInt
+      val hi = math.min(buffer.length.toLong, math.max(0L, e - committed)).toInt
+      (lo until hi).map(buffer(_)).toArray
     }
     Array(NtripInputPartition(rows))
   }
