@@ -28,15 +28,16 @@ object Retention {
       .sorted
   }
 
-  /** Drop partitions strictly older than `keepFrom`. Returns the
-    * dropped dates. Directory-level delete: O(partitions), never
-    * touches row data of retained partitions. */
+  /** Drop partitions strictly older than `keepFrom`. Returns the dates
+    * ACTUALLY deleted (a failed delete is not reported as dropped — a
+    * scheduled job must see expired-but-still-present partitions
+    * again). Directory-level delete: O(partitions), never touches row
+    * data of retained partitions. */
   def dropOlderThan(spark: SparkSession, tableDir: String, keepFrom: LocalDate): Seq[LocalDate] = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    datePartitions(spark, tableDir).filter(_.isBefore(keepFrom)).map { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"date=$d"), true)
-      d
-    }
+    datePartitions(spark, tableDir)
+      .filter(_.isBefore(keepFrom))
+      .filter(d => fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"date=$d"), true))
   }
 }

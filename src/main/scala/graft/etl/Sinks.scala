@@ -138,6 +138,19 @@ object Sinks {
     } finally conn.close()
   }
 
+  /** The landed-table schemas (reference: initdb/01-rtcm_packages.sql,
+    * initdb/11-*_observations.sql) — the executed inserts must project
+    * EXACTLY these columns, not whatever the projection DataFrames
+    * happen to carry (e.g. the engine-side `constellation` routing
+    * column is not a reference table column). */
+  val PackagesColumns: Seq[String] = Seq(
+    "rtcm_package_id", "receive_time", "mountpoint", "rtcm_obs_epoch",
+    "rtcm_msg_type", "rtcm_msg_size", "rtcm_sat_count")
+  val ObservationsColumns: Seq[String] = Seq(
+    "rtcm_package_id", "mountpoint", "constellation", "obs_epoch", "sat_id",
+    "sat_signal", "obs_code", "obs_phase", "obs_doppler", "obs_snr",
+    "obs_lock_time_indicator")
+
   /** The executable foreachBatch body for the relational landing path
     * (S5–S7): appends packages + observations executor-side, upserts
     * latest coordinates. The parquet sink in RtcmStreaming remains the
@@ -147,8 +160,10 @@ object Sinks {
                             factory: ConnectionFactory): Unit = {
     val b = batch.persist()
     try {
-      appendJdbc(RtcmPipeline.packages(b), "rtcm_packages", factory)
-      appendJdbc(RtcmPipeline.observations(b), "observations", factory)
+      appendJdbc(RtcmPipeline.packages(b).selectExpr(PackagesColumns: _*),
+        "rtcm_packages", factory)
+      appendJdbc(RtcmPipeline.observations(b).selectExpr(ObservationsColumns: _*),
+        "observations", factory)
       upsertCoordinatesJdbc(RtcmPipeline.latestCoordinates(b)
         .selectExpr("mountpoint", "ecef_x", "ecef_y", "ecef_z", "antenna_height",
           "rtcm_package_id"), factory)

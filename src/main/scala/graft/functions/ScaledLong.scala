@@ -58,10 +58,11 @@ case class ScaledLong(child: Expression, scale: Int) extends UnaryExpression {
       val y = ctx.freshName("y")
       s"""
          |double $y = ((double) $x) * ${mult}D;
-         |if ($y >= 1.0D || $y <= -1.0D) {
+         |if (Double.isFinite($y) && ($y >= 1.0D || $y <= -1.0D)) {
          |  ${ev.value} = ($y >= 0) ? (long) Math.floor($y + 0.5D)
          |                          : (long) Math.ceil($y - 0.5D);
          |} else {
+         |  // |y| < 1 exact path; non-finite raises (ANSI cast parity)
          |  ${ev.value} = graft.functions.ScaledLong.roundSlow($y);
          |}
        """.stripMargin
@@ -74,12 +75,18 @@ case class ScaledLong(child: Expression, scale: Int) extends UnaryExpression {
 object ScaledLong {
   /** Shared by the interpreted path and VectorScaledLongSum. */
   def round(y: Double): Long =
-    if (y >= 1.0 || y <= -1.0) {
+    if (java.lang.Double.isFinite(y) && (y >= 1.0 || y <= -1.0)) {
       if (y >= 0) Math.floor(y + 0.5).toLong else Math.ceil(y - 0.5).toLong
     } else roundSlow(y)
 
   /** Exact HALF_UP on the shortest decimal repr — Spark round's own
-    * semantics; only reached for |y| < 1. */
-  def roundSlow(y: Double): Long =
+    * semantics; reached for |y| < 1 and for non-finite values, where
+    * it raises like ANSI `CAST(round(x) AS BIGINT)` does (the
+    * expression this one is documented value-identical to). */
+  def roundSlow(y: Double): Long = {
+    if (!java.lang.Double.isFinite(y))
+      throw new ArithmeticException(
+        s"scaled_long: non-finite input $y cannot be cast to BIGINT (ANSI cast parity)")
     java.math.BigDecimal.valueOf(y).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 }

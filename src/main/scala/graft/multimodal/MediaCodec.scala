@@ -66,9 +66,13 @@ object MediaCodec {
     else None
 
   /** BMP: "BM", BITMAPINFOHEADER width LE32 at 18, height LE32 at 22
-    * (negative height = top-down rows). */
+    * (negative height = top-down rows). The 2-byte magic alone matches
+    * ordinary text ("BM..."), so also require the INFO-header size and
+    * planes fields to be plausible. */
   private def bmp(b: Array[Byte]): Option[ImageInfo] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' &&
+      Seq(12, 40, 52, 56, 108, 124).contains(le32(b, 14)) && // known DIB header sizes
+      (le32(b, 14) == 12 || le16(b, 26) == 1)) // planes must be 1 (BITMAPINFO)
       Some(ImageInfo("bmp", le32(b, 18), math.abs(le32(b, 22))))
     else None
 
@@ -90,6 +94,7 @@ object MediaCodec {
     while (i + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
+      if (size < 0) return None // corrupt header: would loop forever
       if (id == "fmt " && i + 20 <= b.length) {
         channels = le16(b, i + 10)
         sampleRate = le32(b, i + 12)

@@ -74,23 +74,28 @@ object Multimodal {
     (hist, h)
   }
 
-  /** Real metadata decode: sniff the container and read dimensions /
-    * duration from the header (MediaCodec); unrecognized payloads fall
-    * back to the declared pseudo path. */
-  def decodeRecord(r: MediaRecord): MediaFeatures =
-    MediaCodec.sniffImage(r.content) match {
+  /** Real metadata decode, GATED BY the record's declared modality —
+    * magic-byte sniffing alone can false-positive on arbitrary bytes
+    * (BMP's 2-byte magic matches text starting "BM"), so an image
+    * record only tries image containers and an audio record only WAV;
+    * unrecognized payloads fall back to the declared pseudo path. */
+  def decodeRecord(r: MediaRecord): MediaFeatures = r.kind match {
+    case "image" => MediaCodec.sniffImage(r.content) match {
       case Some(img) =>
         val (hist, h) = histAndHash(r.content)
         MediaFeatures(r.media_id, r.kind, img.format, r.content.length,
           img.width, img.height, 0, hist, h)
-      case None => MediaCodec.sniffWav(r.content) match {
-        case Some(a) =>
-          val (hist, h) = histAndHash(r.content)
-          MediaFeatures(r.media_id, r.kind, a.format, r.content.length,
-            0, 0, a.durationMs, hist, h)
-        case None => FakeCodec.decode(r)
-      }
+      case None => FakeCodec.decode(r)
     }
+    case "audio" => MediaCodec.sniffWav(r.content) match {
+      case Some(a) =>
+        val (hist, h) = histAndHash(r.content)
+        MediaFeatures(r.media_id, r.kind, a.format, r.content.length,
+          0, 0, a.durationMs, hist, h)
+      case None => FakeCodec.decode(r)
+    }
+    case _ => FakeCodec.decode(r)
+  }
 
   final val BatchSize = 64
 

@@ -173,7 +173,9 @@ object Dedup extends QueryModule {
   // sign-LSH banding (16 bands × 16 bits; miss ≈ 6e-17 at cos 0.9998)
   // + exact-cosine verify of candidates only — linear, one band-join
   // shuffle. Oracle states the quadratic all-pairs semantics.
-  private val NDupOffset = 100000L
+  // far above any realistic vec_id (BIGINT) — a small offset would
+  // collide with real ids once the corpus exceeds it
+  private val NDupOffset = 1L << 40
 
   private def d06(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.cosineSimilarity
@@ -211,7 +213,7 @@ object Dedup extends QueryModule {
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  UNION ALL
-      |  SELECT CAST(vec_id AS BIGINT) + 100000,
+      |  SELECT CAST(vec_id AS BIGINT) + 1099511627776,
       |         [CAST(embedding[1] AS DOUBLE) + 0.02] ||
       |           list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
       |  FROM embeddings)

@@ -33,20 +33,31 @@ object RtcmQueries extends QueryModule {
     s"read_parquet('$OutDirToken/$name/*.parquet')"
 
   // The corpus is deterministic, so the decoded Dataset is computed
-  // once per session and shared by all queries here. Keyed by session
-  // UUID (a plain value), not the SparkSession itself: a Dataset
-  // strongly references its session, so a WeakHashMap keyed on the
-  // session could never collect its entries anyway (round-1 ADVICE).
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.Dataset[graft.etl.DecodedFrame]]()
+  // once per session and shared by all queries here. Identity-keyed
+  // (IdentityHashMap — hash-code keys can collide) with explicit
+  // eviction of stopped sessions on access: a Dataset strongly
+  // references its session, so weak references could never collect
+  // entries anyway (round-1 ADVICE), and eviction keeps a long-lived
+  // JVM from both leaking corpora and resurrecting a Dataset bound to
+  // a stopped context.
+  private val cache = new java.util.IdentityHashMap[
+    SparkSession, org.apache.spark.sql.Dataset[graft.etl.DecodedFrame]]()
 
   private def decoded(s: SparkSession): org.apache.spark.sql.Dataset[graft.etl.DecodedFrame] =
-    cache.computeIfAbsent(System.identityHashCode(s).toString, _ => {
-      import s.implicits._
-      val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
-        .repartition(8, col("mountPoint"))
-      RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks)).persist()
-    })
+    cache.synchronized {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
+      Option(cache.get(s)).getOrElse {
+        import s.implicits._
+        val chunks = s.createDataset(SyntheticRtcm.corpus(NMounts, NFrames))
+          .repartition(8, col("mountPoint"))
+        val d = RtcmPipeline.decode(RtcmPipeline.frameChunks(chunks)).persist()
+        cache.put(s, d)
+        d
+      }
+    }
 
   /** rtcm_packages: one metadata row per CRC-valid frame. */
   private def packages(s: SparkSession, d: String): DataFrame =

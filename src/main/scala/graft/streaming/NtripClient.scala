@@ -136,9 +136,11 @@ final class NtripClient(
     * None = orderly end of stream (terminal 0-length chunk or EOF). */
   def readChunk(rawBufSize: Int = 4096): Option[Array[Byte]] = {
     if (chunked) {
-      val lenLine = readLine()
+      var lenLine = readLine()
+      while (lenLine != null && lenLine.trim.isEmpty) lenLine = readLine()
       if (lenLine == null) return None
-      val len = Integer.parseInt(lenLine.trim, 16)
+      // RFC 9112 §7.1: the length may carry chunk extensions (";ext")
+      val len = Integer.parseInt(lenLine.trim.takeWhile(_ != ';').trim, 16)
       if (len == 0) { readLine(); None } // trailing CRLF after last chunk
       else {
         val body = readExactly(len + 2) // payload + CRLF (ntripclient.py:449)

@@ -84,22 +84,35 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
 
   private val readers: Seq[Thread] = mounts.toIndexedSeq.map { mount =>
     val t = new Thread(() => {
-      val client = new NtripClient(host, port)
-      try {
-        client.openStream(mount, user, passwd)
-        var seq = 0L
-        var chunk = client.readChunk()
-        while (chunk.isDefined && !stopped.get()) {
-          val micros = System.currentTimeMillis() * 1000L
-          buffer.synchronized {
-            buffer += ((mount, micros, seq, chunk.get))
+      var seq = 0L
+      var orderlyEnd = false
+      // abnormal errors (caster drop, read timeout) RECONNECT with
+      // backoff — the reference client's infinite-retry behavior
+      // (src/ingestion.py:119-132); an orderly end of stream (terminal
+      // 0-length chunk / clean EOF → readChunk None) ends the reader
+      var backoffMs = 1000L
+      while (!stopped.get() && !orderlyEnd) {
+        val client = new NtripClient(host, port)
+        try {
+          client.openStream(mount, user, passwd)
+          backoffMs = 1000L
+          var chunk = client.readChunk()
+          while (chunk.isDefined && !stopped.get()) {
+            val micros = System.currentTimeMillis() * 1000L
+            buffer.synchronized {
+              buffer += ((mount, micros, seq, chunk.get))
+            }
+            seq += 1
+            chunk = client.readChunk()
           }
-          seq += 1
-          chunk = client.readChunk()
-        }
-      } catch {
-        case _: Throwable if stopped.get() => // orderly shutdown
-      } finally client.close()
+          orderlyEnd = chunk.isEmpty
+        } catch {
+          case _: Throwable if !stopped.get() =>
+            try Thread.sleep(backoffMs) catch { case _: InterruptedException => () }
+            backoffMs = math.min(backoffMs * 2, 300000L) // cap 5 min (reference cap)
+          case _: Throwable => // orderly shutdown
+        } finally client.close()
+      }
     }, s"ntrip-reader-$mount")
     t.setDaemon(true)
     t.start()
@@ -143,11 +156,11 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[NtripOffset].n
     buffer.synchronized {
-      val drop = (e - committed).toInt
-      if (drop > 0) {
-        buffer.remove(0, drop)
-        committed = e
-      }
+      // clamp like planInputPartitions: a checkpointed offset from a
+      // previous process can exceed what this buffer ever held
+      val drop = math.min(math.max(0L, e - committed), buffer.length.toLong).toInt
+      if (drop > 0) buffer.remove(0, drop)
+      committed = math.max(committed, e)
     }
   }
 

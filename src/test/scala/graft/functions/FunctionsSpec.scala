@@ -94,6 +94,17 @@ class FunctionsSpec extends AnyFunSuite {
         assert(ScaledLong.round(y) == ScaledLong.roundSlow(y), s"x=$x s=$s")
       }
     }
+    // non-finite inputs raise, exactly like ANSI round+cast does
+    // (silent 0 would corrupt exact aggregates)
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).foreach { x =>
+      intercept[Exception] {
+        Seq(x).toDF("x").select(round(col("x") * 100, 0).cast("long")).collect()
+      }
+      intercept[Exception] {
+        Seq(x).toDF("x").select(GraftFunctions.scaledLong(col("x"), 2)).collect()
+      }
+      intercept[ArithmeticException] { ScaledLong.round(x) }
+    }
   }
 
   test("VectorScaledLongSum equals per-element SUM of scaledLong") {

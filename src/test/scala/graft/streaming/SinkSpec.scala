@@ -70,6 +70,14 @@ class SinkSpec extends AnyFunSuite {
     def rowsFor(table: String) =
       execs.filter(_.sql.startsWith(s"INSERT INTO $table ")).map(_.rows).sum
 
+    // the executed inserts use EXACTLY the declared landed-table
+    // schemas (the fake endpoint accepts any SQL, so column drift vs
+    // the reference schema must be caught here)
+    assert(execs.filter(_.sql.startsWith("INSERT INTO rtcm_packages "))
+      .forall(_.sql == Sinks.insertSql("rtcm_packages", Sinks.PackagesColumns, 1)))
+    assert(execs.filter(_.sql.startsWith("INSERT INTO observations "))
+      .forall(_.sql == Sinks.insertSql("observations", Sinks.ObservationsColumns, 1)))
+
     // every decoded frame landed exactly once as a package row
     val expected = RtcmPipeline.decode(
       RtcmPipeline.frameChunks(spark.createDataset(corpus)))
