@@ -24,6 +24,7 @@ object GraftFunctions {
   def crc24q(bin: Column): Column = c(Crc24qExpr(ex(bin)))
   def rollingHash64(s: Column): Column = c(RollingHash64(ex(s)))
   def minhash64(shingles: Column): Column = c(MinHash64(ex(shingles)))
+  def bpeTokenCount(s: Column): Column = c(BpeTokenCount(ex(s)))
 
   /** Fused element-wise scaled-long vector sum (aggregate):
     * array<long>[dims] of Σ round(v[i]·10^scale) per group. */
@@ -46,7 +47,8 @@ object GraftFunctions {
     "vector_norm" -> (es => VectorNorm(es.head)),
     "crc24q" -> (es => Crc24qExpr(es.head)),
     "rolling_hash64" -> (es => RollingHash64(es.head)),
-    "minhash64" -> (es => MinHash64(es.head)))
+    "minhash64" -> (es => MinHash64(es.head)),
+    "bpe_token_count" -> (es => BpeTokenCount(es.head)))
 
   /** Imperative registration (temp functions on this session). */
   def register(spark: SparkSession): Unit =

@@ -192,6 +192,29 @@ object Relational extends QueryModule {
        |WHERE l_returnflag = 'R'
        |GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1 LIMIT 20""".stripMargin
 
+  // TPC-H Q13 shape: LEFT OUTER join with a non-equi ON predicate +
+  // two-level aggregation (order-count distribution incl. the
+  // zero-order customers only an outer join can produce).
+  private def h13(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    t(s, d, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips outer nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  private val h13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY 1) c
+      |GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin
+
   // Exact distinct aggregation (COUNT(DISTINCT) expands to two-phase agg).
   private def a01(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
@@ -502,6 +525,7 @@ object Relational extends QueryModule {
     "h05_join_chain" -> h05,
     "h06_filter_agg" -> h06,
     "h10_returned_topk" -> h10,
+    "h13_outer_join_dist" -> h13,
     "h18_having_join" -> h18,
     "a01_count_distinct" -> a01,
     "a02_rollup" -> a02,
@@ -524,6 +548,7 @@ object Relational extends QueryModule {
     "h05_join_chain" -> h05Sql,
     "h06_filter_agg" -> h06Sql,
     "h10_returned_topk" -> h10Sql,
+    "h13_outer_join_dist" -> h13Sql,
     "h18_having_join" -> h18Sql,
     "a01_count_distinct" -> a01Sql,
     "a02_rollup" -> a02Sql,

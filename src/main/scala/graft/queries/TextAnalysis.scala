@@ -18,8 +18,9 @@ object TextAnalysis extends QueryModule {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   /** Whitespace token count, engine-portable: texts are single-space
-    * separated, so tokens = spaces + 1. (A BPE-ish regex tokenizer
-    * lives in graft.functions for the non-oracle path.) */
+    * separated, so tokens = spaces + 1. (The BPE-style pre-tokenizer
+    * path is t07 via functions.BpeTokenCount — its lookahead regex is
+    * not expressible in the oracle engine, so t07 is rows-only.) */
   private def tokenCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, " ", "")) + 1).cast(LongType)
   private def tokenCountSql(c: String): String =
@@ -138,6 +139,23 @@ object TextAnalysis extends QueryModule {
       |  FROM documents) d
       |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin
 
+  // t07: BPE-style pre-token statistics per language — the
+  // "token budget" pass of a training-data pipeline, over the GPT-2
+  // pre-tokenization pattern (functions.TextTokens). Rows-only: the
+  // pattern's lookahead has no oracle-engine equivalent; value-level
+  // checks live in FunctionsSpec.
+  private def t07(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.bpeTokenCount
+    val toks = bpeTokenCount(col("text"))
+    docs(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks).as("total_bpe_tokens"),
+        max(toks).as("max_bpe_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   // t06: document fingerprinting via the codegen'd 64-bit rolling
   // hash (order-sensitive content id) — fingerprint uniqueness per
   // language. Rows-only (engine-specific hash).
@@ -156,7 +174,8 @@ object TextAnalysis extends QueryModule {
     "t03_lang_id_accuracy" -> t03,
     "t04_word_frequency" -> t04,
     "t05_bigram_profile" -> t05,
-    "t06_doc_fingerprints" -> t06)
+    "t06_doc_fingerprints" -> t06,
+    "t07_bpe_token_stats" -> t07)
 
   override def oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,

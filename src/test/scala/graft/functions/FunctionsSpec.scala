@@ -68,6 +68,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect()(0).getDouble(0) > 0)
   }
 
+  test("BPE pre-tokenizer matches hand-tokenized GPT-2-pattern examples") {
+    import spark.implicits._
+    import graft.functions.TextTokens
+    // hand-worked against the published GPT-2 pattern semantics
+    assert(TextTokens.tokens("Hello world") == Vector("Hello", " world"))
+    assert(TextTokens.tokens("don't stop") == Vector("don", "'t", " stop"))
+    assert(TextTokens.tokens("I'll pay $5.50!") ==
+      Vector("I", "'ll", " pay", " $", "5", ".", "50", "!"))
+    assert(TextTokens.tokens("a  b") == Vector("a", " ", " b")) // residual ws before non-ws
+    assert(TextTokens.tokens("tail  ") == Vector("tail", "  ")) // trailing ws run
+    assert(TextTokens.tokens("") == Vector())
+    assert(TextTokens.count("Hello world") == 2L)
+    // the column expression agrees with the Scala tokenizer
+    val rows = Seq("Hello world", "don't stop", "I'll pay $5.50!", "", "x y z")
+      .toDF("s")
+      .select(col("s"), GraftFunctions.bpeTokenCount(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (s, n) => assert(n == TextTokens.count(s), s) }
+    // and from SQL
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT bpe_token_count('don''t stop') AS n")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("scaledLong equals round(x*10^s, 0).cast(long) on adversarial values") {
     import spark.implicits._
     val adversarial = Seq(
