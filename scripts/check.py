@@ -12,7 +12,10 @@ it). A schema guard additionally rejects ANY decimal or int32 column in
 an oracle-checked output, on either side: every query def must
 final-cast decimals to DOUBLE and ranks/ntiles to BIGINT.
 
-Usage: python3 scripts/check.py [sfDir] [outDir]
+Usage: python3 scripts/check.py [sfDir] [outDir] [skipCsv]
+  skipCsv: optional comma-separated query names whose ORACLE side is
+  too expensive at this SF (the stated-quadratic d02/d05/d06 at
+  sf0.1+); reported as skipped, never silently.
 (Dev tool only — the Scala library has no duckdb dependency.)
 """
 import glob
@@ -26,6 +29,7 @@ import pyarrow.parquet as pq
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+SKIP = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -76,6 +80,9 @@ def main():
             continue
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         got = pa.concat_tables([pq.read_table(p) for p in parts])
+        if name in SKIP:
+            print(f"  ! {name}: oracle SKIPPED by request ({got.num_rows} rows)")
+            continue
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({got.num_rows} rows)")
             continue
