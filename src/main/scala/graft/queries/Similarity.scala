@@ -123,12 +123,59 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  // s04: int8 embedding quantization — the 4× storage/scan-IO
+  // reduction a 100 TB embedding store runs on. Per-vector symmetric
+  // quantization (q_i = round(x_i·127/max|x|), dequant q_i·max|x|/127)
+  // then brute cosine top-10 in the quantized space. Engine-exact on
+  // both sides: round() on identical doubles, left-to-right folds.
+  // The ScalaTest suite asserts recall vs the full-precision s01.
+  private def s04(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // quantize+dequantize: deq_i = round(x_i * 127 / amax) * amax / 127
+    val deq = e
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("dq", expr(
+        "transform(v, x -> round(x * 127 / amax, 0) * amax / 127)"))
+      .select(col("vec_id"), col("dq"))
+    val q = deq.filter(col("vec_id") === 0).select(col("dq").as("qv"))
+    deq.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineSimilarity(col("dq"), col("qv")).as("cos"))
+      .select(col("vec_id"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim_q"))
+      .orderBy(desc("cos_sim_q"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val s04Sql =
+    """WITH deq AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> ROUND(x * 127 / amax, 0) * amax / 127) AS dq
+      |  FROM (
+      |    SELECT vec_id,
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |    FROM embeddings) b),
+      |q AS (SELECT dq AS qv FROM deq WHERE vec_id = 0)
+      |SELECT vec_id, CAST(CAST(ROUND(
+      |    list_sum(list_transform(range(1, 65), i -> deq.dq[i] * q.qv[i]))
+      |    / (sqrt(list_sum(list_transform(deq.dq, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(q.qv, x -> x * x))))
+      |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim_q
+      |FROM deq, q
+      |WHERE deq.vec_id <> 0
+      |ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute_cosine" -> s01,
     "s02_centroid_norms" -> s02,
-    "s03_ivf_ann_topk" -> s03)
+    "s03_ivf_ann_topk" -> s03,
+    "s04_int8_quant_topk" -> s04)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
-    "s02_centroid_norms" -> s02Sql)
+    "s02_centroid_norms" -> s02Sql,
+    "s04_int8_quant_topk" -> s04Sql)
 }
