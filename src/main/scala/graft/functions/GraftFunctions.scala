@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // grouped-top-k plan rewrite (see plans.TopKRewrite for the
+    // guarded applicability conditions)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.functions.TopKByScore
+
+/** Optimizer rule: rewrite the grouped-top-k idiom
+  *
+  * {{{ Filter(rn <= k, Window(row_number() OVER
+  *     (PARTITION BY p ORDER BY score DESC, tie ASC) AS rn, child)) }}}
+  *
+  * into the bounded-buffer TopKByScore aggregate + posexplode — the
+  * map-side-combining plan (shuffle ≤ partitions × groups × k rows)
+  * instead of shuffling the ENTIRE child into the window partitions.
+  * See functions.TopKByScore for the operator itself; this rule makes
+  * the optimization available to users who write the standard window
+  * form.
+  *
+  * Applicability is deliberately narrow — the rewrite fires only when
+  * it is provably semantics-preserving:
+  *   - window function is exactly `row_number()` with the default
+  *     running frame, ordered by (score DESC, tie ASC);
+  *   - score is a non-nullable DOUBLE and tie a non-nullable BIGINT
+  *     (TopKByScore's buffer drops null scores, a window would rank
+  *     them — bail rather than diverge);
+  *   - the filter is `rn <= lit(k)` / `rn < lit(k+1)` with k ≤ 1024.
+  * Everything else keeps the window plan (often rightly so: with many
+  * groups and few rows per group the window's single shuffle is the
+  * better plan — this rule is opt-in via
+  * `spark.experimental.extraOptimizations` or GraftExtensions).
+  *
+  * Output attributes keep the ORIGINAL exprIds (child columns + rn),
+  * so parent operators are untouched.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private object IntLimit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(partitionSpec,
+            Seq(SortOrder(score, Descending, NullsLast, _),
+                SortOrder(tie, Ascending, NullsFirst, _)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+          _, _, child, _)) =>
+      val rnAttr = a.toAttribute
+      val kOpt = cond match {
+        case LessThanOrEqual(r: AttributeReference, IntLimit(k))
+          if r.exprId == rnAttr.exprId => Some(k)
+        case LessThan(r: AttributeReference, IntLimit(k))
+          if r.exprId == rnAttr.exprId => Some(k - 1)
+        case _ => None
+      }
+      val safe = kOpt.exists(k => k >= 1 && k <= 1024) &&
+        score.dataType == DoubleType && !score.nullable &&
+        tie.dataType == LongType && !tie.nullable &&
+        partitionSpec.nonEmpty
+      if (!safe) f
+      else {
+        val k = kOpt.get
+        // Aggregate: group by the partition expressions, carry the
+        // child row as the payload struct
+        val payloadFields = child.output.flatMap(c => Seq(Literal(c.name), c))
+        val payload = CreateNamedStruct(payloadFields)
+        val topkAgg = AggregateExpression(
+          TopKByScore(score, tie, payload, k),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false)
+        val topkAlias = Alias(topkAgg, "__topk")()
+        // group columns need not appear in the output: the final
+        // Project reconstructs every child column from the payload
+        val agg = Aggregate(partitionSpec, Seq(topkAlias), child)
+
+        // posexplode the best-first array: pos + 1 == row_number
+        val gen = Generate(PosExplode(topkAlias.toAttribute),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(
+            AttributeReference("__pos", IntegerType, nullable = false)(),
+            AttributeReference("__entry", TopKByScore(score, tie, payload, k)
+              .dataType.asInstanceOf[ArrayType].elementType, nullable = false)()),
+          agg)
+        val pos = gen.generatorOutput.head
+        val entry = gen.generatorOutput(1)
+
+        // reconstruct the original output under the ORIGINAL exprIds
+        val payloadCol = GetStructField(entry,
+          2, Some("payload")) // (score, tiebreak, payload)
+        val restored = child.output.zipWithIndex.map { case (attr, i) =>
+          Alias(GetStructField(payloadCol, i, Some(attr.name)), attr.name)(
+            exprId = attr.exprId, qualifier = attr.qualifier)
+        }
+        // row_number() is IntegerType; pos+1 keeps the type AND the
+        // original exprId so parents are untouched
+        val rnRestored = Alias(Add(pos, Literal(1)), rnAttr.name)(
+          exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
+        Project(restored :+ rnRestored, gen)
+      }
+  }
+}

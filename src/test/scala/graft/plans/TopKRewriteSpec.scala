@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.etl.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def idiom(k: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new java.util.Random(41L)
+    val df = (0 until 20000).map(i =>
+      (s"g${i % 3}", rnd.nextDouble() * 100, i.toLong)).toDF("g", "score", "id")
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(TopKRewrite)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+  private def windowNodes(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+
+  test("rewrites row_number()<=k window-filter into the bounded top-k aggregate") {
+    val expected = idiom(5).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    withRule {
+      val df = idiom(5)
+      val plan = df.queryExecution.optimizedPlan.toString
+      // no Window NODE left (Spark's own WindowGroupLimit pre-filter
+      // below the aggregate is kept — it's a free candidate reducer)
+      assert(windowNodes(df).isEmpty, plan.take(800))
+      assert(plan.contains("topkbyscore"), plan.take(800))
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got == expected)
+      assert(got.size == 15) // 3 groups × 5
+    }
+  }
+
+  test("bails out when the guard conditions do not hold") {
+    import spark.implicits._
+    withRule {
+      // k too large → keep the window plan
+      assert(windowNodes(idiom(5000)).nonEmpty)
+      // ascending score → not the top-k shape → keep the window plan
+      val df = (0 until 100).map(i => (s"g${i % 2}", i.toDouble, i.toLong))
+        .toDF("g", "score", "id")
+      val w = Window.partitionBy("g").orderBy(col("score"), col("id"))
+      val asc = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(windowNodes(asc).nonEmpty)
+    }
+  }
+}
