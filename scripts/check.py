@@ -81,7 +81,14 @@ def main():
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         got = pa.concat_tables([pq.read_table(p) for p in parts])
         if name in SKIP:
-            print(f"  ! {name}: oracle SKIPPED by request ({got.num_rows} rows)")
+            # only the ORACLE side is skipped (cost) — the Spark output
+            # schema guard still applies (the round-1 bug class)
+            bad = banned_fields(got.schema)
+            if bad:
+                print(f"  ✗ {name}: {BANNED}: {bad}")
+                n_fail += 1
+            else:
+                print(f"  ! {name}: oracle SKIPPED by request ({got.num_rows} rows)")
             continue
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({got.num_rows} rows)")
@@ -118,6 +125,9 @@ def main():
                              if os.path.isdir(os.path.join(OUT_DIR, n))}
     for m in sorted(missing):
         print(f"  ✗ {m}: no spark output written")
+        n_fail += 1
+    for s in sorted(SKIP - set(names)):
+        print(f"  ✗ skip name matches no output: {s}")
         n_fail += 1
     print(f"PASS {n_pass} FAIL {n_fail}")
     sys.exit(1 if n_fail else 0)

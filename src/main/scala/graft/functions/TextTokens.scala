@@ -16,8 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextTokens {
 
+  // UNICODE_CHARACTER_CLASS makes \s Unicode-aware (Java's default \s
+  // is ASCII-only; the published pattern is Python regex, where \s
+  // already covers e.g. U+00A0)
   val Gpt2Pattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   def tokens(s: String): Vector[String] = {
     val m = Gpt2Pattern.matcher(s)

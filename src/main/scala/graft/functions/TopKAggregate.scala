@@ -56,9 +56,24 @@ case class TopKByScore(
 
   override def createAggregationBuffer(): TopKByScore.Buf = new TopKByScore.Buf(k)
 
+  /** Score comparison matching Spark SQL's double ordering exactly
+    * (SQLOrderingUtil semantics): IEEE equality first (so -0.0 == 0.0
+    * falls through to the tiebreak, as a window sort would), NaN
+    * greater than everything (so with DESC ordering NaN rows rank
+    * first, as they do under a window sort). Plain IEEE `>` would
+    * silently DROP NaN rows and mis-order -0.0 — diverging from the
+    * row_number plan TopKRewrite replaces. */
+  private def cmpScore(s1: Double, s2: Double): Int =
+    if (s1 == s2) 0
+    else if (java.lang.Double.isNaN(s1)) 1
+    else if (java.lang.Double.isNaN(s2)) -1
+    else java.lang.Double.compare(s1, s2)
+
   /** better(a, b): does entry a rank strictly before entry b? */
-  private def better(s1: Double, t1: Long, s2: Double, t2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && t1 < t2)
+  private def better(s1: Double, t1: Long, s2: Double, t2: Long): Boolean = {
+    val c = cmpScore(s1, s2)
+    c > 0 || (c == 0 && t1 < t2)
+  }
 
   override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
     val s = score.eval(input)

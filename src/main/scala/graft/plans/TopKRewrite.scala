@@ -82,9 +82,12 @@ object TopKRewrite extends Rule[LogicalPlan] {
         // Project reconstructs every child column from the payload
         val agg = Aggregate(partitionSpec, Seq(topkAlias), child)
 
-        // posexplode the best-first array: pos + 1 == row_number
+        // posexplode the best-first array: pos + 1 == row_number.
+        // unrequiredChildIndex drops the k-element array column from
+        // the Generate output (only pos/entry are consumed above, and
+        // this rule runs after ColumnPruning already did its pass).
         val gen = Generate(PosExplode(topkAlias.toAttribute),
-          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
           generatorOutput = Seq(
             AttributeReference("__pos", IntegerType, nullable = false)(),
             AttributeReference("__entry", TopKByScore(score, tie, payload, k)

@@ -80,6 +80,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextTokens.tokens("tail  ") == Vector("tail", "  ")) // trailing ws run
     assert(TextTokens.tokens("") == Vector())
     assert(TextTokens.count("Hello world") == 2L)
+    // Unicode whitespace behaves as \s (UNICODE_CHARACTER_CLASS —
+    // Java's default ASCII \s would merge the NBSP into the
+    // punctuation run, diverging from the published pattern)
+    assert(TextTokens.tokens("a !b") == Vector("a", " ", "!", "b"))
     // the column expression agrees with the Scala tokenizer
     val rows = Seq("Hello world", "don't stop", "I'll pay $5.50!", "", "x y z")
       .toDF("s")

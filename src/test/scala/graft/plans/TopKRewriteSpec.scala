@@ -45,6 +45,28 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN and -0.0 scores rank identically to the window plan") {
+    import spark.implicits._
+    // NaN sorts greatest (rn=1 under DESC), -0.0 ties with 0.0 and
+    // falls to the id tiebreak — Spark's double ordering on both paths
+    val df = Seq(
+      ("g", Double.NaN, 1L), ("g", 5.0, 2L), ("g", -0.0, 3L),
+      ("g", 0.0, 4L), ("g", 5.0, 5L), ("g", -1.0, 6L)).toDF("g", "score", "id")
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("id"))
+    def run(): Seq[(Long, Int)] =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select(col("id"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    val unrewritten = run()
+    val rewritten = withRule {
+      val d = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      assert(windowNodes(d).isEmpty)
+      run() // re-plan inside the rule scope
+    }
+    assert(rewritten == unrewritten)
+    assert(unrewritten.head == (1L, 1)) // the NaN row ranks first
+  }
+
   test("bails out when the guard conditions do not hold") {
     import spark.implicits._
     withRule {
