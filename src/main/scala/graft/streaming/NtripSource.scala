@@ -8,7 +8,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,13 +69,18 @@ private final case class NtripOffset(n: Long) extends Offset {
 }
 
 private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val host = options.get("host")
   private val port = options.getInt("port", 2101)
   private val mounts = options.get("mountpoints").split(",").map(_.trim).filter(_.nonEmpty)
   private val user = Option(options.get("user"))
   private val passwd = Option(options.get("passwd"))
+  // backpressure (§2.4): cap chunks admitted per micro-batch so a
+  // burst (or a backlog after a stall) drains in bounded batches
+  // instead of one giant one
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxChunksPerTrigger")).map(_.toLong)
 
   /** Buffered chunks in arrival order; index = offset. */
   private val buffer = new ArrayBuffer[(String, Long, Long, Array[Byte])]()
@@ -121,10 +126,27 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = NtripOffset(0L)
   override def deserializeOffset(json: String): Offset = NtripOffset(json.toLong)
-  override def latestOffset(): Offset = {
-    val n: Long = buffer.synchronized { committed + buffer.length.toLong }
-    NtripOffset(n)
+
+  private def available(): Long =
+    buffer.synchronized { committed + buffer.length.toLong }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = available()
+    limit match {
+      case r: ReadMaxRows =>
+        NtripOffset(math.min(avail, start.asInstanceOf[NtripOffset].n + r.maxRows()))
+      case _ => NtripOffset(avail)
+    }
   }
+
+  override def reportLatestOffset(): Offset = NtripOffset(available())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NtripOffset].n

@@ -125,6 +125,40 @@ class NtripClientSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("maxChunksPerTrigger bounds each micro-batch (admission control)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val frames = Map("MNT0" -> SyntheticRtcm.framesFor("MNT0", 100, 40, 44L).map(_._2))
+    val server = new ServerSocket(0)
+    try {
+      serveMany(server, frames)
+      val chunks = spark.readStream
+        .format("graft.streaming.NtripSourceProvider")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+        .option("mountpoints", "MNT0")
+        .option("maxChunksPerTrigger", "7")
+        .load()
+        .as[RawChunk]
+      val q = chunks.writeStream.format("memory").queryName("ntrip_ratelimit_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        def total(): Long = spark.table("ntrip_ratelimit_out").count()
+        var last = -1L
+        while (System.currentTimeMillis() < deadline &&
+          (total() == 0 || total() != last)) {
+          last = total()
+          Thread.sleep(200)
+          q.processAllAvailable()
+        }
+        assert(total() > 7) // stream fully drained over multiple batches
+        val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        assert(batchSizes.nonEmpty)
+        assert(batchSizes.max <= 7, batchSizes.mkString(","))
+      } finally q.stop()
+    } finally server.close()
+  }
+
   test("sourcetable request over a live socket") {
     val server = new ServerSocket(0)
     try {
