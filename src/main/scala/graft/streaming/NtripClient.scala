@@ -3,14 +3,38 @@ package graft.streaming
 import java.io.{BufferedInputStream, InputStream, OutputStream}
 import java.net.{InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets.ISO_8859_1
-import java.util.Base64
+import java.time.{ZoneOffset, ZonedDateTime}
+import java.time.format.DateTimeFormatter
+import java.util.{Base64, Locale}
+
+import javax.net.ssl.SSLContext
 
 /** Minimal live NTRIP caster client — the byte-level transport the
   * reference implements with asyncio streams
   * (`/root/reference/src/ntripclient.py`):
   *
-  *  - v2 request = HTTP POST with `Ntrip-Version: Ntrip/2.0` + Basic
-  *    auth; v1 = `SOURCE <pw> /<mount>` (ntripclient.py:209-236);
+  *  - every CLIENT request is `GET`: the stream request is
+  *    `GET /<mountpoint> HTTP/1.1` (ntripclient.py:160, built by
+  *    `setRequestStreamHeader`, sent by `requestNtripStream` :428) and
+  *    the sourcetable request is `GET / HTTP/1.1` (ntripclient.py:107);
+  *    both carry `Ntrip-Version: Ntrip/<v>.0`, `User-Agent`, `Date`,
+  *    `Connection: close`, plus Basic auth when credentials are given
+  *    (ntripclient.py:154-158);
+  *  - `POST` (v2) / `SOURCE <pw>` (v1) are the reference's NTRIP
+  *    *server* (upload) verbs only (`setRequestServerHeader`,
+  *    ntripclient.py:216-236) — a real caster refuses them on the
+  *    client path, so they live in [[uploadHeader]], not in
+  *    [[openStream]];
+  *  - an optional NMEA GGA sentence rides in the stream request for
+  *    VRS/network mountpoints (ntripclient.py:152-155,166 — the
+  *    reference stores it as bytes and concatenates into an str
+  *    header, a latent TypeError; the intent, realized here, is the
+  *    sentence as its own CRLF-terminated line after the auth header);
+  *  - `https`/`ntrips` casters get TLS: the reference opens the
+  *    connection with `ssl=True` when the URL scheme is https
+  *    (ntripclient.py:64-67); here that is an `SSLSocketFactory`
+  *    socket, with an injectable `SSLContext` so tests can trust a
+  *    self-signed localhost caster;
   *  - response = header lines to the first blank line; status must be
   *    200 (ntripclient.py:262-332);
   *  - `Transfer-Encoding: chunked` switches body reads to
@@ -31,7 +55,9 @@ final class NtripClient(
     port: Int,
     userAgent: String = "graft",
     connectTimeoutMs: Int = 5000,
-    readTimeoutMs: Int = 10000) extends AutoCloseable {
+    readTimeoutMs: Int = 10000,
+    tls: Boolean = false,
+    sslContext: Option[SSLContext] = None) extends AutoCloseable {
 
   private var socket: Socket = _
   private var in: BufferedInputStream = _
@@ -43,31 +69,62 @@ final class NtripClient(
   var chunked: Boolean = false
 
   private def connect(): Unit = {
-    socket = new Socket()
+    socket =
+      if (tls) sslContext.getOrElse(SSLContext.getDefault).getSocketFactory.createSocket()
+      else new Socket()
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     socket.setSoTimeout(readTimeoutMs)
     in = new BufferedInputStream(socket.getInputStream)
     out = socket.getOutputStream
   }
 
+  // `Date: Tue, 12 Aug 2026 12:00:00 GMT` — the reference stamps every
+  // request (strftime "%a, %d %b %Y %H:%M:%S GMT", ntripclient.py:106)
+  private def httpDate(): String =
+    ZonedDateTime.now(ZoneOffset.UTC).format(
+      DateTimeFormatter.ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", Locale.US))
+
+  private def basicAuth(user: Option[String], passwd: Option[String]): String =
+    (for (u <- user; p <- passwd) yield
+      "Authorization: Basic " +
+        Base64.getEncoder.encodeToString(s"$u:$p".getBytes(ISO_8859_1)) + "\r\n")
+      .getOrElse("")
+
+  /** Client request: `GET <path>` for streams and the sourcetable
+    * alike (ntripclient.py:107,160). */
   private def requestHeader(path: String, user: Option[String], passwd: Option[String],
-                            ntripVersion: Int): Array[Byte] = {
+                            ntripVersion: Int, nmeaGga: Option[String]): Array[Byte] = {
+    val nmea = nmeaGga.map(_ + "\r\n").getOrElse("")
+    (s"GET $path HTTP/1.1\r\n" +
+      s"Host: $host:$port\r\n" +
+      s"Ntrip-Version: Ntrip/$ntripVersion.0\r\n" +
+      s"User-Agent: NTRIP $userAgent\r\n" +
+      basicAuth(user, passwd) +
+      nmea +
+      s"Date: ${httpDate()}\r\n" +
+      "Connection: close\r\n" +
+      "\r\n").getBytes(ISO_8859_1)
+  }
+
+  /** The reference's NTRIP-*server* (upload) request header — `POST`
+    * for v2, `SOURCE <pw> /<mount>` for v1 (setRequestServerHeader,
+    * ntripclient.py:216-236). Kept for the upload surface; never used
+    * by the client stream path. */
+  def uploadHeader(mountPoint: String, user: Option[String], passwd: Option[String],
+                   ntripVersion: Int = 2): Array[Byte] = {
     if (ntripVersion >= 2) {
-      val auth = (for (u <- user; p <- passwd) yield
-        "Authorization: Basic " +
-          Base64.getEncoder.encodeToString(s"$u:$p".getBytes(ISO_8859_1)) + "\r\n")
-        .getOrElse("")
-      (s"POST $path HTTP/1.1\r\n" +
+      (s"POST /$mountPoint HTTP/1.1\r\n" +
         s"Host: $host:$port\r\n" +
-        "Ntrip-Version: Ntrip/2.0\r\n" +
-        auth +
+        s"Ntrip-Version: Ntrip/$ntripVersion.0\r\n" +
+        basicAuth(user, passwd) +
         s"User-Agent: NTRIP $userAgent\r\n" +
+        s"Date: ${httpDate()}\r\n" +
         "Connection: close\r\n" +
         "\r\n").getBytes(ISO_8859_1)
     } else {
       val auth = passwd.map(p =>
         Base64.getEncoder.encodeToString(p.getBytes(ISO_8859_1))).getOrElse("")
-      (s"SOURCE $auth $path HTTP/1.1\r\n" +
+      (s"SOURCE $auth /$mountPoint HTTP/1.1\r\n" +
         s"Source-Agent: NTRIP $userAgent\r\n" +
         "\r\n").getBytes(ISO_8859_1)
     }
@@ -96,19 +153,23 @@ final class NtripClient(
         s"NTRIP response not OK: ${lines.headOption.getOrElse("<empty>")}")
   }
 
-  /** Open the RTCM stream for a mountpoint. */
+  /** Open the RTCM stream for a mountpoint — `GET /<mount>`
+    * (ntripclient.py:160,428), optional NMEA GGA line for VRS
+    * mountpoints (ntripclient.py:152-155). */
   def openStream(mountPoint: String, user: Option[String] = None,
-                 passwd: Option[String] = None, ntripVersion: Int = 2): Unit = {
+                 passwd: Option[String] = None, ntripVersion: Int = 2,
+                 nmeaGga: Option[String] = None): Unit = {
     connect()
-    out.write(requestHeader(s"/$mountPoint", user, passwd, ntripVersion))
+    out.write(requestHeader(s"/$mountPoint", user, passwd, ntripVersion, nmeaGga))
     out.flush()
     readHeaderAndStatus()
   }
 
-  /** Fetch the caster sourcetable (lines until ENDSOURCETABLE). */
+  /** Fetch the caster sourcetable — `GET /` (ntripclient.py:107);
+    * lines until ENDSOURCETABLE. */
   def sourceTable(user: Option[String] = None, passwd: Option[String] = None): Seq[String] = {
     connect()
-    out.write(requestHeader("/", user, passwd, ntripVersion = 2))
+    out.write(requestHeader("/", user, passwd, ntripVersion = 2, nmeaGga = None))
     out.flush()
     readHeaderAndStatus()
     val body = Iterator.continually(readLine())

@@ -76,16 +76,39 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
   private val mounts = options.get("mountpoints").split(",").map(_.trim).filter(_.nonEmpty)
   private val user = Option(options.get("user"))
   private val passwd = Option(options.get("passwd"))
+  private val tls = options.getBoolean("tls", false)
+  private val nmeaGga = Option(options.get("nmeaGga"))
   // backpressure (§2.4): cap chunks admitted per micro-batch so a
   // burst (or a backlog after a stall) drains in bounded batches
   // instead of one giant one
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxChunksPerTrigger")).map(_.toLong)
+  // driver-heap bound: readers STOP READING THE SOCKET when this many
+  // chunks are buffered and unconsumed — backpressure propagates to
+  // the caster via TCP flow control instead of growing the heap. A
+  // stalled query therefore costs kernel-buffer memory, not driver
+  // memory. Default generous but finite.
+  private val maxBuffered: Int = options.getInt("maxBufferedChunks", 65536)
 
   /** Buffered chunks in arrival order; index = offset. */
   private val buffer = new ArrayBuffer[(String, Long, Long, Array[Byte])]()
   private val stopped = new AtomicBoolean(false)
   private var committed = 0L // absolute offset of buffer.head
+  // After a driver restart the checkpointed start offset can exceed
+  // this fresh process's counter (committed=0): without a rebase,
+  // planInputPartitions clamps the recovered batch to empty and the
+  // first commit(end) drops live chunks that were never planned into
+  // any batch — silent at-most-once. Rebase once, on the first offset
+  // request, so live chunks map to offsets at/after the checkpointed
+  // watermark (see rebaseTo).
+  private var rebased = false
+
+  private def rebaseTo(start: Long): Unit = buffer.synchronized {
+    if (!rebased) {
+      rebased = true
+      if (start > committed + buffer.length) committed = start
+    }
+  }
 
   private val readers: Seq[Thread] = mounts.toIndexedSeq.map { mount =>
     val t = new Thread(() => {
@@ -97,20 +120,24 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
       // 0-length chunk / clean EOF → readChunk None) ends the reader
       var backoffMs = 1000L
       while (!stopped.get() && !orderlyEnd) {
-        val client = new NtripClient(host, port)
+        val client = new NtripClient(host, port, tls = tls)
         try {
-          client.openStream(mount, user, passwd)
+          client.openStream(mount, user, passwd, nmeaGga = nmeaGga)
           backoffMs = 1000L
           var chunk = client.readChunk()
           while (chunk.isDefined && !stopped.get()) {
             val micros = System.currentTimeMillis() * 1000L
             buffer.synchronized {
-              buffer += ((mount, micros, seq, chunk.get))
+              // bound the buffer: block (and stop draining the socket)
+              // until the query consumes — natural TCP backpressure
+              while (buffer.length >= maxBuffered && !stopped.get())
+                buffer.wait(200L)
+              if (!stopped.get()) buffer += ((mount, micros, seq, chunk.get))
             }
             seq += 1
-            chunk = client.readChunk()
+            chunk = if (stopped.get()) None else client.readChunk()
           }
-          orderlyEnd = chunk.isEmpty
+          orderlyEnd = chunk.isEmpty && !stopped.get()
         } catch {
           case _: Throwable if !stopped.get() =>
             try Thread.sleep(backoffMs) catch { case _: InterruptedException => () }
@@ -138,6 +165,7 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
     maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    rebaseTo(start.asInstanceOf[NtripOffset].n)
     val avail = available()
     limit match {
       case r: ReadMaxRows =>
@@ -151,6 +179,9 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NtripOffset].n
     val e = end.asInstanceOf[NtripOffset].n
+    // recovery can replay a checkpointed batch before any latestOffset
+    // call — rebase here too so the first commit cannot drop live rows
+    rebaseTo(s)
     val rows = buffer.synchronized {
       // clamp to what the buffer still holds: after a restart the
       // checkpointed range may predate this process's buffer (live TCP
@@ -183,8 +214,12 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
       val drop = math.min(math.max(0L, e - committed), buffer.length.toLong).toInt
       if (drop > 0) buffer.remove(0, drop)
       committed = math.max(committed, e)
+      buffer.notifyAll() // wake readers blocked on the buffer bound
     }
   }
+
+  /** Test seam: current number of buffered, unconsumed chunks. */
+  private[streaming] def bufferedCount: Int = buffer.synchronized(buffer.length)
 
   override def stop(): Unit = {
     stopped.set(true)
