@@ -16,6 +16,7 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -105,6 +106,29 @@ object PlanAudit {
       "partial+final object aggregate" -> (s =>
         "ObjectHashAggregate".r.findAllIn(s).size >= 2),
       "no window node" -> (s => !s.contains("Window")))
+
+    // a USER-written window-form top-k (the w05 idiom spelled as
+    // row_number + filter) must hit plans.TopKRewrite in the default
+    // session — the extension is registered above, not per-test
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("o_orderpriority").orderBy(desc("score"), col("tie"))
+      val df = Tables.load(spark, sfDir, "orders")
+        .withColumn("score", coalesce(col("o_totalprice").cast("double"), lit(0.0)))
+        .withColumn("tie", coalesce(col("o_orderkey"), lit(0L)))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val checks = Seq(
+        "rewritten to bounded aggregate" ->
+          ("ObjectHashAggregate".r.findAllIn(plan).size >= 2),
+        "no window node in user query" -> !plan.contains("Window"))
+      checks.foreach { case (desc, ok) =>
+        if (!ok) failures += 1
+        println(f"[plan] ${if (ok) "PASS" else "FAIL"}%s  user_window_topk            $desc")
+      }
+    }
 
     println(s"[plan] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

@@ -64,9 +64,11 @@ case class TopKByScore(
     * silently DROP NaN rows and mis-order -0.0 — diverging from the
     * row_number plan TopKRewrite replaces. */
   private def cmpScore(s1: Double, s2: Double): Int =
-    if (s1 == s2) 0
-    else if (java.lang.Double.isNaN(s1)) 1
-    else if (java.lang.Double.isNaN(s2)) -1
+    if (s1 == s2) 0 // IEEE ==: -0.0 equals 0.0, fall through to tiebreak
+    // Double.compare: NaN compares equal to NaN (so the tiebreak still
+    // applies between two NaN rows — an isNaN(s1)-first branch would
+    // rank every NaN strictly above every other NaN, making the kept k
+    // rows depend on encounter/merge order) and greater than all else
     else java.lang.Double.compare(s1, s2)
 
   /** better(a, b): does entry a rank strictly before entry b? */

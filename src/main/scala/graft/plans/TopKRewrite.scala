@@ -30,13 +30,20 @@ import graft.functions.TopKByScore
   *   - the filter is `rn <= lit(k)` / `rn < lit(k+1)` with k ≤ 1024.
   * Everything else keeps the window plan (often rightly so: with many
   * groups and few rows per group the window's single shuffle is the
-  * better plan — this rule is opt-in via
-  * `spark.experimental.extraOptimizations` or GraftExtensions).
+  * better plan).
+  *
+  * The rule is ALWAYS ON for sessions built with GraftExtensions (and
+  * can be added to any session via
+  * `spark.experimental.extraOptimizations`); set
+  * `spark.graft.topkRewrite.enabled=false` to turn it off per session
+  * or per query without rebuilding the session.
   *
   * Output attributes keep the ORIGINAL exprIds (child columns + rn),
   * so parent operators are untouched.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.topkRewrite.enabled"
 
   private object IntLimit {
     def unapply(e: Expression): Option[Int] = e match {
@@ -46,7 +53,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(partitionSpec,

@@ -67,6 +67,34 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(unrewritten.head == (1L, 1)) // the NaN row ranks first
   }
 
+  test("multiple NaN scores: tiebreak still applies, matching the window plan") {
+    import spark.implicits._
+    // ≥2 NaN rows per group across several partitions: the window plan
+    // orders NaN ties by id; the aggregate's comparator must treat
+    // NaN==NaN as equal (Double.compare) or the kept rows depend on
+    // encounter/merge order
+    val rows = Seq(
+      ("g", Double.NaN, 7L), ("g", Double.NaN, 2L), ("g", Double.NaN, 9L),
+      ("g", Double.NaN, 4L), ("g", 99.0, 1L), ("g", 1.0, 3L),
+      ("h", Double.NaN, 12L), ("h", Double.NaN, 11L), ("h", 5.0, 10L))
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("g", "score", "id")
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("id"))
+    def run(): Seq[(String, Long, Int)] =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("g"), col("id"), col("rn")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3)).toSeq
+    val unrewritten = run()
+    val rewritten = withRule {
+      val d = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(windowNodes(d).isEmpty)
+      run()
+    }
+    assert(rewritten == unrewritten)
+    // NaN rows rank first, ordered among themselves by ascending id
+    assert(unrewritten.filter(_._1 == "g").map(_._2) == Seq(2L, 4L, 7L))
+    assert(unrewritten.filter(_._1 == "h").map(_._2) == Seq(11L, 12L, 10L))
+  }
+
   test("bails out when the guard conditions do not hold") {
     import spark.implicits._
     withRule {
