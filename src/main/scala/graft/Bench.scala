@@ -34,12 +34,17 @@ object Bench {
     // at SFs where that's hours). Skips are reported, never silent.
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_ONLY: comma-separated allowlist for targeted scale
+    // measurements (e.g. re-timing one query at sf10) — empty = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     // SPARK_GRAFT_WARM=1: run each query twice, report the second
     // (steady-state) time — separates per-query data work from one-off
     // scan-cache/JIT effects when analyzing data-bound SFs. Default
     // (driver runs) stays single-shot.
     val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
       .filterNot { case (name, _) => skip(name) }
       .map { case (name, fn) =>
         def once(): Double = {

@@ -28,16 +28,32 @@ object Dedup extends QueryModule {
       "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
 
   // d01: exact dedup via content hash — keeper id + multiplicity per
-  // distinct content.
-  private def d01(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+  // distinct content. Grouping key is xxhash64 (codegen'd, one cheap
+  // pass, fixed-width agg buffers); the md5 OUTPUT column is computed
+  // only for the KEEPER row of each group, fetched by joining the tiny
+  // aggregate back to the table on keep_id (AQE broadcasts it when
+  // small) — per-row md5 dominated this query at scale (9.7× DuckDB at
+  // sf10) while contributing nothing to the grouping, and carrying an
+  // exemplar text THROUGH the aggregation (min(text)) is slower still:
+  // a var-length agg buffer falls off the fixed-width fast map. A
+  // 64-bit-collision merge is the same contract every hash-keyed dedup
+  // states.
+  private def d01(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+    val g = t.groupBy(xxhash64(col("text")).as("xh"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    g.join(t.select(col("doc_id").as("keep_id"), col("text")), "keep_id")
+      .select(md5(col("text").cast(BinaryType)).as("content_hash"),
+        col("keep_id"), col("n_copies"))
       .orderBy("content_hash")
+  }
 
+  // DuckDB has no xxhash64; grouping by the text itself is the same
+  // partition of rows (exact content equality), restated with the
+  // same hash-once-per-group shape.
   private val d01Sql =
-    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    """SELECT md5(MIN(text)) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY 1""".stripMargin
 
   /** Per-doc shingle sets, filtered to docs with ≥3 words. */
   private def shingled(s: SparkSession, d: String): DataFrame =

@@ -417,17 +417,30 @@ object Relational extends QueryModule {
   // ntile decile distribution of order values. NTILE over an
   // unpartitioned window would move ALL rows to one partition (the
   // scale-killer Spark itself warns about), so the global rank is
-  // computed distributed: range-partition on the sort key, rank
-  // locally per range, then add each range's exclusive prefix count
-  // (32 numbers, driver-side prefix sum — the same O(#partitions)
-  // driver step a distributed sort-rank uses). The decile follows from
-  // the rank by NTILE's closed form: the first n%10 tiles get
+  // computed distributed: split the sort-key domain into ranges at
+  // SAMPLED boundaries (one approxQuantile pass — the same sampling a
+  // distributed sort-rank's range partitioner does), rank locally per
+  // range, then add each range's exclusive prefix count (≤32 numbers,
+  // driver-side prefix sum). The range id is a deterministic
+  // EXPRESSION over the row (boundary literals baked into the plan),
+  // so the count pass and the rank pass agree by construction — no
+  // checkpoint materialization pinning the ranged dataset (round-2
+  // used repartitionByRange + localCheckpoint; the checkpoint wrote
+  // the whole projected table to executor storage). The decile follows
+  // from the rank by NTILE's closed form: the first n%10 tiles get
   // ⌈n/10⌉ rows, the rest ⌊n/10⌋.
   private def w04(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
-    val ranged = o.repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin the range assignment; both passes reuse it
+    val nRanges = 32
+    val probs = (1 until nRanges).map(_.toDouble / nRanges).toArray
+    // boundary ties all land in one range (price <= b), so equal-price
+    // rows never straddle a boundary and global order is preserved;
+    // relativeError trades only range-size balance, never correctness
+    val bounds = o.stat.approxQuantile("o_totalprice", probs, 0.001).distinct.sorted
+    val rangeId = bounds.zipWithIndex.foldRight(lit(bounds.length): org.apache.spark.sql.Column) {
+      case ((b, i), acc) => when(col("o_totalprice") <= lit(b), lit(i)).otherwise(acc)
+    }
+    val ranged = o.withColumn("pid", rangeId)
     val perPid = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nTotal = perPid.values.sum
