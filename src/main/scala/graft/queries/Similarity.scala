@@ -97,22 +97,29 @@ object Similarity extends QueryModule {
 
   // s03: IVF approximate top-k — assign vectors to their label
   // centroid (the coarse quantizer), probe the 2 centroids nearest the
-  // query, exact-score only those buckets. Rows-only: approximation
-  // contract (recall vs s01) is asserted in the ScalaTest suite.
+  // query, exact-score only those buckets. The quantizer runs through
+  // the SAME fused scaled-long aggregate as s02 (integer element sums
+  // — order-independent, so the centroid means are bit-identical to
+  // the oracle's; a float avg() would make probe selection depend on
+  // partial-sum order and break the hash match). One shuffle of
+  // 10 labels × array<long>[64]; probes and the query vector broadcast
+  // to the bucket-pruned rescore. Recall contract vs s01 is asserted
+  // in the ScalaTest suite; result set is DuckDB-oracle exact.
   private def s03(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).select(col("vec_id"), col("label"), col("embedding")).cache()
-    // coarse quantizer: per-label element-wise mean (collect 10×64 to
-    // the driver — the quantizer is tiny and broadcast, as in IVF)
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("label").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), expr("transform(pm, t -> t.m)").as("cv"))
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val probes = cent.crossJoin(broadcast(q))
+    val e = emb(s, d).select(col("vec_id"), col("label").cast(LongType).as("label"),
+      col("embedding")).cache()
+    val cent = e.groupBy(col("label"))
+      .agg(graft.functions.GraftFunctions.vectorScaledSum(col("embedding"), Dims, 9)
+        .as("sums"), count(lit(1)).as("n_vecs"))
+      .select(col("label"),
+        expr("transform(sums, t -> (cast(t as double) / 1e9) / n_vecs)").as("cv"))
+    val qd = e.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("qv"))
+    val probes = cent.crossJoin(broadcast(qd))
       .select(col("label"), cosineSimilarity(col("cv"), col("qv")).as("cc"))
-      .orderBy(desc("cc")).limit(2)
+      .orderBy(desc("cc"), col("label")).limit(2)
       .select(col("label"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.join(broadcast(probes), "label")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -122,6 +129,33 @@ object Similarity extends QueryModule {
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
+
+  private val s03Sql =
+    """WITH ex AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i,
+      |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS sl,
+      |    COUNT(*) AS n
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label, list((CAST(sl AS DOUBLE) / 1e9) / n ORDER BY i) AS cv
+      |  FROM ex GROUP BY label),
+      |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |      FROM embeddings WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT label FROM cent, q
+      |  ORDER BY list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i]))
+      |    / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC, label
+      |  LIMIT 2)
+      |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, CAST(CAST(ROUND(
+      |    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+      |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(q.qv, x -> x * x))))
+      |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+      |FROM embeddings e, probes p, q
+      |WHERE CAST(e.label AS BIGINT) = p.label AND e.vec_id <> 0
+      |ORDER BY 3 DESC, 1 LIMIT 10""".stripMargin
 
   // s04: int8 embedding quantization — the 4× storage/scan-IO
   // reduction a 100 TB embedding store runs on. Per-vector symmetric
@@ -177,5 +211,6 @@ object Similarity extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
     "s02_centroid_norms" -> s02Sql,
+    "s03_ivf_ann_topk" -> s03Sql,
     "s04_int8_quant_topk" -> s04Sql)
 }
