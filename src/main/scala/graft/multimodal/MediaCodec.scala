@@ -108,7 +108,226 @@ object MediaCodec {
     else None
   }
 
+  // ---- pixel-level decode (pure JDK: Inflater + published layouts) ----
+
+  /** Row-major, channel-interleaved RGB, one Int 0..255 per channel. */
+  final case class PixelImage(width: Int, height: Int, rgb: Array[Int])
+
+  /** Full PNG pixel decode — public spec (RFC 2083 / ISO 15948), pure
+    * JDK: concatenated IDAT chunks inflate with `java.util.zip.
+    * Inflater`, then per-scanline unfilter (None/Sub/Up/Average/Paeth)
+    * and color-type expansion to RGB. Supported: bit depth 8, color
+    * types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    * non-interlaced. Anything else → None (falls back to the declared
+    * pseudo path — honest, not wrong). */
+  def decodePngPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (png(b).isEmpty) return None
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    if (width <= 0 || height <= 0 || width.toLong * height > 64_000_000L) return None
+    val bitDepth = u8(b, 24)
+    val colorType = u8(b, 25)
+    val interlace = u8(b, 28)
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    // walk chunks for IDAT (concatenate) and PLTE
+    val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
+    // inflate the filtered scanline stream: height rows of
+    // 1 filter byte + width*channels sample bytes
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place into recon (bpp = channels at bit depth 8)
+    val recon = new Array[Int](height * stride)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (1 + stride)) & 0xFF
+      val rowOff = y * (1 + stride) + 1
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowOff + x) & 0xFF
+        val a = if (x >= bpp) recon(y * stride + x - bpp) else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) else 0
+        val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 => // Paeth
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+          case _ => return None
+        }
+        recon(y * stride + x) = (v + pred) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    // expand to RGB
+    val rgb = new Array[Int](width * height * 3)
+    var p = 0
+    var s = 0
+    val nPix = width * height
+    var k = 0
+    while (k < nPix) {
+      colorType match {
+        case 0 => val g = recon(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 1
+        case 2 => rgb(p) = recon(s); rgb(p + 1) = recon(s + 1); rgb(p + 2) = recon(s + 2); s += 3
+        case 3 =>
+          val idx = recon(s) * 3
+          if (idx + 2 >= plte.length) return None
+          rgb(p) = plte(idx) & 0xFF; rgb(p + 1) = plte(idx + 1) & 0xFF
+          rgb(p + 2) = plte(idx + 2) & 0xFF; s += 1
+        case 4 => val g = recon(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 2
+        case 6 => rgb(p) = recon(s); rgb(p + 1) = recon(s + 1); rgb(p + 2) = recon(s + 2); s += 4
+      }
+      p += 3
+      k += 1
+    }
+    Some(PixelImage(width, height, rgb))
+  }
+
+  /** BMP 24-bpp uncompressed pixel decode: BGR samples, rows padded to
+    * 4 bytes, bottom-up unless height is negative (top-down). */
+  def decodeBmpPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (bmp(b).isEmpty || le32(b, 14) < 40) return None
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val rawH = le32(b, 22)
+    val height = math.abs(rawH)
+    val bits = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bits != 24 || compression != 0 || width <= 0 || height == 0) return None
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOff + rowBytes.toLong * height > b.length) return None
+    val rgb = new Array[Int](width * height * 3)
+    var y = 0
+    while (y < height) {
+      // row 0 of the file is the BOTTOM image row when height > 0
+      val imgY = if (rawH > 0) height - 1 - y else y
+      val src = dataOff + y * rowBytes
+      var x = 0
+      while (x < width) {
+        val p = (imgY * width + x) * 3
+        rgb(p) = b(src + x * 3 + 2) & 0xFF     // R
+        rgb(p + 1) = b(src + x * 3 + 1) & 0xFF // G
+        rgb(p + 2) = b(src + x * 3) & 0xFF     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(width, height, rgb))
+  }
+
   // ---- deterministic VALID container builders (test-data side) ----
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                       body: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(body.length).array()
+    out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb)
+    crc.update(body)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** Minimal valid 8-bit RGB non-interlaced PNG; pixel bytes from
+    * `payload` cyclically. Each row's filter type cycles 0..4, and the
+    * encoder APPLIES the filter (raw = sample − predictor mod 256), so
+    * a round-trip through [[decodePngPixels]] exercises every
+    * unfilter branch, not just None. */
+  def buildPng(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val stride = width * 3
+    val bpp = 3
+    val pix = new Array[Int](height * stride)
+    var i = 0
+    while (i < pix.length) {
+      pix(i) = if (payload.nonEmpty) payload(i % payload.length) & 0xFF else 0
+      i += 1
+    }
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val filter = y % 5
+      raw(y * (1 + stride)) = filter.toByte
+      var x = 0
+      while (x < stride) {
+        val v = pix(y * stride + x)
+        val a = if (x >= bpp) pix(y * stride + x - bpp) else 0
+        val up = if (y > 0) pix((y - 1) * stride + x) else 0
+        val c = if (x >= bpp && y > 0) pix((y - 1) * stride + x - bpp) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(y * (1 + stride) + 1 + x) = ((v - pred) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw)
+    def_.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) comp.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
 
   /** Minimal valid 24-bpp BMP of the given size; pixel bytes are taken
     * from `payload` cyclically (rows padded to 4-byte boundaries). */

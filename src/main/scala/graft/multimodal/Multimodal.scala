@@ -40,7 +40,12 @@ object Multimodal {
       height: Int,
       duration_ms: Int,      // audio: real (data bytes / byte rate); video: pseudo
       byte_histogram: Array[Double],  // 16-bin normalized histogram
-      content_hash: Long)
+      content_hash: Long,
+      mean_r: Double,        // REAL pixel statistics (png/bmp decode);
+      mean_g: Double,        // 0.0 + pixels_real=false on the pseudo
+      mean_b: Double,        // path (jpeg/gif entropy coding needs a
+      mean_luma: Double,     // codec lib; video has no MP4 parser here)
+      pixels_real: Boolean)
 
   /** STUB pixel-level decoder — deterministic pseudo-features for
     * payloads whose container we can't parse (video: no MP4 box parser
@@ -55,8 +60,23 @@ object Multimodal {
         height = if (r.kind != "audio") (w * 3) / 4 else 0,
         duration_ms = if (r.kind != "image") 1000 + (math.abs(h % 59000)).toInt else 0,
         byte_histogram = hist,
-        content_hash = h)
+        content_hash = h,
+        mean_r = 0.0, mean_g = 0.0, mean_b = 0.0, mean_luma = 0.0,
+        pixels_real = false)
     }
+  }
+
+  /** Mean R/G/B and Rec.601 luma over decoded pixels. */
+  private def pixelStats(img: MediaCodec.PixelImage): (Double, Double, Double, Double) = {
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    val n = img.width.toLong * img.height
+    var i = 0
+    while (i < img.rgb.length) {
+      sr += img.rgb(i); sg += img.rgb(i + 1); sb += img.rgb(i + 2)
+      i += 3
+    }
+    val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+    (mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
   }
 
   private def histAndHash(bytes: Array[Byte]): (Array[Double], Long) = {
@@ -83,15 +103,26 @@ object Multimodal {
     case "image" => MediaCodec.sniffImage(r.content) match {
       case Some(img) =>
         val (hist, h) = histAndHash(r.content)
+        // REAL pixel decode where the container is fully parseable
+        // pure-JDK: PNG (Inflater + unfilter) and uncompressed BMP;
+        // jpeg/gif stay header-only (entropy decode needs a codec lib)
+        val pix = img.format match {
+          case "png" => MediaCodec.decodePngPixels(r.content)
+          case "bmp" => MediaCodec.decodeBmpPixels(r.content)
+          case _ => None
+        }
+        val (mr, mg, mb, ml) = pix.map(pixelStats).getOrElse((0.0, 0.0, 0.0, 0.0))
         MediaFeatures(r.media_id, r.kind, img.format, r.content.length,
-          img.width, img.height, 0, hist, h)
+          img.width, img.height, 0, hist, h,
+          mr, mg, mb, ml, pixels_real = pix.isDefined)
       case None => FakeCodec.decode(r)
     }
     case "audio" => MediaCodec.sniffWav(r.content) match {
       case Some(a) =>
         val (hist, h) = histAndHash(r.content)
         MediaFeatures(r.media_id, r.kind, a.format, r.content.length,
-          0, 0, a.durationMs, hist, h)
+          0, 0, a.durationMs, hist, h,
+          0.0, 0.0, 0.0, 0.0, pixels_real = false)
       case None => FakeCodec.decode(r)
     }
     case _ => FakeCodec.decode(r)
@@ -114,10 +145,11 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic media table from the documents table
-    * (no binary test data exists): REAL containers — a valid 24-bpp
-    * BMP per image record, a valid 8-bit PCM WAV per audio record
-    * (payload bytes from the text) — and raw bytes for video (the
-    * pseudo-decode path). */
+    * (no binary test data exists): REAL containers — image records
+    * alternate between a valid 8-bit RGB PNG ((doc_id/3) even) and a
+    * valid 24-bpp BMP ((doc_id/3) odd), audio records are valid 8-bit
+    * PCM WAVs (payload bytes from the text) — and raw bytes for video
+    * (the pseudo-decode path). */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")
@@ -126,8 +158,11 @@ object Multimodal {
       .map { case (id, text, src) =>
         val payload = text.getBytes("UTF-8")
         (id % 3) match {
-          case 0 => MediaRecord(id, "image",
-            MediaCodec.buildBmp(16 + (id % 32).toInt, 12 + (id % 24).toInt, payload), src)
+          case 0 =>
+            val (w, h) = (16 + (id % 32).toInt, 12 + (id % 24).toInt)
+            MediaRecord(id, "image",
+              if ((id / 3) % 2 == 0) MediaCodec.buildPng(w, h, payload)
+              else MediaCodec.buildBmp(w, h, payload), src)
           case 1 => MediaRecord(id, "audio",
             MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)
           case _ => MediaRecord(id, "video", payload, src)
@@ -135,20 +170,23 @@ object Multimodal {
       }
   }
 
-  /** Per-modality feature aggregate (rows-only query). */
+  /** Per-(modality, container) feature aggregate (rows-only query) —
+    * pixel statistics are REAL for the png/bmp rows (pixels_real). */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = extractFeatures(
       syntheticMedia(spark, sfDir).repartition(8, col("kind")))
     feats.toDF()
-      .groupBy(col("kind"))
+      .groupBy(col("kind"), col("format"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(when(col("format") =!= "unknown", 1L).otherwise(0L)).as("n_sniffed"),
+        sum(when(col("pixels_real"), 1L).otherwise(0L)).as("n_pixels_real"),
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("width")), 3).as("avg_width"),
         round(avg(col("duration_ms")), 3).as("avg_duration_ms"),
+        round(avg(when(col("pixels_real"), col("mean_luma"))), 3).as("avg_luma"),
         round(avg(expr("byte_histogram[0]")), 6).as("avg_hist_bin0"),
         countDistinct(col("content_hash")).as("n_distinct"))
-      .orderBy("kind")
+      .orderBy("kind", "format")
   }
 }

@@ -25,7 +25,12 @@ object MiscQueries extends QueryModule {
     val feats = graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.syntheticMedia(s, d)
         .repartition(8, org.apache.spark.sql.functions.col("kind"))).toDF()
-    feats.filter(col("kind") =!= "video") // video is the declared pseudo path
+    // the SNIFFED container gates the subset: only bmp/wav sizes have
+    // closed-form construction formulas the oracle can restate (png
+    // payloads deflate — no closed form); selecting on the parsed
+    // format (not the id rule) means a sniffing regression breaks the
+    // row set, not just the aggregates
+    feats.filter(col("format").isin("bmp", "wav"))
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
@@ -37,9 +42,11 @@ object MiscQueries extends QueryModule {
   }
 
   // Construction formulas (Multimodal.syntheticMedia + MediaCodec
-  // builders): image = BMP(16+id%32, 12+id%24), 54-byte header +
-  // 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz, 2000+(id%6000)*8
-  // samples), 44-byte header, duration = samples/8 ms exactly.
+  // builders): image = BMP(16+id%32, 12+id%24) for (id/3) odd (PNG
+  // images, (id/3) even, deflate — no closed-form size, excluded),
+  // 54-byte header + 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz,
+  // 2000+(id%6000)*8 samples), 44-byte header, duration = samples/8 ms
+  // exactly.
   private val m02Sql =
     s"""WITH m AS (
        |  SELECT doc_id,
@@ -50,7 +57,8 @@ object MiscQueries extends QueryModule {
        |    CASE WHEN doc_id % 3 = 0
        |         THEN 54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (12 + doc_id % 24)
        |         ELSE 44 + 2000 + (doc_id % 6000) * 8 END AS n_bytes
-       |  FROM documents WHERE doc_id % 3 < 2)
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1))
        |SELECT kind, COUNT(*) AS n_media,
        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        |  ${fixedDecSql(rhuSql("CAST(SUM(width) AS BIGINT)", "COUNT(*)", 1000000L), 6)} AS avg_width,
