@@ -55,7 +55,10 @@ def canon(tbl):
             return "<NULL>"
         if isinstance(v, float):
             if v != v:
-                return "<NULL>"
+                # distinct token: a Spark-side NaN must NOT silently
+                # match an oracle-side NULL (stricter than the driver
+                # can be is safe; conflating hides a real divergence)
+                return "<NaN>"
             return repr(v)  # float repr: 94201.0
         return str(v)  # Decimal str keeps scale: 94201.00 → must not appear
 
