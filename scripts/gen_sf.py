@@ -10,7 +10,25 @@ preserved; dimensions (region/nation) are shared. Timestamps are left
 as-is: time-bucketed queries see 10x density, which is exactly the
 data-bound behavior being measured.
 
-Usage: python3 scripts/gen_sf.py <srcDir> <dstDir> <reps>
+Usage: python3 scripts/gen_sf.py <srcDir> <dstDir> <reps> [salt] [onlyTablesCsv]
+
+Plain replication makes every document/embedding an exact N-fold
+duplicate cluster, so pair-reporting near-dup queries (d02/d06) see
+output quadratic in the replication factor — an artifact of the
+synthetic scaling, not of the engine. `salt` mode keeps those corpora
+near-dup-honest while scaling:
+  - documents: each replica i > 0 appends 8 distinct replica-specific
+    salt tokens, so cross-replica copies of the same text fall to
+    3-shingle Jaccard ≈ |S|/(|S|+12) < 0.9 while planted within-replica
+    near-dup pairs share the salt shingles and stay ≥ 0.9 — cluster
+    sizes stay constant as N grows;
+  - embeddings: each replica i applies a deterministic ±1 sign pattern
+    (bit (d-1) mod 10 of i flips dimension d) — an orthogonal diagonal
+    map, so within-replica geometry (and the planted cos ≥ 0.99 pairs)
+    is preserved EXACTLY while cross-replica copies decorrelate to
+    cos ≈ 0.8 ≪ 0.99.
+`onlyTablesCsv` regenerates a subset (link the rest from an unsalted
+dir to avoid rewriting the 18 GB lineitem).
 """
 import os
 import sys
@@ -18,8 +36,12 @@ import sys
 import duckdb
 
 src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+SALT = len(sys.argv) > 4 and sys.argv[4] == "salt"
+ONLY = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
+# 1000-rep UNION ALL chains exceed the default parser depth
+con.execute("SET max_expression_depth TO 25000")
 
 
 def stride(table, key):
@@ -54,10 +76,33 @@ PLANS = {
     "embeddings": f"vec_id + {{i}}*{V} AS vec_id, embedding, label",
 }
 
+def salted_plan(table, i):
+    """Replica-i column list for the salted near-dup-honest corpora."""
+    if table == "documents":
+        if i == 0:
+            return PLANS["documents"].format(i=i)
+        toks = " ".join(f"zqs{i}t{j}" for j in range(8))
+        return (f"doc_id + {i}*{D} AS doc_id, text || ' {toks}' AS text, "
+                "lang, source, n_chars")
+    if table == "embeddings":
+        if i == 0:
+            return PLANS["embeddings"].format(i=i)
+        sign = (f"list_transform(range(1, 65), d -> CAST(embedding[d] * "
+                f"(CASE WHEN (({i} >> ((d - 1) % 10)) & 1) = 1 THEN -1 ELSE 1 END) "
+                f"AS REAL))")
+        return f"vec_id + {i}*{V} AS vec_id, {sign} AS embedding, label"
+    return PLANS[table].format(i=i)
+
+
 for table, plan in PLANS.items():
+    if ONLY is not None and table not in ONLY:
+        continue
     srcp = f"read_parquet('{src}/{table}.parquet')"
     if plan is None:
         sql = f"SELECT * FROM {srcp}"
+    elif SALT and table in ("documents", "embeddings"):
+        sql = " UNION ALL ".join(
+            f"SELECT {salted_plan(table, i)} FROM {srcp}" for i in range(reps))
     else:
         sql = " UNION ALL ".join(
             f"SELECT {plan.format(i=i)} FROM {srcp}" for i in range(reps))

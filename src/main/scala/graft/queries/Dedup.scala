@@ -186,9 +186,23 @@ object Dedup extends QueryModule {
   // unioned with a deterministic perturbation of itself (element 1
   // shifted by +0.02 → cos ≈ 0.9998 to its source, background ≤ 0.51),
   // so every vec has exactly one planted near-dup. Spark path:
-  // sign-LSH banding (16 bands × 16 bits; miss ≈ 6e-17 at cos 0.9998)
-  // + exact-cosine verify of candidates only — linear, one band-join
-  // shuffle. Oracle states the quadratic all-pairs semantics.
+  // sign-LSH banding + exact-cosine verify of candidates only — one
+  // band-join shuffle. Oracle states the quadratic all-pairs
+  // semantics.
+  //
+  // Band width ADAPTS to corpus size — the part fixed-parameter LSH
+  // gets wrong at scale: with 16-bit bands, random same-bucket
+  // collisions are N²/2¹⁶ per band, which saturates around 10⁶
+  // vectors (measured: 2 M + 2 M perturbed vectors → ~30 vectors per
+  // bucket → the verify stage went quadratic, 372 s at sf100).
+  // Above 500 k vectors the bands widen to 24 bits (collision rate
+  // ÷256). Recall cost at the contract threshold cos = 0.99
+  // (P[bit agrees] = 1 − θ/π = 0.955): per-pair miss rises from
+  // (1−.955¹⁶)¹⁶ ≈ 3e-5 to (1−.955²⁴)¹⁶ ≈ 1.7e-3 — the standard ANN
+  // recall trade, stated not silent; at the planted cos 0.9998
+  // (p = 0.9936) both settings miss < 1e-13. The oracle-checked SFs
+  // (≤ sf0.1, 4 k corpus) stay at 16 bits → result-set equality with
+  // the quadratic oracle is unchanged.
   // far above any realistic vec_id (BIGINT) — a small offset would
   // collide with real ids once the corpus exceeds it
   private val NDupOffset = 1L << 40
@@ -202,11 +216,13 @@ object Dedup extends QueryModule {
       concat(array(element_at(col("v"), 1) + lit(0.02d)),
         slice(col("v"), 2, 63)).as("v"))
     val corpus = base.unionByName(pert)
-    val planes = graft.operators.SignLsh.hyperplanes(64, nBands = 16, bitsPerBand = 16,
+    val corpusVecs = 2L * Tables.load(s, d, "embeddings").count()
+    val bitsPerBand = if (corpusVecs > 500000L) 24 else 16
+    val planes = graft.operators.SignLsh.hyperplanes(64, nBands = 16, bitsPerBand = bitsPerBand,
       seed = 0x5eed5L)
     val bands = corpus
       .select(col("vec_id"),
-        posexplode(graft.operators.SignLsh.bandValues(col("v"), planes, 16, 16))
+        posexplode(graft.operators.SignLsh.bandValues(col("v"), planes, 16, bitsPerBand))
           .as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

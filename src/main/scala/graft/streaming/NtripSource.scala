@@ -26,14 +26,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * ```
   *
   * One driver-side reader thread per mountpoint drains an NtripClient
-  * (chunked/raw body reads) into an in-memory buffer; offsets are the
+  * (chunked/raw body reads) into a BOUNDED in-memory buffer
+  * (`maxBufferedChunks`; readers block when full, pushing
+  * backpressure to the caster via TCP flow control); offsets are the
   * global count of buffered chunks and micro-batches read buffer
   * slices — the same driver-buffered design as Spark's own socket
   * source, with the same delivery caveat: a live TCP byte stream is
   * not replayable, so this source is at-least-once across driver
-  * restarts (the reference's ingest makes the identical trade; replay
-  * from a durable log lands via files/Kafka instead and reuses the
-  * rest of the pipeline unchanged).
+  * restarts (the reference's ingest makes the identical trade; the
+  * restart rebase below guarantees no post-restart live chunk is
+  * dropped). For exactly-once, interpose [[NtripDurableLog]]: the
+  * client drains to rolled files and Spark's file streaming source
+  * replays them, with the rest of the pipeline unchanged.
+  *
+  * Options: `host`, `port`, `mountpoints` (csv), `user`/`passwd`,
+  * `tls` (SSLSocketFactory; https casters), `nmeaGga` (VRS
+  * mountpoints), `maxChunksPerTrigger` (admission control),
+  * `maxBufferedChunks` (driver-heap bound, default 65536).
   */
 class NtripSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
