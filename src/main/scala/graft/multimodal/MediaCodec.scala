@@ -140,7 +140,9 @@ object MediaCodec {
     var done = false
     while (!done && i + 8 <= b.length) {
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) return None
+      // long arithmetic: a corrupt 2 GB-ish declared length must fail
+      // this check, not overflow past it into an uncaught AIOOBE
+      if (len < 0 || i.toLong + 12 + len > b.length) return None
       val typ = new String(b, i + 4, 4, "US-ASCII")
       typ match {
         case "IDAT" => idat.write(b, i + 8, len)
@@ -231,8 +233,12 @@ object MediaCodec {
     val bits = le16(b, 28)
     val compression = le32(b, 30)
     if (bits != 24 || compression != 0 || width <= 0 || height == 0) return None
-    val rowBytes = (width * 3 + 3) & ~3
-    if (dataOff + rowBytes.toLong * height > b.length) return None
+    // overflow guards mirroring the PNG cap: corrupt huge/negative
+    // header fields must return None, not wrap Int math past the
+    // bounds check and crash the task mid-extraction
+    if (dataOff < 54 || width.toLong * height > 64_000_000L) return None
+    val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
+    if (dataOff.toLong + rowBytes.toLong * height > b.length) return None
     val rgb = new Array[Int](width * height * 3)
     var y = 0
     while (y < height) {

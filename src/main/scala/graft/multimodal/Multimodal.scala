@@ -106,11 +106,16 @@ object Multimodal {
         // REAL pixel decode where the container is fully parseable
         // pure-JDK: PNG (Inflater + unfilter) and uncompressed BMP;
         // jpeg/gif stay header-only (entropy decode needs a codec lib)
-        val pix = img.format match {
-          case "png" => MediaCodec.decodePngPixels(r.content)
-          case "bmp" => MediaCodec.decodeBmpPixels(r.content)
-          case _ => None
-        }
+        // a corrupt container must degrade to the pseudo path, never
+        // kill the task — the decoders guard their bounds, this is the
+        // last line of defense for the ones they miss
+        val pix = try {
+          img.format match {
+            case "png" => MediaCodec.decodePngPixels(r.content)
+            case "bmp" => MediaCodec.decodeBmpPixels(r.content)
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
         val (mr, mg, mb, ml) = pix.map(pixelStats).getOrElse((0.0, 0.0, 0.0, 0.0))
         MediaFeatures(r.media_id, r.kind, img.format, r.content.length,
           img.width, img.height, 0, hist, h,

@@ -27,9 +27,10 @@ import javax.net.ssl.SSLContext
   *    [[openStream]];
   *  - an optional NMEA GGA sentence rides in the stream request for
   *    VRS/network mountpoints (ntripclient.py:152-155,166 — the
-  *    reference stores it as bytes and concatenates into an str
-  *    header, a latent TypeError; the intent, realized here, is the
-  *    sentence as its own CRLF-terminated line after the auth header);
+  *    reference concatenates the bare sentence into the header block,
+  *    which is both a latent str+bytes TypeError and malformed
+  *    HTTP/1.1; here it is carried as an `Ntrip-GGA:` header, the
+  *    NTRIP 2.0 form a strict caster accepts);
   *  - `https`/`ntrips` casters get TLS: the reference opens the
   *    connection with `ssl=True` when the URL scheme is https
   *    (ntripclient.py:64-67); here that is an `SSLSocketFactory`
@@ -72,6 +73,17 @@ final class NtripClient(
     socket =
       if (tls) sslContext.getOrElse(SSLContext.getDefault).getSocketFactory.createSocket()
       else new Socket()
+    socket match {
+      case ssl: javax.net.ssl.SSLSocket =>
+        // hostname verification: without an endpoint identification
+        // algorithm JSSE accepts ANY CA-valid certificate, MITM
+        // included; the reference's ssl=True asyncio path verifies the
+        // hostname by default, so must this one
+        val params = ssl.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(params)
+      case _ => ()
+    }
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     socket.setSoTimeout(readTimeoutMs)
     in = new BufferedInputStream(socket.getInputStream)
@@ -91,10 +103,15 @@ final class NtripClient(
       .getOrElse("")
 
   /** Client request: `GET <path>` for streams and the sourcetable
-    * alike (ntripclient.py:107,160). */
+    * alike (ntripclient.py:107,160). The NMEA GGA sentence rides in an
+    * `Ntrip-GGA:` header — NTRIP 2.0 is plain HTTP/1.1, and a bare
+    * sentence inside the header block (the reference's literal
+    * concatenation, ntripclient.py:166, which is also a latent
+    * str+bytes TypeError there) is malformed HTTP that a strict
+    * caster rejects with 400. */
   private def requestHeader(path: String, user: Option[String], passwd: Option[String],
                             ntripVersion: Int, nmeaGga: Option[String]): Array[Byte] = {
-    val nmea = nmeaGga.map(_ + "\r\n").getOrElse("")
+    val nmea = nmeaGga.map("Ntrip-GGA: " + _ + "\r\n").getOrElse("")
     (s"GET $path HTTP/1.1\r\n" +
       s"Host: $host:$port\r\n" +
       s"Ntrip-Version: Ntrip/$ntripVersion.0\r\n" +

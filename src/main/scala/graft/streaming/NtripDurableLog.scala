@@ -39,6 +39,21 @@ object NtripDurableLog {
     StructField("seq", LongType, nullable = false),
     StructField("data", StringType, nullable = false)))
 
+  /** JSON string escape for the mountPoint field (a caster-supplied
+    * name can contain quotes/backslashes/control chars; an unescaped
+    * one corrupts the log line and kills the replay query on a
+    * non-nullable null). */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Filesystem/regex-safe file-name prefix for a mountpoint. */
+  private def fileSafe(mountPoint: String): String =
+    mountPoint.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+
   /** Drain the client's open stream into rolled log files under `dir`.
     * Returns the number of chunks written; `startSeq` continues a
     * previous writer incarnation's numbering (the writer's own
@@ -49,16 +64,18 @@ object NtripDurableLog {
             startSeq: Long = 0L, maxChunks: Long = Long.MaxValue): Long = {
     Files.createDirectories(dir)
     val b64 = Base64.getEncoder
+    val mp = jsonEscape(mountPoint)
+    val fp = fileSafe(mountPoint)
     var seq = startSeq
     val batch = new StringBuilder
     var inBatch = 0
     def flush(): Unit = if (inBatch > 0) {
-      val tmp = dir.resolve(f".tmp-$mountPoint-$seq%012d")
+      val tmp = dir.resolve(f".tmp-$fp-$seq%012d")
       Files.write(tmp, batch.toString.getBytes(UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       // the first seq of the file names it → lexicographic order =
       // arrival order, and a restarted writer can resume numbering
-      val fin = dir.resolve(f"$mountPoint-${seq - inBatch}%012d.json")
+      val fin = dir.resolve(f"$fp-${seq - inBatch}%012d.json")
       Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
       batch.clear()
       inBatch = 0
@@ -66,7 +83,7 @@ object NtripDurableLog {
     var chunk = if (seq - startSeq >= maxChunks) None else client.readChunk()
     while (chunk.isDefined) {
       val data = b64.encodeToString(chunk.get)
-      batch.append(s"""{"mountPoint":"$mountPoint","receiveMicros":${nowMicros()},"seq":$seq,"data":"$data"}""")
+      batch.append(s"""{"mountPoint":"$mp","receiveMicros":${nowMicros()},"seq":$seq,"data":"$data"}""")
         .append('\n')
       seq += 1
       inBatch += 1
@@ -82,13 +99,18 @@ object NtripDurableLog {
     * file names (cheap) plus the last file's line count. */
   def nextSeq(dir: Path, mountPoint: String): Long = {
     if (!Files.isDirectory(dir)) return 0L
-    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
-      .filter(_.getFileName.toString.matches(s"$mountPoint-\\d{12}\\.json"))
-      .sortBy(_.getFileName.toString)
+    val fp = fileSafe(mountPoint)
+    val listing = Files.list(dir)
+    val files =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString
+          .matches(java.util.regex.Pattern.quote(fp) + "-\\d{12}\\.json"))
+        .sortBy(_.getFileName.toString)
+      finally listing.close() // Files.list leaks a directory fd otherwise
     if (files.isEmpty) 0L
     else {
       val last = files.last
-      val base = last.getFileName.toString.stripPrefix(s"$mountPoint-")
+      val base = last.getFileName.toString.stripPrefix(s"$fp-")
         .stripSuffix(".json").toLong
       base + Files.readAllLines(last).size()
     }

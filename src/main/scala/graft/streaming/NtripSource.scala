@@ -103,19 +103,22 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
   private val buffer = new ArrayBuffer[(String, Long, Long, Array[Byte])]()
   private val stopped = new AtomicBoolean(false)
   private var committed = 0L // absolute offset of buffer.head
-  // After a driver restart the checkpointed start offset can exceed
-  // this fresh process's counter (committed=0): without a rebase,
+  // After a driver restart the checkpointed offsets can exceed this
+  // fresh process's counter (committed=0): without a rebase,
   // planInputPartitions clamps the recovered batch to empty and the
   // first commit(end) drops live chunks that were never planned into
   // any batch — silent at-most-once. Rebase once, on the first offset
-  // request, so live chunks map to offsets at/after the checkpointed
-  // watermark (see rebaseTo).
+  // request, so live chunks map to offsets AT/AFTER the checkpointed
+  // watermark. The watermark is the recovered batch's END (the commit
+  // that will follow): rebasing to its start would put chunks buffered
+  // during that batch's execution inside [start, end) — planned never,
+  // dropped by commit(end).
   private var rebased = false
 
-  private def rebaseTo(start: Long): Unit = buffer.synchronized {
+  private def rebaseTo(watermark: Long): Unit = buffer.synchronized {
     if (!rebased) {
       rebased = true
-      if (start > committed + buffer.length) committed = start
+      if (watermark > committed + buffer.length) committed = watermark
     }
   }
 
@@ -189,8 +192,9 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[NtripOffset].n
     val e = end.asInstanceOf[NtripOffset].n
     // recovery can replay a checkpointed batch before any latestOffset
-    // call — rebase here too so the first commit cannot drop live rows
-    rebaseTo(s)
+    // call — rebase here too (to the batch END: its commit is the
+    // watermark) so that commit cannot drop live rows
+    rebaseTo(e)
     val rows = buffer.synchronized {
       // clamp to what the buffer still holds: after a restart the
       // checkpointed range may predate this process's buffer (live TCP

@@ -197,7 +197,7 @@ class NtripClientSpec extends AnyFunSuite {
       assert(req.head == "GET /MNT0 HTTP/1.1", req.head)
       assert(req.exists(_ == "Ntrip-Version: Ntrip/2.0"), req.mkString("|"))
       assert(req.exists(_.startsWith("Authorization: Basic ")), req.mkString("|"))
-      assert(req.contains(gga), req.mkString("|"))
+      assert(req.contains(s"Ntrip-GGA: $gga"), req.mkString("|"))
       assert(req.exists(_.matches("Date: \\w{3}, \\d{2} \\w{3} \\d{4} \\d{2}:\\d{2}:\\d{2} GMT")),
         req.mkString("|"))
       c.close()
@@ -212,9 +212,12 @@ class NtripClientSpec extends AnyFunSuite {
 
     val dir = java.nio.file.Files.createTempDirectory("graft-tls")
     val ksPath = dir.resolve("caster.p12").toString
+    // SAN ip entry: the client enables HTTPS endpoint identification,
+    // which matches an IP peer against subjectAltName, not CN
     val genOk = Seq("keytool", "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
       "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksPath,
-      "-storepass", "changeit", "-dname", "CN=127.0.0.1", "-validity", "2").! == 0
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=ip:127.0.0.1", "-validity", "2").! == 0
     assert(genOk, "keytool self-signed keypair generation failed")
 
     val ks = KeyStore.getInstance("PKCS12")
@@ -355,10 +358,15 @@ class NtripClientSpec extends AnyFunSuite {
         while (stream.bufferedCount == 0 && System.currentTimeMillis() < deadline)
           Thread.sleep(25)
         assert(stream.bufferedCount > 0)
-        // driver restart: Spark hands the checkpointed watermark (500)
-        // to a process whose counter restarted at 0 — without the
-        // rebase the first commit would silently drop these chunks
-        val total = drainAll(stream, 500L, bodyBytes)
+        // driver restart: Spark first REPLAYS the pending checkpointed
+        // batch [500, 520) via planInputPartitions (no latestOffset
+        // yet), then commits its end — the rebase must anchor on the
+        // batch END or that commit drops the live chunks buffered here
+        val replayed = stream.planInputPartitions(NtripOffset(500L), NtripOffset(520L))
+          .flatMap(_.asInstanceOf[NtripInputPartition].rows)
+        assert(replayed.isEmpty, "pre-restart data cannot be replayed from a live socket")
+        stream.commit(NtripOffset(520L))
+        val total = drainAll(stream, 520L, bodyBytes)
         assert(total == bodyBytes, s"$total != $bodyBytes — live chunks were dropped")
       } finally stream.stop()
     } finally server.close()
