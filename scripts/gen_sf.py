@@ -76,14 +76,23 @@ PLANS = {
     "embeddings": f"vec_id + {{i}}*{V} AS vec_id, embedding, label",
 }
 
+if SALT and reps > 1024:
+    # the embedding sign patterns use 10 bits of the replica index:
+    # replicas i and i+1024 would share a pattern and be exact
+    # duplicates again — the quadratic blowup salt mode exists to avoid
+    sys.exit("salt mode supports at most 1024 reps (10-bit sign patterns)")
+
+
 def salted_plan(table, i):
     """Replica-i column list for the salted near-dup-honest corpora."""
     if table == "documents":
         if i == 0:
             return PLANS["documents"].format(i=i)
         toks = " ".join(f"zqs{i}t{j}" for j in range(8))
+        # n_chars tracks the appended salt, keeping the
+        # n_chars == length(text) invariant in the scaled corpus
         return (f"doc_id + {i}*{D} AS doc_id, text || ' {toks}' AS text, "
-                "lang, source, n_chars")
+                f"lang, source, n_chars + {1 + len(toks)} AS n_chars")
     if table == "embeddings":
         if i == 0:
             return PLANS["embeddings"].format(i=i)

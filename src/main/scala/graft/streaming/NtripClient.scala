@@ -111,7 +111,12 @@ final class NtripClient(
     * caster rejects with 400. */
   private def requestHeader(path: String, user: Option[String], passwd: Option[String],
                             ntripVersion: Int, nmeaGga: Option[String]): Array[Byte] = {
-    val nmea = nmeaGga.map("Ntrip-GGA: " + _ + "\r\n").getOrElse("")
+    // v2 casters take the header form; a 1.0 caster does not parse
+    // unknown headers, so for v1 the sentence stays a bare line (the
+    // pre-HTTP NTRIP 1.0 convention — and the reference's literal
+    // behavior)
+    val nmea = nmeaGga.map(g =>
+      if (ntripVersion >= 2) s"Ntrip-GGA: $g\r\n" else s"$g\r\n").getOrElse("")
     (s"GET $path HTTP/1.1\r\n" +
       s"Host: $host:$port\r\n" +
       s"Ntrip-Version: Ntrip/$ntripVersion.0\r\n" +

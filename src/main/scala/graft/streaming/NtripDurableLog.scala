@@ -50,9 +50,17 @@ object NtripDurableLog {
     case c => c.toString
   }
 
-  /** Filesystem/regex-safe file-name prefix for a mountpoint. */
-  private def fileSafe(mountPoint: String): String =
-    mountPoint.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+  /** Filesystem/regex-safe file-name prefix for a mountpoint. A hash
+    * suffix disambiguates names the sanitization would collide
+    * ("MNT/0" vs "MNT_0" must not share a file prefix — nextSeq would
+    * resume from the other stream's numbering and a same-seq flush
+    * would atomically overwrite its file). */
+  private def fileSafe(mountPoint: String): String = {
+    val safe = mountPoint.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+    if (safe == mountPoint) safe
+    else safe + "x" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(mountPoint))
+  }
 
   /** Drain the client's open stream into rolled log files under `dir`.
     * Returns the number of chunks written; `startSeq` continues a

@@ -118,7 +118,13 @@ private final class NtripMicroBatchStream(options: CaseInsensitiveStringMap)
   private def rebaseTo(watermark: Long): Unit = buffer.synchronized {
     if (!rebased) {
       rebased = true
-      if (watermark > committed + buffer.length) committed = watermark
+      // unconditional max: nothing has been planned yet, so moving
+      // buffer.head to the watermark is always safe — a conditional
+      // `watermark > committed + buffer.length` guard would SKIP the
+      // rebase when a fast caster already buffered past the watermark,
+      // and the recovered batch's commit would then drop never-planned
+      // live chunks
+      if (watermark > committed) committed = watermark
     }
   }
 

@@ -154,7 +154,7 @@ class MultimodalSpec extends AnyFunSuite {
       .getOrElse(fail("png did not decode"))
     assert(img.width == w && img.height == h)
     val expected = Array.tabulate(w * h * 3)(i => payload(i % payload.length) & 0xFF)
-    assert(img.rgb.toSeq == expected.toSeq)
+    assert(img.rgb.map(_ & 0xFF).toSeq == expected.toSeq)
   }
 
   test("PNG pixel decode: grayscale, palette, and RGBA color types") {
@@ -162,18 +162,18 @@ class MultimodalSpec extends AnyFunSuite {
     // gray 2×2 (type 0): values 10,20 / 30,40 → replicated to RGB
     val gray = pngFile(2, 2, 0, None,
       Array[Byte](0, 10, 20, 0, 30, 40))
-    assert(decodePngPixels(gray).map(_.rgb.toSeq).contains(
+    assert(decodePngPixels(gray).map(_.rgb.map(_ & 0xFF).toSeq).contains(
       Seq(10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40)))
     // palette 2×1 (type 3): PLTE [(255,0,0),(0,0,255)], indices 1,0
     val pal = pngFile(2, 1, 3,
       Some(Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)),
       Array[Byte](0, 1, 0))
-    assert(decodePngPixels(pal).map(_.rgb.toSeq).contains(
+    assert(decodePngPixels(pal).map(_.rgb.map(_ & 0xFF).toSeq).contains(
       Seq(0, 0, 255, 255, 0, 0)))
     // RGBA 1×2 (type 6): alpha dropped
     val rgba = pngFile(1, 2, 6, None,
       Array[Byte](0, 1, 2, 3, 99.toByte, 0, 4, 5, 6, 7))
-    assert(decodePngPixels(rgba).map(_.rgb.toSeq).contains(
+    assert(decodePngPixels(rgba).map(_.rgb.map(_ & 0xFF).toSeq).contains(
       Seq(1, 2, 3, 4, 5, 6)))
     // unsupported (16-bit depth) falls back to None, not garbage
     val deep = pngFile(1, 1, 2, None, Array[Byte](0, 0, 1, 0, 2, 0, 3))
@@ -198,7 +198,7 @@ class MultimodalSpec extends AnyFunSuite {
       val srcIdx = fileY * rowBytes + x * 3 + (2 - ch) // BGR → RGB
       payload(srcIdx % payload.length) & 0xFF
     }
-    assert(img.rgb.toSeq == expected)
+    assert(img.rgb.map(_ & 0xFF).toSeq == expected)
   }
 
   test("image records carry real mean-RGB/luma for png and bmp") {
