@@ -265,6 +265,162 @@ object MediaCodec {
     Some(PixelImage(width, height, rgb))
   }
 
+  /** GIF pixel decode (GIF87a/89a, public spec): first image frame,
+    * LZW-decompressed, palette-expanded to RGB. Handles global/local
+    * color tables, extension blocks, interlaced row order, and the
+    * full LZW code-table lifecycle (clear codes, width growth to 12
+    * bits). Corrupt streams → None. */
+  def decodeGifPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (gif(b).isEmpty || b.length < 13) return None
+    val flags = u8(b, 10)
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (i + n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+    }
+    // walk blocks to the first image descriptor
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1
+        case 0x2C =>
+          if (i + 10 > b.length) return None
+          val w = le16(b, i + 5)
+          val h = le16(b, i + 7)
+          val iflags = u8(b, i + 9)
+          if (w <= 0 || h <= 0 || w.toLong * h > 64_000_000L) return None
+          i += 10
+          var ct = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 3 * (1 << ((iflags & 7) + 1))
+            if (i + n > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, i, i + n)
+            i += n
+          }
+          if (ct == null) return None
+          val interlaced = (iflags & 0x40) != 0
+          return decodeGifLzw(b, i, w, h, ct, interlaced)
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** LZW decompression of one GIF image's data sub-blocks into
+    * palette indices, then RGB expansion. */
+  private def decodeGifLzw(b: Array[Byte], start: Int, w: Int, h: Int,
+                           ct: Array[Byte], interlaced: Boolean): Option[PixelImage] = {
+    if (start >= b.length) return None
+    val minCode = u8(b, start)
+    if (minCode < 2 || minCode > 11) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var i = start + 1
+    while (i < b.length && u8(b, i) != 0) {
+      val n = u8(b, i)
+      if (i + 1 + n > b.length) return None
+      data.write(b, i + 1, n)
+      i += 1 + n
+    }
+    val bytes = data.toByteArray
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // code table: prefix link + suffix byte per code, max 4096
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var width = minCode + 1
+    val nPix = w * h
+    val idx = new Array[Int](nPix)
+    var out = 0
+    var bitPos = 0
+    var prev = -1
+    val stack = new Array[Int](4097)
+    def readCode(): Int = {
+      if (bitPos + width > bytes.length * 8) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val bit = bitPos + k
+        if ((bytes(bit >> 3) >> (bit & 7) & 1) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    var done = false
+    while (!done && out < nPix) {
+      val code = readCode()
+      if (code < 0 || code == eoi) done = true
+      else if (code == clear) {
+        next = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else {
+        // expand `code` (or the prev+firstChar special case) via the
+        // prefix chain, emit reversed
+        if (code >= next && !(code == next && prev >= 0)) return None
+        var sp = 0
+        var c = code
+        if (c == next) { // KwKwK case: emit prev + first(prev)
+          c = prev
+          stack(sp) = -1 // placeholder, patched after first char known
+          sp += 1
+        }
+        while (c >= clear + 2) { // composite code
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        val first = c // a literal (< clear)
+        if (stack.nonEmpty && sp > 0 && stack(0) == -1) stack(0) = first
+        // emit first + reversed stack
+        if (out < nPix) { idx(out) = first; out += 1 }
+        var k = sp - 1
+        while (k >= 0 && out < nPix) { idx(out) = stack(k); out += 1; k -= 1 }
+        // grow the table
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next < 4096 && (next & (next - 1)) == 0 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (out < nPix) return None
+    // palette-expand, undoing interlace row order if set
+    val rgb = new Array[Byte](nPix * 3)
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else {
+        val order = new Array[Int](h)
+        var r = 0
+        for ((start0, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start0 until h by step) {
+          order(r) = y; r += 1
+        }
+        order
+      }
+    var row = 0
+    while (row < h) {
+      val imgY = rowOrder(row)
+      var x = 0
+      while (x < w) {
+        val pi = idx(row * w + x) * 3
+        if (pi + 2 >= ct.length) return None
+        val p = (imgY * w + x) * 3
+        rgb(p) = ct(pi); rgb(p + 1) = ct(pi + 1); rgb(p + 2) = ct(pi + 2)
+        x += 1
+      }
+      row += 1
+    }
+    Some(PixelImage(w, h, rgb))
+  }
+
   // ---- deterministic VALID container builders (test-data side) ----
 
   private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
@@ -359,6 +515,50 @@ object MediaCodec {
       i += 1
     }
     out.array()
+  }
+
+  /** Minimal valid GIF89a: 256-entry grayscale palette, pixel indices
+    * from `payload` cyclically. LZW body uses literal codes with a
+    * clear code every 254 symbols, so code width stays 9 bits — a
+    * valid stream any GIF decoder accepts (the classic
+    * "uncompressed GIF" technique). */
+  def buildGif(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16w(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16w(width); le16w(height)
+    out.write(0xF7) // GCT present, 256 entries
+    out.write(0); out.write(0)
+    var ci = 0
+    while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+    out.write(0x2C); le16w(0); le16w(0); le16w(width); le16w(height); out.write(0)
+    out.write(8) // LZW minimum code size
+    val body = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nacc = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nacc; nacc += 9
+      while (nacc >= 8) { body.write((acc & 0xFF).toInt); acc >>= 8; nacc -= 8 }
+    }
+    val nPix = width * height
+    putCode(256) // clear
+    var k = 0
+    while (k < nPix) {
+      if (k > 0 && k % 254 == 0) putCode(256)
+      putCode(if (payload.nonEmpty) payload(k % payload.length) & 0xFF else 0)
+      k += 1
+    }
+    putCode(257) // end of information
+    if (nacc > 0) body.write((acc & 0xFF).toInt)
+    val bb = body.toByteArray
+    var off = 0
+    while (off < bb.length) {
+      val n = math.min(255, bb.length - off)
+      out.write(n); out.write(bb, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
   }
 
   /** Minimal valid 8-bit mono PCM WAV; sample bytes from `payload`. */

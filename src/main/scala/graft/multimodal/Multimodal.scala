@@ -41,10 +41,10 @@ object Multimodal {
       duration_ms: Int,      // audio: real (data bytes / byte rate); video: pseudo
       byte_histogram: Array[Double],  // 16-bin normalized histogram
       content_hash: Long,
-      mean_r: Double,        // REAL pixel statistics (png/bmp decode);
-      mean_g: Double,        // 0.0 + pixels_real=false on the pseudo
-      mean_b: Double,        // path (jpeg/gif entropy coding needs a
-      mean_luma: Double,     // codec lib; video has no MP4 parser here)
+      mean_r: Double,        // REAL pixel statistics (png/bmp/gif
+      mean_g: Double,        // decode); 0.0 + pixels_real=false on the
+      mean_b: Double,        // pseudo path (jpeg DCT needs a codec
+      mean_luma: Double,     // lib; video has no MP4 parser here)
       pixels_real: Boolean)
 
   /** STUB pixel-level decoder — deterministic pseudo-features for
@@ -104,8 +104,9 @@ object Multimodal {
       case Some(img) =>
         val (hist, h) = histAndHash(r.content)
         // REAL pixel decode where the container is fully parseable
-        // pure-JDK: PNG (Inflater + unfilter) and uncompressed BMP;
-        // jpeg/gif stay header-only (entropy decode needs a codec lib)
+        // pure-JVM: PNG (Inflater + unfilter), uncompressed BMP, and
+        // GIF (LZW); jpeg stays header-only (DCT entropy decode needs
+        // a codec lib)
         // a corrupt container must degrade to the pseudo path, never
         // kill the task — the decoders guard their bounds, this is the
         // last line of defense for the ones they miss
@@ -113,6 +114,7 @@ object Multimodal {
           img.format match {
             case "png" => MediaCodec.decodePngPixels(r.content)
             case "bmp" => MediaCodec.decodeBmpPixels(r.content)
+            case "gif" => MediaCodec.decodeGifPixels(r.content)
             case _ => None
           }
         } catch { case scala.util.control.NonFatal(_) => None }

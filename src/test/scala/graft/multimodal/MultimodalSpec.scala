@@ -201,6 +201,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.rgb.map(_ & 0xFF).toSeq == expected)
   }
 
+  test("GIF pixel decode: LZW round-trip with clear codes, grayscale palette") {
+    import MediaCodec._
+    val payload = "lorem ipsum dolor sit amet, consectetur adipiscing elit".getBytes
+    val (w, h) = (23, 17) // 391 pixels → crosses a clear-code boundary
+    val img = decodeGifPixels(buildGif(w, h, payload))
+      .getOrElse(fail("gif did not decode"))
+    assert(img.width == w && img.height == h)
+    // grayscale palette: index i → (i, i, i)
+    val expected = (0 until w * h).flatMap { k =>
+      val v = payload(k % payload.length) & 0xFF
+      Seq(v, v, v)
+    }
+    assert(img.rgb.map(_ & 0xFF).toSeq == expected)
+    // sniffer + feature path agree
+    assert(sniffImage(buildGif(w, h, payload)).contains(ImageInfo("gif", w, h)))
+  }
+
+  test("GIF pixel decode: KwKwK (code == next) LZW case") {
+    import MediaCodec._
+    // hand-built 3×1 GIF, min code size 2: codes [clear=4, 0, 6, eoi=5]
+    // — 6 == next exercises the string(prev)+first(prev) special case;
+    // expected pixels: 0, 0, 0 (palette entry 0 = black)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Int](3, 0, 1, 0, 0xF1, 0, 0).map(_.toByte)) // LSD: 3×1, GCT 4 entries
+    out.write(Array[Int](10, 10, 10, 60, 60, 60, 110, 110, 110, 160, 160, 160).map(_.toByte))
+    out.write(Array[Int](0x2C, 0, 0, 0, 0, 3, 0, 1, 0, 0).map(_.toByte)) // descriptor
+    // min code 2; 3-bit codes 4,0,6,5 packed LSB-first = 0x84, 0x0B
+    out.write(Array[Int](2, 2, 0x84, 0x0B, 0, 0x3B).map(_.toByte))
+    val img = decodeGifPixels(out.toByteArray).getOrElse(fail("kwkwk gif did not decode"))
+    assert(img.width == 3 && img.height == 1)
+    assert(img.rgb.map(_ & 0xFF).toSeq == Seq(10, 10, 10, 10, 10, 10, 10, 10, 10))
+  }
+
   test("image records carry real mean-RGB/luma for png and bmp") {
     import spark.implicits._
     val df = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, sf)).toDF()
