@@ -107,6 +107,17 @@ object PlanAudit {
         "ObjectHashAggregate".r.findAllIn(s).size >= 2),
       "no window node" -> (s => !s.contains("Window")))
 
+    // a05 as-of: the hinted broadcast path must probe with the fact
+    // side untouched — no exchange/sort below the probe — and prune
+    // the events scan to the three used columns through the custom
+    // node (AsOfMergePruning + ColumnPruning in the same batch)
+    audit("a05_asof_join")(
+      "broadcast as-of probe" -> (_.contains("AsOfBroadcast")),
+      "no window/join fallback" -> (s =>
+        !s.contains("Window") && !s.contains("SortMergeJoin")),
+      "events scan pruned through as-of (no props/value)" -> (s =>
+        !s.contains("props") && !s.contains("value#")))
+
     // a USER-written window-form top-k (the w05 idiom spelled as
     // row_number + filter) must hit plans.TopKRewrite in the default
     // session — the extension is registered above, not per-test

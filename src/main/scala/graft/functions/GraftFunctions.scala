@@ -73,5 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // grouped-top-k plan rewrite (see plans.TopKRewrite for the
     // guarded applicability conditions)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // whole-operator as-of merge (operators.AsOfJoin also self-heals
+    // this into extraStrategies for extension-less sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
+    // column pruning THROUGH the merge node (same fixed-point batch
+    // as the built-in ColumnPruning, which then pushes the pruned
+    // projection into the scans)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfMergePruning)
   }
 }

@@ -1,8 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import graft.plans.{AsOfBroadcastLogical, AsOfMergeLogical, AsOfMergeStrategy}
+import org.apache.spark.network.util.JavaUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanDataFrame
+import org.apache.spark.sql.types.LongType
 
 /** As-of join: for each left row, attach the most recent right row
   * with `right.ts <= left.ts` (backward) within the same key — the
@@ -10,20 +15,37 @@ import org.apache.spark.sql.functions._
   * (e.g. pairing observations with the station's last reported
   * coordinates, or events with the last disconnect).
   *
-  * Spark-first composition (preference (a) of the custom-operator
-  * ladder — built-ins express this, so no custom SparkPlan): tag and
-  * union both sides, ONE shuffle on (key), in-partition sort by
-  * (ts, tag), then `last(right_payload, ignoreNulls)` over the
-  * running window carries the latest right payload forward onto each
-  * left row. No join explosion, no range-join quadratic blowup; state
-  * per partition is one row of carried payload.
+  * Composition: tag and union both sides declaratively, then hand the
+  * union to [[graft.plans.AsOfMergeExec]] — a whole-operator physical
+  * node (custom-operator ladder (c); the built-in expressions of the
+  * same semantics measured structurally slower, see the scaladoc
+  * there). ONE shuffle on (key), in-partition sort by (key, ts, tag),
+  * one forward merge pass. No join explosion, no range-join quadratic
+  * blowup; state per task is a single carried payload row.
   *
   * At 100 TB: identical shape to sessionization — shuffle bounded by
   * the key cardinality split, AQE handles skewed keys, and the sort
   * is the same per-partition sort a sort-merge join would need
-  * anyway.
+  * anyway. The merge is O(rows) time and O(1) memory per task.
   */
 object AsOfJoin {
+
+  /** Make [[AsOfMergeLogical]] plannable in `spark`'s session even if
+    * GraftExtensions wasn't installed: extraStrategies is the public
+    * per-session strategy hook, and adding the same object twice is
+    * harmless but avoided. */
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfMergeStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfMergeStrategy
+      // best-effort pruning for extension-less sessions too: in the
+      // post-hoc batch it still shrinks the shuffle/sort width (the
+      // scan-level pushdown needs the injectOptimizerRule path)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.AsOfMergePruning))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.AsOfMergePruning
+    }
 
   /** @param left       left (probe) rows
     * @param right      right (reference) rows
@@ -37,6 +59,88 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, payload: Seq[String],
                tolerance: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+
+    // Small right side → broadcast fast path (no shuffle, no sort of
+    // the left side). Chosen like Spark's broadcast joins: an explicit
+    // `broadcast(right)` hint wins; otherwise the optimizer's size
+    // estimate against spark.sql.autoBroadcastJoinThreshold (which is
+    // conservative — a filter over a big fact table keeps the table's
+    // estimate, so auto only fires for genuinely small relations).
+    val hinted = right.queryExecution.analyzed.exists {
+      case h: ResolvedHint => h.hints.strategy.contains(BROADCAST)
+      case _ => false
+    }
+    val rawThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold = // "-1" (plain long) disables; size suffixes allowed
+      scala.util.Try(rawThreshold.toLong)
+        .getOrElse(JavaUtils.byteStringAsBytes(rawThreshold.toLowerCase))
+    // stats only consulted when unhinted (optimizing the hinted plan
+    // here would make EliminateResolvedHint log a spurious warning)
+    def statsSmall = threshold > 0 &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    if (hinted || statsSmall)
+      broadcastBackward(left, right, key, leftTs, rightTs, payload, tolerance)
+    else
+      mergeBackward(left, right, key, leftTs, rightTs, payload, tolerance)
+  }
+
+  /** Broadcast path: per-key ts-sorted lookup of the right side,
+    * hash-probe + binary-search per left row. See AsOfBroadcastExec. */
+  private def broadcastBackward(left: DataFrame, right: DataFrame, key: String,
+                                leftTs: String, rightTs: String, payload: Seq[String],
+                                tolerance: Option[Long]): DataFrame = {
+    val spark = left.sparkSession
+    // cast("timestamp") first: parquet written without UTC adjustment
+    // loads as TIMESTAMP_NTZ, which the strict unix_micros rejects;
+    // under the session's UTC zone the NTZ→LTZ cast is the identity
+    val l = left.withColumn("__ts", unix_micros(col(leftTs).cast("timestamp")))
+    // The right side is grouped and ts-sorted DISTRIBUTED, one row
+    // per key carrying array<struct<__ts,payload...>> (sort_array
+    // orders by the struct's leading __ts) — the driver then builds
+    // the broadcast lookup from O(keys) rows, not O(rows).
+    val payloadCols = payload.distinct
+    val r = right
+      .select((key +: rightTs +: payload).distinct.map(col): _*)
+      .withColumn("__ts", unix_micros(col(rightTs).cast("timestamp")))
+      .filter(col("__ts").isNotNull) // a NULL-ts right row can never match
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct((col("__ts") +: payloadCols.map(col)): _*)))
+        .as("__sorted"))
+    // Both children were analyzed as SEPARATE queries, so a shared
+    // source (self-as-of) gives them overlapping exprIds; when the
+    // combined plan is re-analyzed, DeduplicateRelations re-ids one
+    // subtree and attribute fields stored in the custom node would go
+    // stale. A fresh-alias Project on each child pins stable new ids
+    // (dedup rewrites below the aliases, never their output ids). The
+    // hint node has served its purpose — drop it silently.
+    def freshAliased(plan: LogicalPlan): Project =
+      Project(plan.output.map(a => Alias(a, a.name)()), plan)
+    val lPlan = freshAliased(l.queryExecution.analyzed)
+    val rPlan = freshAliased(r.queryExecution.analyzed.transformUp {
+      case h: ResolvedHint => h.child
+    })
+    val lByName = lPlan.output.map(a => a.name -> a).toMap
+    val rByName = rPlan.output.map(a => a.name -> a).toMap
+    val payloadOut = payload.map(p =>
+      AttributeReference(s"asof_$p", right.schema(p).dataType, nullable = true)())
+    val ageAttr = AttributeReference("asof_age_s", LongType, nullable = true)()
+    PlanDataFrame.ofRows(spark, AsOfBroadcastLogical(
+      leftKey = lByName(key), leftTsMicros = lByName("__ts"),
+      rightKey = rByName(key), sortedArr = rByName("__sorted"),
+      leftAttrs = left.columns.toSeq.map(lByName),
+      // struct ordinal of each requested payload column (0 is __ts)
+      payloadFieldIdx = payload.map(p => 1 + payloadCols.indexOf(p)),
+      payloadOut = payloadOut, ageAttr = ageAttr,
+      tolerance = tolerance, left = lPlan, right = rPlan))
+  }
+
+  /** Shuffle-merge path: tagged union, one shuffle on the key,
+    * in-partition sort, forward merge. See AsOfMergeExec. */
+  private def mergeBackward(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String, payload: Seq[String],
+                            tolerance: Option[Long]): DataFrame = {
     // cast("timestamp") first: parquet written without UTC adjustment
     // loads as TIMESTAMP_NTZ, which the strict unix_micros rejects;
     // under the session's UTC zone the NTZ→LTZ cast is the identity
@@ -44,53 +148,33 @@ object AsOfJoin {
     val l = left
       .withColumn("__ts", unix_micros(col(leftTs).cast("timestamp")))
       .withColumn("__tag", lit(1))
-      .withColumn("__asof_ts", lit(null).cast("long"))
     val lWithNullPayload = payload.foldLeft(l)((df, p) =>
       df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
     val r = right
       .select((key +: rightTs +: payload).distinct.map(col): _*)
       .withColumn("__ts", unix_micros(col(rightTs).cast("timestamp")))
       .withColumn("__tag", lit(0))
-      .withColumn("__asof_ts", col("__ts"))
     // rename payload BEFORE aligning: a payload column may share its
     // name with a left column (both sides carrying event_id etc.)
     val rRenamed = payload.foldLeft(r)((df, p) => df.withColumnRenamed(p, s"__p_$p"))
     val rFinal = leftCols.foldLeft(rRenamed)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unionCols = (leftCols ++ Seq("__ts", "__tag", "__asof_ts") ++ payload.map(p => s"__p_$p"))
-      .distinct
+    val unionCols = (leftCols ++ Seq("__ts", "__tag") ++ payload.map(p => s"__p_$p")).distinct
     val unioned = lWithNullPayload.select(unionCols.map(col): _*)
       .unionByName(rFinal.select(unionCols.map(col): _*))
 
-    // right rows sort before left rows at equal ts (tag 0 < 1): a
-    // right row AT the left timestamp is visible to it
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry ONE struct of (ts, payload...): the struct is non-null for
-    // every right row even when its payload fields are NULL, so the
-    // matched timestamp and payload always come from the SAME (most
-    // recent) right row — per-column last(ignoreNulls) would skip a
-    // null payload cell and mix fields of two different right rows
-    val rightStruct = when(col("__tag") === 0,
-      struct((col("__asof_ts").as("__mts") +: payload.map(p => col(s"__p_$p").as(p))): _*))
-    val carried = unioned
-      .withColumn("__asof", last(rightStruct, ignoreNulls = true).over(w))
-      .withColumn("__matched_ts", col("__asof").getField("__mts"))
-
-    // age in whole seconds (floor(epoch) difference), ordering at
-    // full microsecond precision
-    val ageS = expr("(__ts div 1000000) - (__matched_ts div 1000000)")
-    val inTolerance = tolerance match {
-      case Some(t) => col("__matched_ts").isNotNull && ageS <= t
-      case None => col("__matched_ts").isNotNull
-    }
-    val out = carried
-      .filter(col("__tag") === 1)
-      .withColumn("asof_age_s", when(inTolerance, ageS).cast("long"))
-    val finalCols = leftCols.map(col) ++
-      payload.map(p => when(inTolerance, col("__asof").getField(p)).as(s"asof_$p")) :+
-      col("asof_age_s")
-    out.select(finalCols: _*)
+    val spark = left.sparkSession
+    val child = unioned.queryExecution.analyzed
+    val byName = child.output.map(a => a.name -> a).toMap
+    val payloadOut = payload.map(p =>
+      AttributeReference(s"asof_$p", right.schema(p).dataType, nullable = true)())
+    val ageAttr = AttributeReference("asof_age_s", LongType, nullable = true)()
+    PlanDataFrame.ofRows(spark, AsOfMergeLogical(
+      key = byName(key), ts = byName("__ts"), tag = byName("__tag"),
+      leftAttrs = leftCols.map(byName),
+      payloadAttrs = payload.map(p => byName(s"__p_$p")),
+      payloadOut = payloadOut, ageAttr = ageAttr,
+      tolerance = tolerance, child = child))
   }
 }

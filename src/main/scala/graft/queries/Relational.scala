@@ -344,8 +344,12 @@ object Relational extends QueryModule {
   // user. Oracle: DuckDB's native ASOF LEFT JOIN.
   private def a05(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), col("event_id"))
+    // error markers are the dimension-sized side (~5% of events):
+    // hint broadcast, same idiom as broadcast() on a join — AsOfJoin
+    // then probes a per-key sorted lookup with NO shuffle of the fact
+    // side (falls back to shuffle-merge without the hint)
+    val errors = broadcast(ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id")))
     val others = ev.filter(col("event_type") =!= "error")
     graft.operators.AsOfJoin
       .backward(others, errors, "user_id", "ts", "ts", payload = Seq("event_id"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.etl.SparkTestSession
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -11,7 +12,23 @@ class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private def ts(s: Double) = new java.sql.Timestamp((s * 1000).toLong)
 
-  test("backward as-of picks the latest right row at-or-before each left row") {
+  // every semantics test runs through BOTH physical paths: the
+  // shuffle-merge (no hint; the tiny local relations stay under the
+  // broadcast threshold, so disable auto to force the merge) and the
+  // broadcast probe (explicit hint)
+  private def bothPaths(name: String)(
+      f: ((DataFrame, DataFrame, String, String, String, Seq[String], Option[Long]) => DataFrame) => Unit): Unit = {
+    test(s"$name (shuffle-merge)") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try f((l, r, k, lt, rt, p, tol) => AsOfJoin.backward(l, r, k, lt, rt, p, tol))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    }
+    test(s"$name (broadcast)") {
+      f((l, r, k, lt, rt, p, tol) => AsOfJoin.backward(l, broadcast(r), k, lt, rt, p, tol))
+    }
+  }
+
+  bothPaths("backward as-of picks the latest right row at-or-before each left row") { asof =>
     import spark.implicits._
     val left = Seq(
       L("a", ts(10), 1), L("a", ts(20), 2), L("a", ts(5), 3),
@@ -19,7 +36,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val right = Seq(
       R("a", ts(8), "r8"), R("a", ts(15), "r15"), R("a", ts(20), "r20"),
       R("b", ts(100), "r100")).toDF()
-    val out = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
+    val out = asof(left, right, "k", "ts", "ts", Seq("rv"), None)
       .select(col("k"), col("lv"), col("asof_rv"), col("asof_age_s"))
       .collect().map(r => (r.getString(0), r.getInt(1),
         Option(r.getString(2)), Option(r.get(3)).map(_.toString))).toSet
@@ -30,45 +47,100 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", 4, None, None)))               // b: right only at 100 > 50
   }
 
-  test("tolerance bounds the match age") {
+  bothPaths("tolerance bounds the match age") { asof =>
     import spark.implicits._
     val left = Seq(L("a", ts(100), 1)).toDF()
     val right = Seq(R("a", ts(10), "old")).toDF()
-    val hit = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"), Some(200L))
+    val hit = asof(left, right, "k", "ts", "ts", Seq("rv"), Some(200L))
     assert(hit.select("asof_rv").collect()(0).getString(0) == "old")
-    val miss = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"), Some(30L))
+    val miss = asof(left, right, "k", "ts", "ts", Seq("rv"), Some(30L))
     assert(miss.select("asof_rv").collect()(0).isNullAt(0))
   }
 
-  test("sub-second ordering: right row later in the same second does not match") {
+  bothPaths("sub-second ordering: right row later in the same second does not match") { asof =>
     import spark.implicits._
     val left = Seq(L("a", ts(10.2), 1)).toDF()
     val right = Seq(R("a", ts(10.8), "late")).toDF()
-    val out = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
+    val out = asof(left, right, "k", "ts", "ts", Seq("rv"), None)
     assert(out.select("asof_rv").collect()(0).isNullAt(0))
   }
 
-  test("null payload on the newest matching right row is carried as null, not an older value") {
+  bothPaths("null payload on the newest matching right row is carried as null, not an older value") { asof =>
     import spark.implicits._
     val left = Seq(L("a", ts(30), 1)).toDF()
-    // newest matching right row (ts 20) has a NULL payload; the old
-    // per-column last(ignoreNulls) skipped it and leaked r10's value
-    // while age still came from ts 20 — the struct carry must keep
-    // the null AND the newest row's age together
+    // newest matching right row (ts 20) has a NULL payload; the carry
+    // must keep the null AND the newest row's age together (a
+    // per-column last(ignoreNulls) would leak r10's value)
     val right = Seq(R("a", ts(10), "older"), R("a", ts(20), null)).toDF()
-    val row = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
+    val row = asof(left, right, "k", "ts", "ts", Seq("rv"), None)
       .select("asof_rv", "asof_age_s").collect()(0)
     assert(row.isNullAt(0))
     assert(row.getLong(1) == 10L)
   }
 
-  test("plan shuffles once on the key (window exchange), no join node") {
+  bothPaths("multiple keys reset the carry / probe independent lookups") { asof =>
+    import spark.implicits._
+    val left = Seq(L("a", ts(10), 1), L("b", ts(10), 2)).toDF()
+    val right = Seq(R("a", ts(5), "ra")).toDF()
+    val out = asof(left, right, "k", "ts", "ts", Seq("rv"), None)
+      .select("k", "asof_rv").collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(("a", Some("ra")), ("b", None)))
+  }
+
+  test("merge plan shuffles once on the key, no join/window nodes") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = Seq(L("a", ts(10), 1)).toDF()
+      val right = Seq(R("a", ts(8), "x")).toDF()
+      val out = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+        !plan.contains("CartesianProduct"))
+      assert(!plan.contains("Window"))
+      assert(plan.contains("AsOfMerge"))
+      assert(plan.split("Exchange").length - 1 == 1, s"expected exactly one shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
+
+  test("broadcast plan never shuffles or sorts the LEFT (fact) side") {
     import spark.implicits._
     val left = Seq(L("a", ts(10), 1)).toDF()
     val right = Seq(R("a", ts(8), "x")).toDF()
-    val out = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"))
-    assert(plan.contains("Window"))
+    // AQE's wrapper hides the inner plan from collect(); plan shape
+    // is identical without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val nodes =
+      try AsOfJoin.backward(left, broadcast(right), "k", "ts", "ts", Seq("rv"))
+        .queryExecution.executedPlan.collect { case b: graft.plans.AsOfBroadcastExec => b }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(nodes.nonEmpty)
+    // the right side groups/sorts DISTRIBUTED (its own small shuffle);
+    // the fact side must stream through untouched
+    val leftPlan = nodes.head.left.toString
+    assert(!leftPlan.contains("Exchange"), s"left side shuffled:\n$leftPlan")
+    assert(!leftPlan.contains("Sort"), s"left side sorted:\n$leftPlan")
+  }
+
+  test("column pruning shrinks the merge node (unused left cols + payload dropped)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = Seq(L("a", ts(10), 1)).toDF()
+      val right = Seq(R("a", ts(8), "x")).toDF()
+      val out = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("rv"))
+        .select("k", "asof_age_s") // drops lv, ts AND the rv payload
+      // the test session has no extensions, so the self-healed
+      // post-hoc copy of AsOfMergePruning applies here; in an
+      // extensions session the same rule runs inside the fixed-point
+      // batch and the projection reaches the parquet scans (asserted
+      // in PlanAudit against real tables)
+      val nodes = out.queryExecution.optimizedPlan.collect {
+        case m: graft.plans.AsOfMergeLogical => m
+      }
+      assert(nodes.nonEmpty)
+      assert(nodes.head.leftAttrs.map(_.name) == Seq("k"))
+      assert(nodes.head.payloadAttrs.isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
   }
 }
