@@ -111,10 +111,19 @@ object MediaCodec {
   // ---- pixel-level decode (pure JDK: Inflater + published layouts) ----
 
   /** Row-major, channel-interleaved RGB; read samples as
-    * `rgb(i) & 0xFF` (bytes, not ints: at the 64 M-pixel cap an Int
-    * array would cost 4× the memory — ~1 GB per record inside a task,
-    * and the resulting OutOfMemoryError is fatal, not caught). */
+    * `rgb(i) & 0xFF` (bytes, not ints: an Int array would cost 4× the
+    * memory, and an OutOfMemoryError inside a task is fatal, not
+    * caught). */
   final case class PixelImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Pixel-count cap for full decodes. 16 M pixels bounds the ONLY
+    * whole-image allocation (the RGB output) at 48 MB per record —
+    * the unfilter itself streams scanline-by-scanline with a two-row
+    * window, so there is no multiple-of-the-image transient. A 64 M
+    * cap with whole-image raw+recon buffers measured ~770 MB
+    * transient per RGBA task — exactly the fatal-OOM scenario the cap
+    * exists to prevent. */
+  val MaxPixels = 16_000_000L
 
   /** Full PNG pixel decode — public spec (RFC 2083 / ISO 15948), pure
     * JDK: concatenated IDAT chunks inflate with `java.util.zip.
@@ -128,7 +137,7 @@ object MediaCodec {
     if (png(b).isEmpty || b.length < 29) return None
     val width = be32(b, 16)
     val height = be32(b, 20)
-    if (width <= 0 || height <= 0 || width.toLong * height > 64_000_000L) return None
+    if (width <= 0 || height <= 0 || width.toLong * height > MaxPixels) return None
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
     val interlace = u8(b, 28)
@@ -157,72 +166,73 @@ object MediaCodec {
       i += 12 + len
     }
     if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
-    // inflate the filtered scanline stream: height rows of
-    // 1 filter byte + width*channels sample bytes
+    // inflate + unfilter SCANLINE-BY-SCANLINE with a two-row window
+    // (cur/prev), expanding each row straight into the RGB output —
+    // no whole-image raw or recon buffer ever exists, so the only
+    // image-sized allocation is the output itself (see MaxPixels)
     val stride = width * channels
-    val raw = new Array[Byte](height * (1 + stride))
+    val bpp = channels
+    val rgb = new Array[Byte](width * height * 3)
+    val rowBuf = new Array[Byte](1 + stride) // filter byte + samples
+    var cur = new Array[Byte](stride) // unfiltered current row
+    var prev = new Array[Byte](stride) // unfiltered previous row
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
-      var off = 0
-      while (!inf.finished() && off < raw.length) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
-        off += n
+      var y = 0
+      while (y < height) {
+        var off = 0
+        while (off < rowBuf.length) {
+          val n = inf.inflate(rowBuf, off, rowBuf.length - off)
+          if (n == 0 && (inf.finished() || inf.needsInput() || inf.needsDictionary()))
+            return None
+          off += n
+        }
+        val filter = rowBuf(0) & 0xFF
+        var x = 0
+        while (x < stride) {
+          val v = rowBuf(1 + x) & 0xFF
+          val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+          val up = if (y > 0) prev(x) & 0xFF else 0
+          val c = if (x >= bpp && y > 0) prev(x - bpp) & 0xFF else 0
+          val pred = filter match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case 4 => // Paeth
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            case _ => return None
+          }
+          cur(x) = ((v + pred) & 0xFF).toByte
+          x += 1
+        }
+        // expand this row to RGB
+        var p = y * width * 3
+        var s = 0
+        var k = 0
+        while (k < width) {
+          colorType match {
+            case 0 => val g = cur(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 1
+            case 2 => rgb(p) = cur(s); rgb(p + 1) = cur(s + 1); rgb(p + 2) = cur(s + 2); s += 3
+            case 3 =>
+              val idx = (cur(s) & 0xFF) * 3
+              if (idx + 2 >= plte.length) return None
+              rgb(p) = plte(idx); rgb(p + 1) = plte(idx + 1)
+              rgb(p + 2) = plte(idx + 2); s += 1
+            case 4 => val g = cur(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 2
+            case 6 => rgb(p) = cur(s); rgb(p + 1) = cur(s + 1); rgb(p + 2) = cur(s + 2); s += 4
+          }
+          p += 3
+          k += 1
+        }
+        val t = prev; prev = cur; cur = t // swap the two-row window
+        y += 1
       }
-      if (off < raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // unfilter in place into recon (bpp = channels at bit depth 8)
-    val recon = new Array[Byte](height * stride)
-    val bpp = channels
-    var y = 0
-    while (y < height) {
-      val filter = raw(y * (1 + stride)) & 0xFF
-      val rowOff = y * (1 + stride) + 1
-      var x = 0
-      while (x < stride) {
-        val v = raw(rowOff + x) & 0xFF
-        val a = if (x >= bpp) recon(y * stride + x - bpp) & 0xFF else 0
-        val up = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0
-        val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xFF else 0
-        val pred = filter match {
-          case 0 => 0
-          case 1 => a
-          case 2 => up
-          case 3 => (a + up) / 2
-          case 4 => // Paeth
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-          case _ => return None
-        }
-        recon(y * stride + x) = ((v + pred) & 0xFF).toByte
-        x += 1
-      }
-      y += 1
-    }
-    // expand to RGB
-    val rgb = new Array[Byte](width * height * 3)
-    var p = 0
-    var s = 0
-    val nPix = width * height
-    var k = 0
-    while (k < nPix) {
-      colorType match {
-        case 0 => val g = recon(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 1
-        case 2 => rgb(p) = recon(s); rgb(p + 1) = recon(s + 1); rgb(p + 2) = recon(s + 2); s += 3
-        case 3 =>
-          val idx = (recon(s) & 0xFF) * 3
-          if (idx + 2 >= plte.length) return None
-          rgb(p) = plte(idx); rgb(p + 1) = plte(idx + 1)
-          rgb(p + 2) = plte(idx + 2); s += 1
-        case 4 => val g = recon(s); rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g; s += 2
-        case 6 => rgb(p) = recon(s); rgb(p + 1) = recon(s + 1); rgb(p + 2) = recon(s + 2); s += 4
-      }
-      p += 3
-      k += 1
-    }
     Some(PixelImage(width, height, rgb))
   }
 
@@ -242,7 +252,7 @@ object MediaCodec {
     // overflow guards mirroring the PNG cap: corrupt huge/negative
     // header fields must return None, not wrap Int math past the
     // bounds check and crash the task mid-extraction
-    if (dataOff < 54 || width.toLong * heightL > 64_000_000L) return None
+    if (dataOff < 54 || width.toLong * heightL > MaxPixels) return None
     val height = heightL.toInt
     val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
     if (dataOff.toLong + rowBytes.toLong * height > b.length) return None
@@ -293,7 +303,7 @@ object MediaCodec {
           val w = le16(b, i + 5)
           val h = le16(b, i + 7)
           val iflags = u8(b, i + 9)
-          if (w <= 0 || h <= 0 || w.toLong * h > 64_000_000L) return None
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
           i += 10
           var ct = gct
           if ((iflags & 0x80) != 0) {

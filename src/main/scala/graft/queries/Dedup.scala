@@ -18,8 +18,21 @@ import org.apache.spark.sql.types._
   */
 object Dedup extends QueryModule {
 
-  /** sfDir → embeddings row count (d06 band-width sizing). */
-  private val vecCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** (sfDir, table mtime) → embeddings row count (d06 band-width
+    * sizing). Keying on the parquet file's mtime means a dataset
+    * REGENERATED at the same path in-process (test fixtures, notebook
+    * reuse) re-counts instead of silently sizing bands from a stale
+    * count; unchanged files still hit the cache. */
+  private val vecCount = new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  private def embeddingsMtime(d: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(d, "embeddings.parquet")
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).mapToLong(f =>
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
+      else java.nio.file.Files.getLastModifiedTime(p).toMillis
+    } catch { case _: java.io.IOException => 0L }
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
@@ -38,12 +51,16 @@ object Dedup extends QueryModule {
   // small) — per-row md5 dominated this query at scale (9.7× DuckDB at
   // sf10) while contributing nothing to the grouping, and carrying an
   // exemplar text THROUGH the aggregation (min(text)) is slower still:
-  // a var-length agg buffer falls off the fixed-width fast map. A
-  // 64-bit-collision merge is the same contract every hash-keyed dedup
-  // states.
+  // a var-length agg buffer falls off the fixed-width fast map. The
+  // group key is the PAIR (xxhash64, crc32) — two independent cheap
+  // hashes, still fixed-width — so a silent merge of two distinct
+  // texts needs a simultaneous 96-bit collision (~1e-29 per pair,
+  // negligible even at 100 TB row counts; a single 64-bit key would
+  // be ~50% at ~5e9 distinct texts, a real risk at scale).
   private def d01(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d)
-    val g = t.groupBy(xxhash64(col("text")).as("xh"))
+    val g = t.groupBy(xxhash64(col("text")).as("xh"),
+        crc32(col("text").cast(BinaryType)).as("cc"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     g.join(t.select(col("doc_id").as("keep_id"), col("text")), "keep_id")
       .select(md5(col("text").cast(BinaryType)).as("content_hash"),
@@ -219,11 +236,12 @@ object Dedup extends QueryModule {
       concat(array(element_at(col("v"), 1) + lit(0.02d)),
         slice(col("v"), 2, 63)).as("v"))
     val corpus = base.unionByName(pert)
-    // memoized per sfDir: the sizing count is one cheap parquet scan,
-    // but re-running it on every plan construction (bench warm-ups,
-    // explain paths) would silently tax the measured query
-    val corpusVecs = 2L * Dedup.vecCount.computeIfAbsent(d,
-      (dd: String) => Tables.load(s, dd, "embeddings").count())
+    // memoized per (sfDir, mtime): the sizing count is one cheap
+    // parquet scan, but re-running it on every plan construction
+    // (bench warm-ups, explain paths) would silently tax the measured
+    // query; the mtime key catches in-process regeneration
+    val corpusVecs = 2L * Dedup.vecCount.computeIfAbsent((d, embeddingsMtime(d)),
+      (_: (String, Long)) => Tables.load(s, d, "embeddings").count())
     val bitsPerBand = if (corpusVecs > 500000L) 24 else 16
     val planes = graft.operators.SignLsh.hyperplanes(64, nBands = 16, bitsPerBand = bitsPerBand,
       seed = 0x5eed5L)

@@ -79,12 +79,27 @@ object NtripDurableLog {
     var inBatch = 0
     def flush(): Unit = if (inBatch > 0) {
       val tmp = dir.resolve(f".tmp-$fp-$seq%012d")
-      Files.write(tmp, batch.toString.getBytes(UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      // force(true) BEFORE the rename: ATOMIC_MOVE alone survives a
+      // process crash but not power/OS failure — without the fsync a
+      // renamed file can land empty or truncated, and a partial JSON
+      // line would replay as nulls, breaking the exactly-once claim
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(batch.toString.getBytes(UTF_8)))
+        ch.force(true)
+      } finally ch.close()
       // the first seq of the file names it → lexicographic order =
       // arrival order, and a restarted writer can resume numbering
       val fin = dir.resolve(f"$fp-${seq - inBatch}%012d.json")
       Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+      // fsync the directory so the rename itself is durable (works on
+      // Linux; best-effort elsewhere, as Lucene/Kafka do)
+      try {
+        val dh = java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
+        try dh.force(true) finally dh.close()
+      } catch { case _: java.io.IOException => }
       batch.clear()
       inBatch = 0
     }
