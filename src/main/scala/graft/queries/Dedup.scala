@@ -87,7 +87,10 @@ object Dedup extends QueryModule {
   // same result set via MinHash-LSH candidates (64 perms, 16 bands ×
   // 4 rows; P[miss | jac ≥ 0.9] = (1−0.9⁴)¹⁶ ≈ 4e-8) + exact verify,
   // i.e. linear scale-out instead of the quadratic cross join.
-  private def d02(s: SparkSession, d: String): DataFrame = {
+  /** MinHash-LSH candidates + exact shingle-Jaccard verify: the
+    * verified near-dup pair stream shared by d02 (pair audit) and d07
+    * (keeper sets). Returns (doc_a, doc_b, inter, uni) sizes. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).cache()
     val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
     val bands = sig.select(col("doc_id"),
@@ -99,19 +102,23 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val verified = cand
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jac") >= 0.9)
-    verified
       .select(col("doc_a"), col("doc_b"),
-        Q.fixedDec(Q.rhu(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"),
-          size(array_union(col("sh_a"), col("sh_b"))).cast("long"), 1000L), 3).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
   }
+
+  private def d02(s: SparkSession, d: String): DataFrame =
+    verifiedPairs(s, d)
+      .select(col("doc_a"), col("doc_b"),
+        Q.fixedDec(Q.rhu(col("inter"), col("uni"), 1000L), 3).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
 
   private val d02Sql =
     """WITH s AS (
@@ -285,13 +292,48 @@ object Dedup extends QueryModule {
       |WHERE cos >= 0.99
       |ORDER BY 1, 2""".stripMargin
 
+  // d07: keeper sets — the 100 TB-shaped OUTPUT for near-dup dedup.
+  // d02's pair list is the audit view and is quadratic in cluster
+  // size; here each connected cluster of the verified-pair graph
+  // (exact Jaccard ≥ 0.9, same contract as d02) collapses to one row
+  // (keeper = min doc_id, member count), so the output is linear in
+  // the corpus however large the boilerplate clusters grow. Clustering
+  // is distributed min-label propagation (operators.ConnectedComponents);
+  // the oracle states the same fixpoint with a recursive CTE.
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents.components(pairs)
+      .groupBy(col("keeper").as("keeper_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("keeper_id")
+  }
+
+  private val d07Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |walk(node, reach) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach),
+      |labels AS (SELECT node, MIN(reach) AS keeper_id FROM walk GROUP BY node)
+      |SELECT keeper_id, COUNT(*) AS n_members FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup_hash" -> d01,
     "d02_minhash_jaccard_pairs" -> d02,
     "d03_lsh_candidates" -> d03,
     "d04_simhash_pairs" -> d04,
     "d05_embedding_neardup" -> d05,
-    "d06_signlsh_neardup" -> d06)
+    "d06_signlsh_neardup" -> d06,
+    "d07_neardup_keeper_sets" -> d07)
 
   // Quadratic by definition — the oracle states the all-pairs
   // semantics; see d05's scaladoc for why sub-quadratic banding cannot
@@ -313,5 +355,6 @@ object Dedup extends QueryModule {
     "d01_exact_dedup_hash" -> d01Sql,
     "d02_minhash_jaccard_pairs" -> d02Sql,
     "d05_embedding_neardup" -> d05Sql,
-    "d06_signlsh_neardup" -> d06Sql)
+    "d06_signlsh_neardup" -> d06Sql,
+    "d07_neardup_keeper_sets" -> d07Sql)
 }
