@@ -27,6 +27,9 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from py_oracles import PY_ORACLES  # noqa: E402
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 SKIP = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
@@ -93,11 +96,17 @@ def main():
             else:
                 print(f"  ! {name}: oracle SKIPPED by request ({got.num_rows} rows)")
             continue
-        if name not in oracle:
+        if name not in oracle and name not in PY_ORACLES:
             print(f"  ~ {name}: rows-only ({got.num_rows} rows)")
             continue
         try:
-            exp = con.sql(oracle[name]).arrow()
+            if name in oracle:
+                exp = con.sql(oracle[name]).arrow()
+            else:
+                # Python-side recompute (scripts/py_oracles.py) for the
+                # primitives DuckDB can't express (xxhash64, the GPT-2
+                # pre-tokenizer lookahead) — same canonicalized compare
+                exp = PY_ORACLES[name](SF_DIR)
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
@@ -124,7 +133,7 @@ def main():
         else:
             n_pass += 1
             print(f"  ✓ {name} ({len(gr)} rows)")
-    missing = set(oracle) - {n for n in names
+    missing = (set(oracle) | set(PY_ORACLES)) - {n for n in names
                              if os.path.isdir(os.path.join(OUT_DIR, n))}
     for m in sorted(missing):
         print(f"  ✗ {m}: no spark output written")

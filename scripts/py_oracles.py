@@ -1,0 +1,198 @@
+"""Python-side oracles for the three queries whose primitives DuckDB
+cannot express (xxhash64; the GPT-2 pre-tokenizer's lookahead regex):
+independent recomputation of the full pipeline in pure Python + the
+published primitive algorithms, compared by check.py through the same
+canonicalization as the DuckDB oracles.
+
+d04_simhash_pairs    xxhash64 = XXH64 (public spec, reimplemented
+                     below — the xxhash wheel is not installed) with
+                     Spark's seed-chaining over multi-arg calls.
+t06_doc_fingerprints RollingHash64 = FNV-offset polynomial mod 2^64,
+                     base 1000003 (graft.functions.HashExpressions).
+t07_bpe_token_stats  GPT-2 pre-tokenizer pattern via the `regex`
+                     module (Python regex is the pattern's native
+                     dialect).
+
+(Dev/gate tool only — the Scala library has no Python dependency.)
+"""
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MASK = (1 << 64) - 1
+P1 = 11400714785074694791
+P2 = 14029467366897019727
+P3 = 1609587929392839161
+P4 = 9650029242287828579
+P5 = 2870177450012600261
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & MASK
+
+
+def _round(acc, inp):
+    acc = (acc + inp * P2) & MASK
+    return (_rotl(acc, 31) * P1) & MASK
+
+
+def _merge(h, v):
+    h ^= _round(0, v)
+    return (h * P1 + P4) & MASK
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Reference XXH64 (xxhash.com spec) — matches Spark's XXH64."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK
+        v2 = (seed + P2) & MASK
+        v3 = seed & MASK
+        v4 = (seed - P1) & MASK
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & MASK
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + P5) & MASK
+    h = (h + n) & MASK
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * P1 + P4) & MASK
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * P1) & MASK
+        h = (_rotl(h, 23) * P2 + P3) & MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & MASK
+        h = (_rotl(h, 11) * P1) & MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & MASK
+    h ^= h >> 29
+    h = (h * P3) & MASK
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(args, seed=42):
+    """Spark's xxhash64(a, b, ...): running seed over non-null string
+    args, each hashed as its UTF-8 bytes."""
+    h = seed
+    for a in args:
+        if a is not None:
+            h = xxh64(a.encode("utf-8"), h)
+    return h
+
+
+def _signed64(u):
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _get(ws, i):
+    # Spark GetArrayItem: out-of-bounds AND negative -> NULL (no
+    # Python-style wrapping)
+    return ws[i] if 0 <= i < len(ws) else None
+
+
+def d04_simhash_pairs(sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sim = {}
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        ws = text.split(" ")
+        # sequence(0, size(ws)-2): for a 1-word doc Spark yields the
+        # DESCENDING sequence [0, -1]
+        idxs = range(len(ws) - 1) if len(ws) >= 2 else [0, -1]
+        hs = [spark_xxhash64((_get(ws, i), _get(ws, i + 1))) for i in idxs]
+        u = 0
+        for j in range(64):
+            votes = sum((h >> j) & 1 for h in hs)
+            if votes * 2 > len(hs):
+                u |= 1 << j
+        sim[doc_id] = u
+    buckets = {}
+    for doc_id, u in sim.items():
+        for c in range(4):
+            buckets.setdefault((c, (u >> (c * 16)) & 0xFFFF), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                ham = bin(sim[a] ^ sim[b]).count("1")
+                if ham <= 6:
+                    pairs.add((a, b, ham))
+    rows = sorted(pairs)
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def rolling_hash64(data: bytes) -> int:
+    h = 1469598103934665603
+    for b in data:
+        h = (h * 1000003 + b) & MASK
+    return h
+
+
+def t06_doc_fingerprints(sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    per_lang = {}
+    for lang, text in zip(docs.column("lang").to_pylist(),
+                          docs.column("text").to_pylist()):
+        n, fps = per_lang.setdefault(lang, [0, set()])
+        per_lang[lang][0] = n + 1
+        fps.add(rolling_hash64(text.encode("utf-8")))
+    langs = sorted(per_lang)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([per_lang[l][0] for l in langs], pa.int64()),
+        "n_distinct_fp": pa.array([len(per_lang[l][1]) for l in langs], pa.int64()),
+    })
+
+
+def t07_bpe_token_stats(sf_dir):
+    import regex
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text", "n_chars"])
+    per_lang = {}
+    for lang, text, n_chars in zip(docs.column("lang").to_pylist(),
+                                   docs.column("text").to_pylist(),
+                                   docs.column("n_chars").to_pylist()):
+        toks = len(pat.findall(text))
+        st = per_lang.setdefault(lang, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += toks
+        st[2] = max(st[2], toks)
+        st[3] += n_chars
+    langs = sorted(per_lang)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([per_lang[l][0] for l in langs], pa.int64()),
+        "total_bpe_tokens": pa.array([per_lang[l][1] for l in langs], pa.int64()),
+        "max_bpe_tokens": pa.array([per_lang[l][2] for l in langs], pa.int64()),
+        "total_chars": pa.array([per_lang[l][3] for l in langs], pa.int64()),
+    })
+
+
+PY_ORACLES = {
+    "d04_simhash_pairs": d04_simhash_pairs,
+    "t06_doc_fingerprints": t06_doc_fingerprints,
+    "t07_bpe_token_stats": t07_bpe_token_stats,
+}

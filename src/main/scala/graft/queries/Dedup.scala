@@ -157,7 +157,9 @@ object Dedup extends QueryModule {
   // ≤ 6 filter before the pair-dedup (banding trades recall for
   // linearity; complete for hamming ≤ 3 by pigeonhole).
   // Each feature is hashed ONCE (hs), then 64 bit-extractions — not 64
-  // re-hashes. Rows-only (xxhash64).
+  // re-hashes. Oracle: Python-side recompute (scripts/py_oracles.py;
+  // DuckDB has no xxhash64) with a spec-faithful XXH64 and Spark's
+  // multi-arg seed chaining, validated against Spark's own vectors.
   private def d04(s: SparkSession, d: String): DataFrame = {
     val withSim = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -176,7 +178,7 @@ object Dedup extends QueryModule {
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(expr("x.simhash ^ y.simhash")).as("hamming"))
+        bit_count(expr("x.simhash ^ y.simhash")).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
       .orderBy("doc_a", "doc_b")

@@ -20,7 +20,8 @@ object TextAnalysis extends QueryModule {
   /** Whitespace token count, engine-portable: texts are single-space
     * separated, so tokens = spaces + 1. (The BPE-style pre-tokenizer
     * path is t07 via functions.BpeTokenCount — its lookahead regex is
-    * not expressible in the oracle engine, so t07 is rows-only.) */
+    * not expressible in DuckDB SQL, so t07 is checked by the
+    * Python-side oracle in scripts/py_oracles.py.) */
   private def tokenCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, " ", "")) + 1).cast(LongType)
   private def tokenCountSql(c: String): String =
@@ -141,9 +142,11 @@ object TextAnalysis extends QueryModule {
 
   // t07: BPE-style pre-token statistics per language — the
   // "token budget" pass of a training-data pipeline, over the GPT-2
-  // pre-tokenization pattern (functions.TextTokens). Rows-only: the
-  // pattern's lookahead has no oracle-engine equivalent; value-level
-  // checks live in FunctionsSpec.
+  // pre-tokenization pattern (functions.TextTokens). Oracle: the
+  // pattern's lookahead has no DuckDB equivalent, so the gate
+  // recomputes the whole pass in Python (regex module — the
+  // pattern's native dialect; scripts/py_oracles.py); value-level
+  // checks also live in FunctionsSpec.
   private def t07(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.bpeTokenCount
     val toks = bpeTokenCount(col("text"))
@@ -158,7 +161,8 @@ object TextAnalysis extends QueryModule {
 
   // t06: document fingerprinting via the codegen'd 64-bit rolling
   // hash (order-sensitive content id) — fingerprint uniqueness per
-  // language. Rows-only (engine-specific hash).
+  // language. Oracle: Python-side recompute of the same published
+  // polynomial (scripts/py_oracles.py).
   private def t06(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.rollingHash64
     docs(s, d)
