@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.etl.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Learned-codebook IVF (s03): structural + recall contracts of the
+  * fixed-point Lloyd's k-means quantizer at nlist = ⌈√N⌉.
+  * (Result-set exactness vs the DuckDB recomputation of the same
+  * training is the oracle gate's job; these are the semantic
+  * contracts the oracle can't express.)
+  */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def top10(name: String): Seq[Long] =
+    graft.SparkEntry.queries(name)(spark, sf).collect().take(10).map(_.getLong(0)).toSeq
+
+  test("full probing (nprobe = nlist) degenerates to exact brute force") {
+    // with every bucket probed, the IVF index must return EXACTLY the
+    // s01 top-10 — the index prunes, it never re-scores
+    val exact = top10("s01_knn_brute_cosine")
+    val full = Similarity.ivfTopK(spark, sf, nprobe = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, s"full-probe IVF $full != brute $exact")
+  }
+
+  test("2-probe recall against the exact top-10") {
+    val exact = top10("s01_knn_brute_cosine").toSet
+    val ivf = top10("s03_ivf_ann_topk").toSet
+    // 64-dim isotropic corpus at nlist=√N, 2 probes: locality is weak
+    // by construction (no planted cluster structure), so the contract
+    // is a floor, not near-perfection — the near-dup regime where IVF
+    // shines is exercised at larger SFs by the bench
+    assert(ivf.size == 10)
+    assert((exact & ivf).size >= 3, s"recall ${(exact & ivf).size}/10: exact=$exact ivf=$ivf")
+  }
+
+  test("every result of the 2-probe search is genuinely in a probed bucket") {
+    // scores of the 2-probe result are a subset of the exact scores:
+    // the rescore is exact, so any returned (vec_id, cos) pair must
+    // equal its brute-force counterpart
+    val exact = graft.SparkEntry.queries("s01_knn_brute_cosine")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = graft.SparkEntry.queries("s03_ivf_ann_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    ivf.foreach { case (id, c) =>
+      exact.get(id).foreach(ec => assert(ec == c, s"vec $id rescored $c != exact $ec"))
+    }
+  }
+}
