@@ -44,29 +44,25 @@ object Dedup extends QueryModule {
       "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
 
   // d01: exact dedup via content hash — keeper id + multiplicity per
-  // distinct content. Grouping key is xxhash64 (codegen'd, one cheap
-  // pass, fixed-width agg buffers); the md5 OUTPUT column is computed
-  // only for the KEEPER row of each group, fetched by joining the tiny
-  // aggregate back to the table on keep_id (AQE broadcasts it when
-  // small) — per-row md5 dominated this query at scale (9.7× DuckDB at
-  // sf10) while contributing nothing to the grouping, and carrying an
-  // exemplar text THROUGH the aggregation (min(text)) is slower still:
-  // a var-length agg buffer falls off the fixed-width fast map. The
-  // group key is the PAIR (xxhash64, crc32) — two independent cheap
-  // hashes, still fixed-width — so a silent merge of two distinct
-  // texts needs a simultaneous 96-bit collision (~1e-29 per pair,
-  // negligible even at 100 TB row counts; a single 64-bit key would
-  // be ~50% at ~5e9 distinct texts, a real risk at scale).
-  private def d01(s: SparkSession, d: String): DataFrame = {
-    val t = docs(s, d)
-    val g = t.groupBy(xxhash64(col("text")).as("xh"),
+  // distinct content, in ONE pass. The group key is the PAIR
+  // (xxhash64, crc32) — two independent cheap codegen'd hashes — so a
+  // silent merge of two distinct texts needs a simultaneous 96-bit
+  // collision (~1e-29 per pair, negligible even at 100 TB row counts;
+  // a single 64-bit key would be ~50% at ~5e9 distinct texts). The
+  // md5 OUTPUT column rides through the aggregation as a
+  // min_by(md5, doc_id) 16-byte digest — measured FASTER at sf100
+  // (0.8 s vs 1.3 s) than round 3's join-back form, whose second scan
+  // + broadcast join outweighed the per-row md5 it saved. Residual
+  // gap vs DuckDB is dictionary-aware grouping + per-action floor,
+  // recorded as accepted engine floor in BENCH_NOTES with controls.
+  private def d01(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(xxhash64(col("text")).as("xh"),
         crc32(col("text").cast(BinaryType)).as("cc"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-    g.join(t.select(col("doc_id").as("keep_id"), col("text")), "keep_id")
-      .select(md5(col("text").cast(BinaryType)).as("content_hash"),
-        col("keep_id"), col("n_copies"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min_by(md5(col("text").cast(BinaryType)), col("doc_id")).as("content_hash"))
+      .select(col("content_hash"), col("keep_id"), col("n_copies"))
       .orderBy("content_hash")
-  }
 
   // DuckDB has no xxhash64; grouping by the text itself is the same
   // partition of rows (exact content equality), restated with the
