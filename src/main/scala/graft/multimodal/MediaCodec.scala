@@ -14,6 +14,7 @@ object MediaCodec {
 
   final case class ImageInfo(format: String, width: Int, height: Int)
   final case class AudioInfo(format: String, durationMs: Int, sampleRate: Int, channels: Int)
+  final case class VideoInfo(format: String, durationMs: Int, width: Int, height: Int)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
@@ -105,6 +106,63 @@ object MediaCodec {
     if (byteRate > 0 && dataSize >= 0)
       Some(AudioInfo("wav", ((dataSize.toLong * 1000) / byteRate).toInt,
         sampleRate, channels))
+    else None
+  }
+
+  /** MP4/ISO-BMFF (ISO 14496-12, published box layouts): walk
+    * top-level boxes [size(4 BE) type(4)]; a leading `ftyp` gates the
+    * sniff (arbitrary bytes can collide with a 4-char type); `moov`
+    * children give `mvhd` (movie timescale + duration, version 0 =
+    * 32-bit fields, version 1 = 64-bit) and per-`trak` `tkhd` boxes
+    * whose trailing width/height are 16.16 fixed-point — the first
+    * track with nonzero dims is the video track. 64-bit (size==1)
+    * and to-end (size==0) boxes abort the sniff rather than misparse. */
+  def sniffMp4(b: Array[Byte]): Option[VideoInfo] = {
+    if (b.length < 16) return None
+    def boxes(from: Int, end: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var i = from
+      private var broken = false
+      def hasNext: Boolean = !broken && i + 8 <= end
+      def next(): (String, Int, Int) = {
+        val size = be32(b, i)
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (size < 8 || i.toLong + size > end) { broken = true; ("", i + 8, end) }
+        else { val r = (typ, i + 8, i + size); i += size; r }
+      }
+    }
+    val top = boxes(0, b.length).toSeq
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    var durationMs = 0
+    var w = 0
+    var h = 0
+    boxes(moov._2, moov._3).foreach {
+      case ("mvhd", s, e) if e - s >= 20 =>
+        val v = u8(b, s)
+        // v0: timescale@12 dur@16 (4B); v1: timescale@20 dur@24 (8B)
+        val (ts, dur) =
+          if (v == 1 && e - s >= 32)
+            (be32(b, s + 20).toLong,
+              (be32(b, s + 24).toLong << 32) | (be32(b, s + 28).toLong & 0xFFFFFFFFL))
+          else (be32(b, s + 12).toLong, be32(b, s + 16).toLong & 0xFFFFFFFFL)
+        if (ts > 0) durationMs = ((dur * 1000) / ts).toInt
+      case ("trak", s, e) if w == 0 =>
+        boxes(s, e).foreach {
+          case ("tkhd", ts, te) =>
+            val v = u8(b, ts)
+            // width/height are the LAST 8 bytes of the fixed-size body
+            // (v0 body 84 B, v1 96 B) as 16.16 fixed-point
+            val need = if (v == 1) 96 else 84
+            if (te - ts >= need && w == 0) {
+              val tw = be32(b, ts + need - 8) >>> 16
+              val th = be32(b, ts + need - 4) >>> 16
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (durationMs > 0 || (w > 0 && h > 0)) Some(VideoInfo("mp4", durationMs, w, h))
     else None
   }
 
@@ -572,6 +630,48 @@ object MediaCodec {
   }
 
   /** Minimal valid 8-bit mono PCM WAV; sample bytes from `payload`. */
+  /** Minimal valid MP4: ftyp(20) + moov(216) = mvhd v0(108) +
+    * trak(100) = tkhd v0(92), + mdat(8 + nData) — total size has the
+    * closed form 244 + nData, which the m02 oracle restates in SQL.
+    * Timescale 1000 so mvhd duration IS milliseconds; width/height as
+    * 16.16 fixed-point. */
+  def buildMp4(durationMs: Int, width: Int, height: Int, nData: Int,
+               payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(244 + nData) // big-endian default
+    out.putInt(20).put("ftyp".getBytes).put("isom".getBytes).putInt(0).put("isom".getBytes)
+    out.putInt(216).put("moov".getBytes)
+    out.putInt(108).put("mvhd".getBytes)
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime mtime
+      .putInt(1000).putInt(durationMs) // timescale 1000 → duration in ms
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate 1.0, volume 1.0
+      .putInt(0).putInt(0) // reserved(8)
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix (36 B)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // pre_defined(24)
+      .putInt(2) // next_track_ID
+    out.putInt(100).put("trak".getBytes)
+    out.putInt(92).put("tkhd".getBytes)
+      .putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+      .putInt(0).putInt(0) // ctime mtime
+      .putInt(1).putInt(0) // track_ID, reserved
+      .putInt(durationMs)
+      .putInt(0).putInt(0) // reserved(8)
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer alt_group volume reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix (36 B)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(width << 16).putInt(height << 16) // 16.16 fixed
+    out.putInt(8 + nData).put("mdat".getBytes)
+    var i = 0
+    while (i < nData) {
+      out.put(if (payload.nonEmpty) payload(i % payload.length) else 0.toByte)
+      i += 1
+    }
+    out.array()
+  }
+
   def buildWav(sampleRate: Int, nSamples: Int, payload: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(44 + nSamples)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

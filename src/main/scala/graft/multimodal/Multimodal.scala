@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning by modality, batch
   * shape, feature schema — is real and tested. The metadata decode is
   * REAL header parsing (`MediaCodec`: PNG/JPEG/GIF/BMP dimensions,
-  * WAV duration — published byte layouts, pure Scala); only the full
-  * pixel/sample decode is a declared stub (`FakeCodec` pseudo-
-  * features) because this container ships no imaging libraries —
-  * swapping in a real pixel decoder changes ONE function. Video
-  * container parsing (MP4 boxes) is not implemented: video records
-  * take the pseudo path, clearly marked per record by `format`.
+  * WAV duration, MP4 box walk for video duration/track dims —
+  * published byte layouts, pure Scala); only the full pixel/sample
+  * decode of compressed codecs is a declared stub (`FakeCodec`
+  * pseudo-features) because this container ships no codec
+  * libraries — swapping in a real decoder changes ONE function.
+  * Unrecognized payloads take the pseudo path, clearly marked per
+  * record by `format`.
   *
   * Scale notes: extraction is `mapPartitions` in fixed-size batches —
   * the same shape as a Pandas-UDF/`mapInPandas` stage (amortize model
@@ -34,22 +35,22 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
-      format: String,        // sniffed container (png/jpeg/gif/bmp/wav) or "unknown"
+      format: String,        // sniffed container (png/jpeg/gif/bmp/wav/mp4) or "unknown"
       n_bytes: Int,
-      width: Int,            // images: real header dims; video: pseudo
+      width: Int,            // images: real header dims; video: real tkhd dims (mp4)
       height: Int,
-      duration_ms: Int,      // audio: real (data bytes / byte rate); video: pseudo
+      duration_ms: Int,      // audio: real (data bytes / byte rate); video: real mvhd duration (mp4)
       byte_histogram: Array[Double],  // 16-bin normalized histogram
       content_hash: Long,
       mean_r: Double,        // REAL pixel statistics (png/bmp/gif
       mean_g: Double,        // decode); 0.0 + pixels_real=false on the
-      mean_b: Double,        // pseudo path (jpeg DCT needs a codec
-      mean_luma: Double,     // lib; video has no MP4 parser here)
+      mean_b: Double,        // pseudo path (jpeg DCT and video frame
+      mean_luma: Double,     // decode need codec libs)
       pixels_real: Boolean)
 
   /** STUB pixel-level decoder — deterministic pseudo-features for
-    * payloads whose container we can't parse (video: no MP4 box parser
-    * here). The signature and batch shape are the real contract. */
+    * payloads whose container we can't parse. The signature and batch
+    * shape are the real contract. */
   object FakeCodec {
     def decode(r: MediaRecord): MediaFeatures = {
       val (hist, h) = histAndHash(r.content)
@@ -132,6 +133,17 @@ object Multimodal {
           0.0, 0.0, 0.0, 0.0, pixels_real = false)
       case None => FakeCodec.decode(r)
     }
+    case "video" => MediaCodec.sniffMp4(r.content) match {
+      case Some(v) =>
+        // REAL container metadata (MP4 box walk: mvhd duration, tkhd
+        // track dims); frame pixels stay a declared stub (the mdat
+        // payload needs a video codec)
+        val (hist, h) = histAndHash(r.content)
+        MediaFeatures(r.media_id, r.kind, v.format, r.content.length,
+          v.width, v.height, v.durationMs, hist, h,
+          0.0, 0.0, 0.0, 0.0, pixels_real = false)
+      case None => FakeCodec.decode(r)
+    }
     case _ => FakeCodec.decode(r)
   }
 
@@ -172,7 +184,15 @@ object Multimodal {
               else MediaCodec.buildBmp(w, h, payload), src)
           case 1 => MediaRecord(id, "audio",
             MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)
-          case _ => MediaRecord(id, "video", payload, src)
+          case _ => MediaRecord(id, "video",
+            // alternate real MP4 containers with raw bytes so the
+            // declared pseudo fallback stays exercised (same pattern
+            // as the PNG/BMP image alternation)
+            if ((id / 3) % 2 == 0)
+              MediaCodec.buildMp4(3000 + (id % 9000).toInt,
+                160 + (id % 8).toInt * 16, 96 + (id % 6).toInt * 16,
+                500 + (id % 1500).toInt, payload)
+            else payload, src)
         }
       }
   }

@@ -25,12 +25,12 @@ object MiscQueries extends QueryModule {
     val feats = graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.syntheticMedia(s, d)
         .repartition(8, org.apache.spark.sql.functions.col("kind"))).toDF()
-    // the SNIFFED container gates the subset: only bmp/wav sizes have
-    // closed-form construction formulas the oracle can restate (png
-    // payloads deflate — no closed form); selecting on the parsed
-    // format (not the id rule) means a sniffing regression breaks the
-    // row set, not just the aggregates
-    feats.filter(col("format").isin("bmp", "wav"))
+    // the SNIFFED container gates the subset: only bmp/wav/mp4 sizes
+    // have closed-form construction formulas the oracle can restate
+    // (png payloads deflate — no closed form); selecting on the
+    // parsed format (not the id rule) means a sniffing regression
+    // breaks the row set, not just the aggregates
+    feats.filter(col("format").isin("bmp", "wav", "mp4"))
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
@@ -46,19 +46,27 @@ object MiscQueries extends QueryModule {
   // images, (id/3) even, deflate — no closed-form size, excluded),
   // 54-byte header + 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz,
   // 2000+(id%6000)*8 samples), 44-byte header, duration = samples/8 ms
-  // exactly.
+  // exactly; video = MP4(dur 3000+id%9000 ms, w 160+(id%8)*16,
+  // h 96+(id%6)*16, mdat data 500+id%1500) for (id/3) even — fixed
+  // 244-byte box overhead (ftyp 20 + moov 216 + mdat header 8).
   private val m02Sql =
     s"""WITH m AS (
        |  SELECT doc_id,
-       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'audio' END AS kind,
-       |    CASE WHEN doc_id % 3 = 0 THEN 16 + CAST(doc_id % 32 AS BIGINT) ELSE 0 END AS width,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CASE WHEN doc_id % 3 = 0 THEN 16 + CAST(doc_id % 32 AS BIGINT)
+       |         WHEN doc_id % 3 = 2 THEN 160 + CAST(doc_id % 8 AS BIGINT) * 16
+       |         ELSE 0 END AS width,
        |    CASE WHEN doc_id % 3 = 0 THEN 0
+       |         WHEN doc_id % 3 = 2 THEN 3000 + CAST(doc_id % 9000 AS BIGINT)
        |         ELSE 250 + CAST(doc_id % 6000 AS BIGINT) END AS duration_ms,
        |    CASE WHEN doc_id % 3 = 0
        |         THEN 54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (12 + doc_id % 24)
+       |         WHEN doc_id % 3 = 2 THEN 244 + 500 + (doc_id % 1500)
        |         ELSE 44 + 2000 + (doc_id % 6000) * 8 END AS n_bytes
        |  FROM documents
-       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1))
+       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1)
+       |     OR (doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0))
        |SELECT kind, COUNT(*) AS n_media,
        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        |  ${fixedDecSql(rhuSql("CAST(SUM(width) AS BIGINT)", "COUNT(*)", 1000000L), 6)} AS avg_width,

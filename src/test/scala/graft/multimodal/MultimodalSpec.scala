@@ -41,7 +41,7 @@ class MultimodalSpec extends AnyFunSuite {
     val s = Multimodal.featureSummary(spark, sf)
     val rows = s.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(rows == Seq(("audio", "wav"), ("image", "bmp"), ("image", "png"),
-      ("video", "unknown")))
+      ("video", "mp4"), ("video", "unknown")))
     // pixel stats are REAL (and present) exactly for the decodable containers
     val lumaByFormat = s.collect().map(r =>
       r.getString(1) -> (r.getLong(r.fieldIndex("n_pixels_real")),
@@ -49,6 +49,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lumaByFormat("bmp")._1 > 0 && !lumaByFormat("bmp")._2)
     assert(lumaByFormat("png")._1 > 0 && !lumaByFormat("png")._2)
     assert(lumaByFormat("wav")._1 == 0 && lumaByFormat("wav")._2)
+    assert(lumaByFormat("mp4")._1 == 0 && lumaByFormat("mp4")._2)
     assert(lumaByFormat("unknown")._1 == 0 && lumaByFormat("unknown")._2)
   }
 
@@ -102,8 +103,56 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getString(1) == "wav")
       assert(r.getInt(2) == (nSamples.toLong * 1000 / 8000).toInt, s"id $id duration")
     }
-    // video stays on the declared pseudo path
-    assert(df.filter(col("kind") === "video" && col("format") =!= "unknown").count() == 0)
+    // video: MP4 records ((id/3) even) carry REAL mvhd duration and
+    // tkhd dims recomputed from the construction formulas; raw-byte
+    // records stay on the declared pseudo path
+    val vids = df.filter(col("kind") === "video")
+      .select("media_id", "format", "width", "height", "duration_ms").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val id = r.getLong(0)
+      if ((id / 3) % 2 == 0) {
+        assert(r.getString(1) == "mp4", s"id $id format")
+        assert(r.getInt(2) == 160 + (id % 8).toInt * 16, s"id $id width")
+        assert(r.getInt(3) == 96 + (id % 6).toInt * 16, s"id $id height")
+        assert(r.getInt(4) == 3000 + (id % 9000).toInt, s"id $id duration")
+      } else assert(r.getString(1) == "unknown", s"id $id pseudo path")
+    }
+  }
+
+  test("MP4 sniffing parses an INDEPENDENTLY written container (v1 mvhd, free box, trak-first)") {
+    // hand-rolled writer, deliberately different from buildMp4: moov
+    // children in trak-then-mvhd order, a free box padding the top
+    // level, and a VERSION 1 mvhd (64-bit times, timescale 90000)
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val tkhdBody = new Array[Byte](96) // version 1 body
+    tkhdBody(0) = 1
+    System.arraycopy(be32(1280 << 16), 0, tkhdBody, 88, 4)
+    System.arraycopy(be32(720 << 16), 0, tkhdBody, 92, 4)
+    val mvhdBody = new Array[Byte](112) // version 1 body
+    mvhdBody(0) = 1
+    System.arraycopy(be32(90000), 0, mvhdBody, 20, 4) // timescale
+    // duration = 90000 * 7.5 s = 675000 ticks (64-bit: high word 0)
+    System.arraycopy(be32(0), 0, mvhdBody, 24, 4)
+    System.arraycopy(be32(675000), 0, mvhdBody, 28, 4)
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(512) ++ "mp42".getBytes) ++
+      box("free", new Array[Byte](13)) ++
+      box("moov", box("trak", box("tkhd", tkhdBody)) ++ box("mvhd", mvhdBody)) ++
+      box("mdat", Array[Byte](1, 2, 3))
+    val info = MediaCodec.sniffMp4(mp4)
+    assert(info.contains(MediaCodec.VideoInfo("mp4", 7500, 1280, 720)))
+    // non-MP4 bytes (no leading ftyp) must not sniff
+    assert(MediaCodec.sniffMp4("this is not an mp4 file at all....".getBytes).isEmpty)
+    assert(MediaCodec.sniffMp4(box("moov", mvhdBody)).isEmpty)
+  }
+
+  test("buildMp4 round-trips through sniffMp4 with the closed-form size") {
+    val b = MediaCodec.buildMp4(4321, 320, 240, 777, "payload".getBytes)
+    assert(b.length == 244 + 777)
+    assert(MediaCodec.sniffMp4(b).contains(MediaCodec.VideoInfo("mp4", 4321, 320, 240)))
   }
 
   // --- pixel-level decode (real PNG/BMP decoders, pure JDK) ---
