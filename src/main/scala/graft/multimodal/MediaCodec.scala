@@ -672,6 +672,431 @@ object MediaCodec {
     out.array()
   }
 
+  // ---- JPEG baseline sequential DCT (ITU-T T.81, published spec) ----
+
+  /** Zig-zag scan order, generated from the diagonal walk (T.81
+    * Figure 5) rather than pasted as a table. */
+  private val ZigZag: Array[Int] = {
+    val out = new Array[Int](64)
+    var x = 0; var y = 0; var up = true
+    var k = 0
+    while (k < 64) {
+      out(k) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** cos((2x+1)·u·π/16) with the Cu normalization folded in. */
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman table (T.81 Annex C): decode via the spec's
+    * mincode/maxcode/valptr walk. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(in: JpegBits): Int = {
+      var code = in.bit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | in.bit()
+        l += 1
+      }
+      if (l > 16) throw new IllegalArgumentException("bad huffman code")
+      vals(valPtr(l) + code - minCode(l)) & 0xFF
+    }
+  }
+
+  /** Entropy-coded bit reader: un-stuffs 0xFF00, surfaces restart
+    * markers (FFD0–FFD7) via `restart()`, stops at other markers. */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("eof")
+        var v = b(pos) & 0xFF
+        pos += 1
+        if (v == 0xFF) {
+          val m = if (pos < b.length) b(pos) & 0xFF else -1
+          if (m == 0x00) pos += 1 // stuffed data byte
+          else throw new IllegalArgumentException("marker in scan") // incl. EOI
+        }
+        cur = v; nBits = 8
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Consume a restart marker at the current (byte-aligned) point. */
+    def restart(): Boolean = {
+      nBits = 0
+      if (pos + 2 <= b.length && (b(pos) & 0xFF) == 0xFF &&
+        (b(pos + 1) & 0xFF) >= 0xD0 && (b(pos + 1) & 0xFF) <= 0xD7) {
+        pos += 2; true
+      } else false
+    }
+  }
+
+  /** DC/AC difference decoding (T.81 F.2.2.1 EXTEND). */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class JComp(id: Int, h: Int, v: Int, tq: Int,
+                                 var td: Int = 0, var ta: Int = 0)
+
+  /** Full baseline JPEG pixel decode — marker parse (DQT/DHT/SOF0/
+    * DRI/SOS), canonical Huffman entropy decode, dequantize,
+    * de-zigzag, double-precision IDCT, nearest-neighbor chroma
+    * upsampling (4:4:4/4:2:2/4:2:0), JFIF YCbCr→RGB. Supported:
+    * SOF0 (baseline sequential), 8-bit, 1 or 3 components, sampling
+    * factors ≤ 2, optional restart intervals. Progressive (SOF2),
+    * arithmetic coding, 12-bit → None (pseudo path, declared). */
+  def decodeJpegPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+    try decodeJpegPixelsImpl(b)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  private def decodeJpegPixelsImpl(b: Array[Byte]): Option[PixelImage] = {
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[JComp] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if (u8(b, i) != 0xFF) return None
+      val marker = u8(b, i + 1)
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
+      else if (marker == 0xD9) return None // EOI before SOS
+      else {
+        val len = be16(b, i + 2)
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        if (len < 2 || segEnd > b.length) return None
+        marker match {
+          case 0xDB => // DQT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = u8(b, p) >> 4
+              val tq = u8(b, p) & 0xF
+              if (tq > 3) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(ZigZag(k)) =
+                  if (pq == 0) u8(b, p + 1 + k) else be16(b, p + 1 + 2 * k)
+                k += 1
+              }
+              quant(tq) = t
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = u8(b, p) >> 4
+              val th = u8(b, p) & 0xF
+              if (th > 3) return None
+              val bits = Array.tabulate(16)(k => u8(b, p + 1 + k))
+              val n = bits.sum
+              if (n > 256 || p + 17 + n > segEnd) return None
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + n
+            }
+          case 0xC0 => // SOF0 baseline
+            if (u8(b, seg) != 8) return None // precision
+            height = be16(b, seg + 1)
+            width = be16(b, seg + 3)
+            val nc = u8(b, seg + 5)
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            if (width.toLong * height > MaxPixels) return None
+            comps = Array.tabulate(nc) { c =>
+              JComp(u8(b, seg + 6 + 3 * c), u8(b, seg + 7 + 3 * c) >> 4,
+                u8(b, seg + 7 + 3 * c) & 0xF, u8(b, seg + 8 + 3 * c))
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3))
+              return None
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF =>
+            return None // non-baseline frame types: declared pseudo path
+          case 0xDD => restartInterval = be16(b, seg)
+          case 0xDA => // SOS → entropy-coded data follows
+            if (comps == null) return None
+            val ns = u8(b, seg)
+            if (ns != comps.length) return None
+            var p = seg + 1
+            var c = 0
+            while (c < ns) {
+              val cid = u8(b, p)
+              val comp = comps.find(_.id == cid).getOrElse(return None)
+              comp.td = u8(b, p + 1) >> 4
+              comp.ta = u8(b, p + 1) & 0xF
+              p += 2
+              c += 1
+            }
+            return decodeScan(b, p + 3, comps, quant, dcTables, acTables,
+              width, height, restartInterval)
+          case _ => () // APPn, COM, others: skip
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int, comps: Array[JComp],
+                         quant: Array[Array[Int]], dcTables: Array[HuffTable],
+                         acTables: Array[HuffTable], width: Int, height: Int,
+                         restartInterval: Int): Option[PixelImage] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // per-component plane at its own sampling resolution
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(ci => new Array[Byte](planeW(ci) * planeH(ci))).toArray
+    comps.foreach { c =>
+      if (quant(c.tq) == null || dcTables(c.td) == null || acTables(c.ta) == null)
+        return None
+    }
+
+    val in = new JpegBits(b, scanStart)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val block = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!in.restart()) throw new IllegalArgumentException("missing RST")
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = quant(c.tq)
+        val dcT = dcTables(c.td)
+        val acT = acTables(c.ta)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // entropy-decode one 8×8 block (T.81 F.2.2)
+            java.util.Arrays.fill(coef, 0)
+            val s = dcT.decode(in)
+            if (s > 11) throw new IllegalArgumentException("bad DC cat")
+            pred(ci) += extend(in.receive(s), s)
+            coef(0) = pred(ci) * q(0)
+            var k = 1
+            while (k < 64) {
+              val rs = acT.decode(in)
+              val r = rs >> 4
+              val sz = rs & 0xF
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) throw new IllegalArgumentException("AC overflow")
+                coef(ZigZag(k)) = extend(in.receive(sz), sz) * q(ZigZag(k))
+                k += 1
+              }
+            }
+            // separable double IDCT + level shift
+            var y0 = 0
+            while (y0 < 8) {
+              var x0 = 0
+              while (x0 < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  while (v < 8) {
+                    val f = coef(v * 8 + u)
+                    if (f != 0) acc += IdctCos(x0)(u) * IdctCos(y0)(v) * f
+                    v += 1
+                  }
+                  u += 1
+                }
+                val sample = math.round(acc / 4.0 + 128.0).toInt
+                val clamped = if (sample < 0) 0 else if (sample > 255) 255 else sample
+                val px = (mx * c.h + bx) * 8 + x0
+                val py = (my * c.v + by) * 8 + y0
+                planes(ci)(py * planeW(ci) + px) = clamped.toByte
+                x0 += 1
+              }
+              y0 += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // upsample (nearest) + color-convert to RGB
+    val rgb = new Array[Byte](width * height * 3)
+    var py = 0
+    while (py < height) {
+      var px = 0
+      while (px < width) {
+        val o = (py * width + px) * 3
+        if (comps.length == 1) {
+          val g = planes(0)(py * planeW(0) + px)
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+        } else {
+          def sample(ci: Int): Int = {
+            val sx = px * comps(ci).h / maxH
+            val sy = py * comps(ci).v / maxV
+            planes(ci)(sy * planeW(ci) + sx) & 0xFF
+          }
+          val y = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          rgb(o) = clamp(y + 1.402 * cr)
+          rgb(o + 1) = clamp(y - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = clamp(y + 1.772 * cb)
+        }
+        px += 1
+      }
+      py += 1
+    }
+    Some(PixelImage(width, height, rgb))
+  }
+
+  /** Fixture JPEG encoder for the decoder's exactness contract:
+    * BLOCK-CONSTANT images (one RGB color per 8×8 block), flat
+    * all-ones quantization tables, 4:4:4 sampling. A constant block's
+    * forward DCT is DC-only — DC = 8·(c−128) exactly — so with Q=1
+    * the decode reconstructs each block's Y/Cb/Cr EXACTLY and the
+    * only non-trivial decoder math left is the (deterministic) color
+    * convert. Custom minimal Huffman tables (12 fixed 4-bit DC codes,
+    * one 2-bit AC EOB) — the decoder reads whatever DHT declares. */
+  def buildJpeg(width: Int, height: Int,
+                blockColor: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xFF)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    m(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1)) // DQT 0, all ones
+    m(0xC0, Array[Byte](8, // SOF0: 8-bit
+      (height >> 8).toByte, (height & 0xFF).toByte,
+      (width >> 8).toByte, (width & 0xFF).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)) // 3 comps, 1×1, q-table 0
+    // DHT 0/DC: all 12 categories as fixed 4-bit codes (canonical)
+    m(0xC4, Array[Byte](0x00) ++
+      Array[Byte](0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 11).map(_.toByte).toArray)
+    // DHT 0/AC: single 2-bit code for EOB (0x00)
+    m(0xC4, Array[Byte](0x10) ++
+      Array[Byte](0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](0x00))
+    m(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
+
+    // entropy-coded data: per MCU (one 8×8 block per component),
+    // DC-diff + EOB per component, with 0xFF byte stuffing
+    var cur = 0
+    var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(cur)
+          if (cur == 0xFF) out.write(0x00)
+          cur = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    val pred = new Array[Int](3)
+    val bxs = (width + 7) / 8
+    val bys = (height + 7) / 8
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        val (r, g, b) = blockColor(bx, by)
+        val y = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255).max(0)
+        val cb = math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt.min(255).max(0)
+        val cr = math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt.min(255).max(0)
+        val dcs = Array(8 * (y - 128), 8 * (cb - 128), 8 * (cr - 128))
+        var ci = 0
+        while (ci < 3) {
+          val diff = dcs(ci) - pred(ci)
+          pred(ci) = dcs(ci)
+          val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putBits(s, 4) // DC category (canonical code of symbol s IS s)
+          if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          putBits(0, 2) // AC EOB ('00')
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nBits > 0) { // pad with 1s
+      while (nBits != 0) {
+        cur = (cur << 1) | 1; nBits += 1
+        if (nBits == 8) { out.write(cur); if (cur == 0xFF) out.write(0x00); cur = 0; nBits = 0 }
+      }
+    }
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   def buildWav(sampleRate: Int, nSamples: Int, payload: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(44 + nSamples)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -105,9 +105,9 @@ object Multimodal {
       case Some(img) =>
         val (hist, h) = histAndHash(r.content)
         // REAL pixel decode where the container is fully parseable
-        // pure-JVM: PNG (Inflater + unfilter), uncompressed BMP, and
-        // GIF (LZW); jpeg stays header-only (DCT entropy decode needs
-        // a codec lib)
+        // pure-JVM: PNG (Inflater + unfilter), uncompressed BMP, GIF
+        // (LZW), and baseline JPEG (Huffman + IDCT); progressive JPEG
+        // falls back to header-only
         // a corrupt container must degrade to the pseudo path, never
         // kill the task — the decoders guard their bounds, this is the
         // last line of defense for the ones they miss
@@ -116,6 +116,7 @@ object Multimodal {
             case "png" => MediaCodec.decodePngPixels(r.content)
             case "bmp" => MediaCodec.decodeBmpPixels(r.content)
             case "gif" => MediaCodec.decodeGifPixels(r.content)
+            case "jpeg" => MediaCodec.decodeJpegPixels(r.content)
             case _ => None
           }
         } catch { case scala.util.control.NonFatal(_) => None }
@@ -165,10 +166,11 @@ object Multimodal {
 
   /** Synthesize a deterministic media table from the documents table
     * (no binary test data exists): REAL containers — image records
-    * alternate between a valid 8-bit RGB PNG ((doc_id/3) even) and a
-    * valid 24-bpp BMP ((doc_id/3) odd), audio records are valid 8-bit
-    * PCM WAVs (payload bytes from the text) — and raw bytes for video
-    * (the pseudo-decode path). */
+    * rotate through a valid 8-bit RGB PNG ((doc_id/3) % 3 = 0), a
+    * valid 24-bpp BMP (= 1), and a valid baseline JPEG (= 2,
+    * block-constant colors → exact decode); audio records are valid
+    * 8-bit PCM WAVs; video records alternate real MP4 containers with
+    * raw bytes (the pseudo-decode path). */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")
@@ -180,8 +182,14 @@ object Multimodal {
           case 0 =>
             val (w, h) = (16 + (id % 32).toInt, 12 + (id % 24).toInt)
             MediaRecord(id, "image",
-              if ((id / 3) % 2 == 0) MediaCodec.buildPng(w, h, payload)
-              else MediaCodec.buildBmp(w, h, payload), src)
+              (id / 3) % 3 match {
+                case 0 => MediaCodec.buildPng(w, h, payload)
+                case 1 => MediaCodec.buildBmp(w, h, payload)
+                case _ => MediaCodec.buildJpeg(w, h, (bx, by) =>
+                  (((id * 7 + bx * 31 + by * 17) % 256).toInt,
+                    ((id * 3 + bx * 13 + by * 7) % 256).toInt,
+                    ((id * 11 + bx * 5 + by * 29) % 256).toInt))
+              }, src)
           case 1 => MediaRecord(id, "audio",
             MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)
           case _ => MediaRecord(id, "video",

@@ -42,8 +42,8 @@ object MiscQueries extends QueryModule {
   }
 
   // Construction formulas (Multimodal.syntheticMedia + MediaCodec
-  // builders): image = BMP(16+id%32, 12+id%24) for (id/3) odd (PNG
-  // images, (id/3) even, deflate — no closed-form size, excluded),
+  // builders): image = BMP(16+id%32, 12+id%24) for (id/3)%3 = 1 (PNG
+  // deflates and JPEG entropy-codes — no closed-form size, excluded),
   // 54-byte header + 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz,
   // 2000+(id%6000)*8 samples), 44-byte header, duration = samples/8 ms
   // exactly; video = MP4(dur 3000+id%9000 ms, w 160+(id%8)*16,
@@ -65,7 +65,7 @@ object MiscQueries extends QueryModule {
        |         WHEN doc_id % 3 = 2 THEN 244 + 500 + (doc_id % 1500)
        |         ELSE 44 + 2000 + (doc_id % 6000) * 8 END AS n_bytes
        |  FROM documents
-       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1)
+       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 3 = 1)
        |     OR (doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0))
        |SELECT kind, COUNT(*) AS n_media,
        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,

@@ -40,14 +40,15 @@ class MultimodalSpec extends AnyFunSuite {
   test("feature summary groups per (modality, container)") {
     val s = Multimodal.featureSummary(spark, sf)
     val rows = s.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(rows == Seq(("audio", "wav"), ("image", "bmp"), ("image", "png"),
-      ("video", "mp4"), ("video", "unknown")))
+    assert(rows == Seq(("audio", "wav"), ("image", "bmp"), ("image", "jpeg"),
+      ("image", "png"), ("video", "mp4"), ("video", "unknown")))
     // pixel stats are REAL (and present) exactly for the decodable containers
     val lumaByFormat = s.collect().map(r =>
       r.getString(1) -> (r.getLong(r.fieldIndex("n_pixels_real")),
         r.isNullAt(r.fieldIndex("avg_luma")))).toMap
     assert(lumaByFormat("bmp")._1 > 0 && !lumaByFormat("bmp")._2)
     assert(lumaByFormat("png")._1 > 0 && !lumaByFormat("png")._2)
+    assert(lumaByFormat("jpeg")._1 > 0 && !lumaByFormat("jpeg")._2)
     assert(lumaByFormat("wav")._1 == 0 && lumaByFormat("wav")._2)
     assert(lumaByFormat("mp4")._1 == 0 && lumaByFormat("mp4")._2)
     assert(lumaByFormat("unknown")._1 == 0 && lumaByFormat("unknown")._2)
@@ -89,7 +90,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imgs.nonEmpty)
     imgs.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getString(1) == (if ((id / 3) % 2 == 0) "png" else "bmp"), s"id $id format")
+      val wantFormat = (id / 3) % 3 match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
+      }
+      assert(r.getString(1) == wantFormat, s"id $id format")
       assert(r.getInt(2) == 16 + (id % 32).toInt, s"id $id width")
       assert(r.getInt(3) == 12 + (id % 24).toInt, s"id $id height")
     }
@@ -284,7 +288,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.rgb.map(_ & 0xFF).toSeq == Seq(10, 10, 10, 10, 10, 10, 10, 10, 10))
   }
 
-  test("image records carry real mean-RGB/luma for png and bmp") {
+  test("image records carry real mean-RGB/luma for png, bmp, and jpeg") {
     import spark.implicits._
     val df = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, sf)).toDF()
     val imgs = df.filter(col("kind") === "image")
@@ -301,7 +305,7 @@ class MultimodalSpec extends AnyFunSuite {
     // independent value check for one PNG record: recompute the mean
     // from the construction formula (payload = utf-8 text, cyclic)
     val one = Multimodal.syntheticMedia(spark, sf)
-      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 0)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 3 == 0)
       .head()
     val doc = graft.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") === one.media_id).select("text").as[String].head()
@@ -315,5 +319,96 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(feat.mean_r - mean(0)) < 1e-9)
     assert(math.abs(feat.mean_g - mean(1)) < 1e-9)
     assert(math.abs(feat.mean_b - mean(2)) < 1e-9)
+  }
+
+  test("JPEG decode: block-constant fixture reconstructs every pixel exactly") {
+    // buildJpeg emits DC-only blocks with flat Q=1 tables, so the
+    // decode must reproduce each block's (rounded) Y/Cb/Cr EXACTLY;
+    // the expectation below recomputes the whole forward+inverse
+    // path independently of the codec
+    val colors = (bx: Int, by: Int) => ((bx * 40 + by * 3) % 256, (200 - bx * 9 + 256) % 256, (by * 55 + 7) % 256)
+    val (w, h) = (27, 19) // non-multiples of 8: exercises the crop
+    val img = MediaCodec.decodeJpegPixels(MediaCodec.buildJpeg(w, h, colors)).get
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = colors(x / 8, y / 8)
+      val yy = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255).max(0)
+      val cb = math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt.min(255).max(0)
+      val cr = math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt.min(255).max(0)
+      def cl(d: Double) = math.round(d).toInt.min(255).max(0)
+      val er = cl(yy + 1.402 * (cr - 128))
+      val eg = cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+      val eb = cl(yy + 1.772 * (cb - 128))
+      val o = (y * w + x) * 3
+      assert((img.rgb(o) & 0xFF, img.rgb(o + 1) & 0xFF, img.rgb(o + 2) & 0xFF) == ((er, eg, eb)),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG decode: AC coefficients, 4:2:0 subsampling, and restart markers") {
+    // independently written single-component JPEG: one 8x8 block with
+    // a known DC + one AC coefficient, checked against a from-scratch
+    // float IDCT
+    def be16(v: Int) = Array((v >> 8).toByte, (v & 0xFF).toByte)
+    def seg(m: Int, body: Array[Byte]) =
+      Array(0xFF.toByte, m.toByte) ++ be16(body.length + 2) ++ body
+    val dqt = seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(2)) // flat Q=2
+    val sof = seg(0xC0, Array[Byte](8) ++ be16(8) ++ be16(8) ++
+      Array[Byte](1, 1, 0x11, 0))
+    // DC table: cats 0..11 at 4 bits; AC: EOB and 0x01 (run 0, size 1)
+    val dhtDc = seg(0xC4, Array[Byte](0x00) ++
+      Array[Byte](0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 11).map(_.toByte).toArray)
+    val dhtAc = seg(0xC4, Array[Byte](0x10) ++
+      Array[Byte](0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](0x00, 0x01)) // EOB='00', (0,1)='01'
+    val sos = seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // scan bits: DC cat 5 ('0101') value 24 ('11000'); AC (0,1)='01'
+    // value 1 ('1'); EOB '00' → 0101_1100_0011_00 + pad 11
+    val scan = Array(Integer.parseInt("01011100", 2).toByte,
+      Integer.parseInt("00110011", 2).toByte)
+    val bytes = Array(0xFF.toByte, 0xD8.toByte) ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      sos ++ scan ++ Array(0xFF.toByte, 0xD9.toByte)
+    val img = MediaCodec.decodeJpegPixels(bytes).get
+    // expected: IDCT of F(0,0)=24*2=48, F(u=1,v=0)=1*2=2 (zigzag 1)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      def cos(p: Int, f: Int) = math.cos((2 * p + 1) * f * math.Pi / 16.0)
+      val acc = c(0) * c(0) * 48.0 + c(1) * c(0) * 2.0 * cos(x, 1)
+      val want = math.round(acc / 4.0 + 128.0).toInt.min(255).max(0)
+      assert((img.rgb((y * 8 + x) * 3) & 0xFF) == want, s"pixel ($x,$y)")
+    }
+
+    // 4:2:0 with restart markers: hand-assembled two-MCU gray image
+    // (Y 2x2 blocks + Cb + Cr per MCU), DRI=1 → RST0 between MCUs
+    val sof420 = seg(0xC0, Array[Byte](8) ++ be16(16) ++ be16(32) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    val dqt1 = seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1))
+    val dri = seg(0xDD, be16(1))
+    val sos3 = seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    // per MCU: 6 blocks (4 Y + Cb + Cr), all DC diff 0 + EOB =
+    // '0000'+'00' ×6 = 36 bits → bytes 00 00 00 00 + pad '1111'
+    val mcuBits = Array[Byte](0, 0, 0, 0, 0x0F.toByte)
+    val bytes420 = Array(0xFF.toByte, 0xD8.toByte) ++ dqt1 ++ sof420 ++ dhtDc ++
+      dhtAc ++ dri ++ sos3 ++
+      mcuBits ++ Array(0xFF.toByte, 0xD0.toByte) ++ mcuBits ++
+      Array(0xFF.toByte, 0xD9.toByte)
+    val img420 = MediaCodec.decodeJpegPixels(bytes420).get
+    assert(img420.width == 32 && img420.height == 16)
+    // all DC=0 → Y=128, Cb=Cr=128 → neutral gray 128 everywhere
+    assert(img420.rgb.forall(b => (b & 0xFF) == 128))
+  }
+
+  test("JPEG decode: progressive and truncated streams fall back to None") {
+    def be16(v: Int) = Array((v >> 8).toByte, (v & 0xFF).toByte)
+    def seg(m: Int, body: Array[Byte]) =
+      Array(0xFF.toByte, m.toByte) ++ be16(body.length + 2) ++ body
+    // SOF2 (progressive) must be rejected, not misdecoded
+    val prog = Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xC2, Array[Byte](8) ++ be16(8) ++ be16(8) ++ Array[Byte](1, 1, 0x11, 0))
+    assert(MediaCodec.decodeJpegPixels(prog).isEmpty)
+    // truncated entropy stream must not throw out of the decoder
+    val ok = MediaCodec.buildJpeg(16, 16, (_, _) => (10, 20, 30))
+    assert(MediaCodec.decodeJpegPixels(ok.take(ok.length - 6)).isEmpty)
   }
 }
