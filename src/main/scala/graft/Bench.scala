@@ -18,6 +18,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // local[32] wants scan splits ≈ cores: the map side of every
+      // exchange runs in the scan stage, and the default 128 MB
+      // splits give a 200 MB file only 2 map tasks (measured: a05's
+      // 10 M-row shuffle write serialized on 2 of 32 cores, +0.3 s).
+      // 16 MB ≈ 13 splits for that file; sub-16 MB files (all of
+      // sf0.1) stay single-split so the driver's headline bench is
+      // unchanged. On a real cluster this maps to the same rule of
+      // thumb: size splits so every core of every executor has work.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       // measured path = the engine's default session: functions + the
       // TopKRewrite optimizer rule registered via extensions

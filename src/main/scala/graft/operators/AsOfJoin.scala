@@ -136,6 +136,34 @@ object AsOfJoin {
       tolerance = tolerance, left = lPlan, right = rPlan))
   }
 
+  /** Self-as-of: join a table's rows against a SUBSET of itself —
+    * each non-marker row picks up the most recent marker row at or
+    * before it (events vs their own error markers, observations vs
+    * their own gap markers). Semantically identical to
+    * `backward(df.filter(!rightPred), df.filter(rightPred), …)` but
+    * ONE scan instead of two: the tag IS the predicate, so the union
+    * never materializes and the source is read once. Marker rows act
+    * only as the reference side (they don't appear in the output).
+    *
+    * At 100 TB the doubled scan this avoids is a real cost: the
+    * two-sided form reads the fact table twice (Spark has no
+    * scan-sharing across a union's branches).
+    */
+  def backwardSelf(df: DataFrame, rightPred: org.apache.spark.sql.Column,
+                   key: String, ts: String, payload: Seq[String],
+                   tolerance: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val leftCols = df.columns.toSeq
+    val tagged = df
+      .withColumn("__ts", unix_micros(col(ts).cast("timestamp")))
+      .withColumn("__tag", when(rightPred, 0).otherwise(1))
+    // payload columns double as left columns here (same row schema);
+    // the merge node carries them once under the payload alias
+    val withPay = payload.foldLeft(tagged)((d, p) => d.withColumn(s"__p_$p", col(p)))
+    finishMerge(spark, withPay, df, leftCols, key, payload, tolerance)
+  }
+
   /** Shuffle-merge path: tagged union, one shuffle on the key,
     * in-partition sort, forward merge. See AsOfMergeExec. */
   private def mergeBackward(left: DataFrame, right: DataFrame, key: String,
@@ -164,11 +192,18 @@ object AsOfJoin {
     val unioned = lWithNullPayload.select(unionCols.map(col): _*)
       .unionByName(rFinal.select(unionCols.map(col): _*))
 
-    val spark = left.sparkSession
-    val child = unioned.queryExecution.analyzed
+    finishMerge(left.sparkSession, unioned, right, leftCols, key, payload, tolerance)
+  }
+
+  /** Wrap the tagged (and payload-aliased) child in the merge node. */
+  private def finishMerge(spark: org.apache.spark.sql.SparkSession,
+                          tagged: DataFrame, payloadSchemaSource: DataFrame,
+                          leftCols: Seq[String], key: String,
+                          payload: Seq[String], tolerance: Option[Long]): DataFrame = {
+    val child = tagged.queryExecution.analyzed
     val byName = child.output.map(a => a.name -> a).toMap
     val payloadOut = payload.map(p =>
-      AttributeReference(s"asof_$p", right.schema(p).dataType, nullable = true)())
+      AttributeReference(s"asof_$p", payloadSchemaSource.schema(p).dataType, nullable = true)())
     val ageAttr = AttributeReference("asof_age_s", LongType, nullable = true)()
     PlanDataFrame.ofRows(spark, AsOfMergeLogical(
       key = byName(key), ts = byName("__ts"), tag = byName("__tag"),

@@ -344,15 +344,15 @@ object Relational extends QueryModule {
   // user. Oracle: DuckDB's native ASOF LEFT JOIN.
   private def a05(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    // error markers are the dimension-sized side (~5% of events):
-    // hint broadcast, same idiom as broadcast() on a join — AsOfJoin
-    // then probes a per-key sorted lookup with NO shuffle of the fact
-    // side (falls back to shuffle-merge without the hint)
-    val errors = broadcast(ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), col("event_id")))
-    val others = ev.filter(col("event_type") =!= "error")
+    // both sides are filters of the SAME table (non-errors vs their
+    // own error markers: errors are ~20% of events — NOT a
+    // dimension-sized side, so broadcasting would collect millions of
+    // rows at sf10+; measured slower and higher-variance than the
+    // merge). backwardSelf reads events ONCE: the tag is the
+    // predicate, one shuffle, one in-partition sort, O(1)-state merge.
     graft.operators.AsOfJoin
-      .backward(others, errors, "user_id", "ts", "ts", payload = Seq("event_id"))
+      .backwardSelf(ev, col("event_type") === "error",
+        "user_id", "ts", payload = Seq("event_id"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -143,4 +143,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(nodes.head.payloadAttrs.isEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
   }
+
+  test("backwardSelf equals the two-sided form on a partitioned table, with one scan") {
+    import spark.implicits._
+    // deterministic pseudo-random mix of marker (rv even) / probe rows
+    val rows = (0 until 500).map { i =>
+      val k = s"k${(i * 7) % 5}"
+      val t = ts(((i * 131) % 97) + (i % 3) * 0.25)
+      (k, t, i, i % 4 == 0) // every 4th row is a marker
+    }.toDF("k", "ts", "id", "marker")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val twoSided = AsOfJoin.backward(
+        rows.filter(!col("marker")), rows.filter(col("marker")).select("k", "ts", "id"),
+        "k", "ts", "ts", Seq("id"))
+        .select("k", "id", "asof_id", "asof_age_s")
+      val self = AsOfJoin.backwardSelf(rows, col("marker"), "k", "ts", Seq("id"))
+        .select("k", "id", "asof_id", "asof_age_s")
+      val a = twoSided.collect().map(_.toSeq).toSet
+      val b = self.collect().map(_.toSeq).toSet
+      assert(a == b && a.size == 375)
+      // one scan: the self plan contains no Union (and therefore one
+      // LocalRelation leaf); the two-sided plan has two
+      val leaves = self.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.size == 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
 }
