@@ -107,12 +107,19 @@ object PlanAudit {
         "ObjectHashAggregate".r.findAllIn(s).size >= 2),
       "no window node" -> (s => !s.contains("Window")))
 
-    // a05 as-of: the hinted broadcast path must probe with the fact
-    // side untouched — no exchange/sort below the probe — and prune
-    // the events scan to the three used columns through the custom
-    // node (AsOfMergePruning + ColumnPruning in the same batch)
+    // a05 as-of: the self-as-of merge must read events ONCE (one
+    // scan, one exchange), plan the custom merge node (no window /
+    // sort-merge-join fallback), and prune the events scan to the
+    // three used columns through the custom node (AsOfMergePruning +
+    // ColumnPruning in the same batch)
     audit("a05_asof_join")(
-      "broadcast as-of probe" -> (_.contains("AsOfBroadcast")),
+      // count scans in the FINAL plan only (the AQE string repeats
+      // the tree under "== Initial Plan ==")
+      "single-scan as-of merge" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        finalPlan.contains("AsOfMerge") &&
+          "Scan parquet".r.findAllIn(finalPlan).size == 1
+      }),
       "no window/join fallback" -> (s =>
         !s.contains("Window") && !s.contains("SortMergeJoin")),
       "events scan pruned through as-of (no props/value)" -> (s =>

@@ -22,6 +22,10 @@ object GraftFunctions {
     vectorDot(a, b) / (vectorNorm(a) * vectorNorm(b))
 
   def crc24q(bin: Column): Column = c(Crc24qExpr(ex(bin)))
+
+  /** Backward as-of probe into a ts-sorted array<struct<ts,payload…>>:
+    * the greatest element with ts ≤ the probe ts, else NULL. */
+  def asofSearch(sorted: Column, ts: Column): Column = c(AsOfSearch(ex(sorted), ex(ts)))
   def rollingHash64(s: Column): Column = c(RollingHash64(ex(s)))
   def minhash64(shingles: Column): Column = c(MinHash64(ex(shingles)))
   def bpeTokenCount(s: Column): Column = c(BpeTokenCount(ex(s)))

@@ -1,10 +1,10 @@
 package graft.operators
 
-import graft.plans.{AsOfBroadcastLogical, AsOfMergeLogical, AsOfMergeStrategy}
+import graft.plans.{AsOfMergeLogical, AsOfMergeStrategy}
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, LogicalPlan, Project, ResolvedHint}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.PlanDataFrame
 import org.apache.spark.sql.types.LongType
@@ -86,54 +86,46 @@ object AsOfJoin {
       mergeBackward(left, right, key, leftTs, rightTs, payload, tolerance)
   }
 
-  /** Broadcast path: per-key ts-sorted lookup of the right side,
-    * hash-probe + binary-search per left row. See AsOfBroadcastExec. */
+  /** Broadcast path — entirely built-in operators plus ONE scalar
+    * codegen expression: the right side is grouped DISTRIBUTED into
+    * per-key ts-sorted arrays (O(keys) rows), broadcast through
+    * Spark's own BroadcastHashJoin (null-safe equality so NULL keys
+    * group together, matching the merge path's window semantics), and
+    * each left row binary-searches its key's array via
+    * [[graft.functions.AsOfSearch]]. The left side is never shuffled
+    * or sorted, and scan → join → probe → downstream stays inside one
+    * WholeStageCodegen span — Catalyst prunes/pushes through it like
+    * any other join, no custom physical node involved.
+    */
   private def broadcastBackward(left: DataFrame, right: DataFrame, key: String,
                                 leftTs: String, rightTs: String, payload: Seq[String],
                                 tolerance: Option[Long]): DataFrame = {
-    val spark = left.sparkSession
     // cast("timestamp") first: parquet written without UTC adjustment
     // loads as TIMESTAMP_NTZ, which the strict unix_micros rejects;
     // under the session's UTC zone the NTZ→LTZ cast is the identity
-    val l = left.withColumn("__ts", unix_micros(col(leftTs).cast("timestamp")))
-    // The right side is grouped and ts-sorted DISTRIBUTED, one row
-    // per key carrying array<struct<__ts,payload...>> (sort_array
-    // orders by the struct's leading __ts) — the driver then builds
-    // the broadcast lookup from O(keys) rows, not O(rows).
+    val l = left.withColumn("__lts", unix_micros(col(leftTs).cast("timestamp")))
     val payloadCols = payload.distinct
-    val r = right
+    val rightAgg = broadcast(right
       .select((key +: rightTs +: payload).distinct.map(col): _*)
-      .withColumn("__ts", unix_micros(col(rightTs).cast("timestamp")))
-      .filter(col("__ts").isNotNull) // a NULL-ts right row can never match
-      .groupBy(col(key))
-      .agg(sort_array(collect_list(struct((col("__ts") +: payloadCols.map(col)): _*)))
-        .as("__sorted"))
-    // Both children were analyzed as SEPARATE queries, so a shared
-    // source (self-as-of) gives them overlapping exprIds; when the
-    // combined plan is re-analyzed, DeduplicateRelations re-ids one
-    // subtree and attribute fields stored in the custom node would go
-    // stale. A fresh-alias Project on each child pins stable new ids
-    // (dedup rewrites below the aliases, never their output ids). The
-    // hint node has served its purpose — drop it silently.
-    def freshAliased(plan: LogicalPlan): Project =
-      Project(plan.output.map(a => Alias(a, a.name)()), plan)
-    val lPlan = freshAliased(l.queryExecution.analyzed)
-    val rPlan = freshAliased(r.queryExecution.analyzed.transformUp {
-      case h: ResolvedHint => h.child
-    })
-    val lByName = lPlan.output.map(a => a.name -> a).toMap
-    val rByName = rPlan.output.map(a => a.name -> a).toMap
-    val payloadOut = payload.map(p =>
-      AttributeReference(s"asof_$p", right.schema(p).dataType, nullable = true)())
-    val ageAttr = AttributeReference("asof_age_s", LongType, nullable = true)()
-    PlanDataFrame.ofRows(spark, AsOfBroadcastLogical(
-      leftKey = lByName(key), leftTsMicros = lByName("__ts"),
-      rightKey = rByName(key), sortedArr = rByName("__sorted"),
-      leftAttrs = left.columns.toSeq.map(lByName),
-      // struct ordinal of each requested payload column (0 is __ts)
-      payloadFieldIdx = payload.map(p => 1 + payloadCols.indexOf(p)),
-      payloadOut = payloadOut, ageAttr = ageAttr,
-      tolerance = tolerance, left = lPlan, right = rPlan))
+      .withColumn("__rts", unix_micros(col(rightTs).cast("timestamp")))
+      .filter(col("__rts").isNotNull) // a NULL-ts right row can never match
+      .groupBy(col(key).as("__rkey"))
+      .agg(sort_array(collect_list(struct((col("__rts") +: payloadCols.map(col)): _*)))
+        .as("__sorted")))
+    val joined = l.join(rightAgg, l.col(key) <=> rightAgg.col("__rkey"), "left_outer")
+    val hit = graft.functions.GraftFunctions.asofSearch(col("__sorted"), col("__lts"))
+    // age in whole seconds (floor(epoch) difference); search and
+    // sort order stay at full microsecond precision
+    val age = floor(col("__lts") / 1000000L).cast(LongType) -
+      floor(col("__hit").getField("__rts") / 1000000L).cast(LongType)
+    val okAge = tolerance.map(t => col("__age") <= t).getOrElse(lit(true))
+    joined
+      .withColumn("__hit", hit)
+      .withColumn("__age", age)
+      .withColumn("__ok", col("__hit").isNotNull && okAge)
+      .select(left.columns.map(col) ++
+        payload.map(p => when(col("__ok"), col("__hit").getField(p)).as(s"asof_$p")) :+
+        when(col("__ok"), col("__age")).as("asof_age_s"): _*)
   }
 
   /** Self-as-of: join a table's rows against a SUBSET of itself —

@@ -4,10 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator physical as-of merge (custom-operator ladder (c):
   * LogicalPlan + SparkStrategy + SparkPlan), used by
@@ -45,215 +45,6 @@ case class AsOfMergeLogical(
     copy(child = newChild)
 }
 
-/** Broadcast as-of (the small-right-side fast path, mirroring
-  * Spark's own broadcast-hash join): the right side is collected and
-  * broadcast as a per-key ts-sorted lookup, and the left side streams
-  * through a hash-probe + binary-search with NO shuffle and NO sort —
-  * the left scan's partitioning passes straight through to downstream
-  * operators. Chosen by [[graft.operators.AsOfJoin]] when the right
-  * side carries a `broadcast()` hint or its optimizer size estimate
-  * is under `spark.sql.autoBroadcastJoinThreshold`; the shuffle-merge
-  * node above remains the unbounded-size path.
-  *
-  * At 100 TB this is the plan you want whenever the reference side is
-  * dimension-sized (latest station coordinates, error markers): the
-  * fact side is never moved.
-  */
-case class AsOfBroadcastLogical(
-    leftKey: Attribute,
-    leftTsMicros: Attribute,
-    rightKey: Attribute,
-    sortedArr: Attribute, // per-key ts-sorted array<struct<ts,payload...>>
-    leftAttrs: Seq[Attribute],
-    payloadFieldIdx: Seq[Int], // struct field ordinals of the kept payload columns
-    payloadOut: Seq[AttributeReference],
-    ageAttr: AttributeReference,
-    tolerance: Option[Long],
-    left: LogicalPlan,
-    right: LogicalPlan) extends BinaryNode {
-  override def output: Seq[Attribute] = leftAttrs ++ payloadOut :+ ageAttr
-  override def producedAttributes: AttributeSet = AttributeSet(payloadOut :+ ageAttr)
-  override def maxRows: Option[Long] = left.maxRows
-  override protected def withNewChildrenInternal(
-      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfBroadcastLogical =
-    copy(left = newLeft, right = newRight)
-}
-
-case class AsOfBroadcastExec(
-    leftKey: Attribute,
-    leftTsMicros: Attribute,
-    rightKey: Attribute,
-    sortedArr: Attribute,
-    leftAttrs: Seq[Attribute],
-    payloadFieldIdx: Seq[Int],
-    payloadOut: Seq[AttributeReference],
-    ageAttr: AttributeReference,
-    tolerance: Option[Long],
-    left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
-
-  override def output: Seq[Attribute] = leftAttrs ++ payloadOut :+ ageAttr
-  override def producedAttributes: AttributeSet = AttributeSet(payloadOut :+ ageAttr)
-  // left rows pass through 1:1 in place — downstream operators keep
-  // the left scan's partitioning and ordering
-  override def outputPartitioning = left.outputPartitioning
-  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
-
-  protected override def doExecute(): RDD[InternalRow] = {
-    import AsOfBroadcastExec.{Bucket, integralKey, Lookup}
-    val rightOutput = right.output
-    val rKeyOrd = rightOutput.indexWhere(_.exprId == rightKey.exprId)
-    val rArrOrd = rightOutput.indexWhere(_.exprId == sortedArr.exprId)
-    val keyType = rightKey.dataType
-    val longKeys = integralKey(keyType)
-    val structType = sortedArr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    val nStructFields = structType.size
-    val payExprs = payloadFieldIdx.map(i =>
-      org.apache.spark.sql.catalyst.expressions.BoundReference(
-        i, structType(i).dataType, structType(i).nullable))
-    val nPay = payloadFieldIdx.size
-
-    // Driver-side collect of the SMALL side only — the same move (and
-    // the same responsibility) as BroadcastExchangeExec inside a
-    // broadcast-hash join; the operator picks this plan only under
-    // the broadcast hint / threshold. The child plan already grouped
-    // and ts-sorted the right rows DISTRIBUTED (one row per key with
-    // an array<struct<ts,payload>>), so the driver does O(keys) work,
-    // and the lookup is packed into primitive arrays + one payload
-    // byte blob per key so the broadcast serializes as a handful of
-    // arrays, not row objects.
-    val collected = right.executeCollect()
-    val payProj = UnsafeProjection.create(payExprs)
-    val longKeyed = if (longKeys) new scala.collection.mutable.LongMap[Bucket](collected.length) else null
-    val anyKeyed = if (longKeys) null else new java.util.HashMap[Any, Bucket](collected.length)
-    var nullBucket: Bucket = null
-    collected.foreach { row =>
-      val arr = row.getArray(rArrOrd)
-      val n = arr.numElements()
-      if (n > 0) {
-        val ts = new Array[Long](n)
-        val offsets = new Array[Int](n + 1)
-        val blobOut = new java.io.ByteArrayOutputStream()
-        var i = 0
-        while (i < n) {
-          val s = arr.getStruct(i, nStructFields)
-          ts(i) = s.getLong(0)
-          val bytes = payProj(s).getBytes
-          blobOut.write(bytes, 0, bytes.length)
-          offsets(i + 1) = offsets(i) + bytes.length
-          i += 1
-        }
-        val bucket = new Bucket(ts, offsets, blobOut.toByteArray)
-        if (row.isNullAt(rKeyOrd)) nullBucket = bucket
-        else if (longKeys)
-          longKeyed.put(AsOfBroadcastExec.keyAsLong(row, rKeyOrd, keyType), bucket)
-        else anyKeyed.put(InternalRow.copyValue(row.get(rKeyOrd, keyType)), bucket)
-      }
-    }
-    val leftRdd = left.execute()
-    val bc = leftRdd.sparkContext.broadcast(new Lookup(longKeyed, anyKeyed, nullBucket))
-
-    val leftOutput = left.output
-    val lKeyOrd = leftOutput.indexWhere(_.exprId == leftKey.exprId)
-    val lTsOrd = leftOutput.indexWhere(_.exprId == leftTsMicros.exprId)
-    val lKeyType = leftKey.dataType
-    val outExprs = output
-    val joinSchema = leftOutput ++ payloadOut :+ ageAttr
-    val payTypes = payExprs.map(_.dataType).toArray
-    val tol = tolerance
-
-    leftRdd.mapPartitions({ iter =>
-      val outProj = UnsafeProjection.create(outExprs, joinSchema)
-      val joined = new JoinedRow
-      val extra = new GenericInternalRow(nPay + 1)
-      val lookup = bc.value
-      val longMap = lookup.longKeyed
-      val anyMap = lookup.anyKeyed
-      val payRow = new UnsafeRow(nPay) // points into the bucket blob
-      iter.map { row =>
-        var ok = false
-        var age = 0L
-        var payloadSet = false
-        if (!row.isNullAt(lTsOrd)) {
-          val bucket =
-            if (row.isNullAt(lKeyOrd)) lookup.nullBucket
-            else if (longMap != null)
-              longMap.getOrNull(AsOfBroadcastExec.keyAsLong(row, lKeyOrd, lKeyType))
-            else anyMap.get(row.get(lKeyOrd, lKeyType))
-          if (bucket != null) {
-            val ts = row.getLong(lTsOrd)
-            // greatest index with rightTs <= leftTs
-            val tsArr = bucket.ts
-            var lo = 0; var hi = tsArr.length - 1; var found = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tsArr(mid) <= ts) { found = mid; lo = mid + 1 } else hi = mid - 1
-            }
-            if (found >= 0) {
-              age = Math.floorDiv(ts, 1000000L) - Math.floorDiv(tsArr(found), 1000000L)
-              ok = tol.forall(age <= _)
-              if (ok) {
-                val off = bucket.offsets(found)
-                payRow.pointTo(bucket.blob,
-                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
-                  bucket.offsets(found + 1) - off)
-                payloadSet = true
-              }
-            }
-          }
-        }
-        var j = 0
-        while (j < nPay) {
-          extra.update(j,
-            if (payloadSet && !payRow.isNullAt(j)) payRow.get(j, payTypes(j)) else null)
-          j += 1
-        }
-        extra.update(nPay, if (ok) age else null)
-        outProj(joined(row, extra)): InternalRow
-      }
-    }, preservesPartitioning = true)
-  }
-
-  override protected def withNewChildrenInternal(
-      newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastExec =
-    copy(left = newLeft, right = newRight)
-}
-
-object AsOfBroadcastExec {
-  /** One key's right rows: ts-sorted parallel arrays; payloads are
-    * one concatenated UnsafeRow blob sliced by offsets at probe time
-    * (primitive arrays serialize compactly in the broadcast). */
-  final class Bucket(val ts: Array[Long], val offsets: Array[Int], val blob: Array[Byte])
-    extends Serializable
-
-  /** longKeyed (unboxed probe) for integral keys, anyKeyed otherwise;
-    * NULL keys group together (as a window partition would) in the
-    * side slot. */
-  final class Lookup(
-      val longKeyed: scala.collection.mutable.LongMap[Bucket],
-      val anyKeyed: java.util.HashMap[Any, Bucket],
-      val nullBucket: Bucket) extends Serializable
-
-  private[plans] def integralKey(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
-         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
-         org.apache.spark.sql.types.TimestampNTZType => true
-    case _ => false
-  }
-
-  /** Width-correct long extraction (getLong on an int column would
-    * misread columnar rows). Call only when integralKey(dt). */
-  private[plans] def keyAsLong(row: InternalRow, ord: Int,
-                               dt: org.apache.spark.sql.types.DataType): Long = dt match {
-    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType =>
-      row.getInt(ord).toLong
-    case org.apache.spark.sql.types.ShortType => row.getShort(ord).toLong
-    case org.apache.spark.sql.types.ByteType => row.getByte(ord).toLong
-    case _ => row.getLong(ord)
-  }
-}
 
 /** Column pruning through [[AsOfMergeLogical]]. Catalyst's built-in
   * ColumnPruning treats an unknown node conservatively: it inserts a
@@ -282,21 +73,6 @@ object AsOfMergePruning extends Rule[LogicalPlan] {
           payloadOut = keptPay.map(_._2),
           child = Project(childNeeded, m.child)))
       }
-    case p @ Project(_, b: AsOfBroadcastLogical) =>
-      val needed = p.references
-      val keptLeft = b.leftAttrs.filter(needed.contains)
-      // unused payload slots are dropped from the node's output and
-      // the broadcast blob (the struct array itself stays as built)
-      val keptPay = b.payloadFieldIdx.zip(b.payloadOut).filter { case (_, out) => needed.contains(out) }
-      if (keptLeft.size == b.leftAttrs.size && keptPay.size == b.payloadFieldIdx.size) p
-      else {
-        val leftNeeded = (Seq(b.leftKey, b.leftTsMicros) ++ keptLeft).distinct
-        p.copy(child = b.copy(
-          leftAttrs = keptLeft,
-          payloadFieldIdx = keptPay.map(_._1),
-          payloadOut = keptPay.map(_._2),
-          left = Project(leftNeeded, b.left)))
-      }
   }
 }
 
@@ -308,10 +84,6 @@ object AsOfMergeStrategy extends SparkStrategy {
     case m: AsOfMergeLogical =>
       AsOfMergeExec(m.key, m.ts, m.tag, m.leftAttrs, m.payloadAttrs,
         m.payloadOut, m.ageAttr, m.tolerance, planLater(m.child)) :: Nil
-    case b: AsOfBroadcastLogical =>
-      AsOfBroadcastExec(b.leftKey, b.leftTsMicros, b.rightKey, b.sortedArr,
-        b.leftAttrs, b.payloadFieldIdx, b.payloadOut, b.ageAttr, b.tolerance,
-        planLater(b.left), planLater(b.right)) :: Nil
     case _ => Nil
   }
 }

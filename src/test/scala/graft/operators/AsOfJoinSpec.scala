@@ -110,16 +110,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     // AQE's wrapper hides the inner plan from collect(); plan shape
     // is identical without it
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val nodes =
+    val plan =
       try AsOfJoin.backward(left, broadcast(right), "k", "ts", "ts", Seq("rv"))
-        .queryExecution.executedPlan.collect { case b: graft.plans.AsOfBroadcastExec => b }
+        .queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(nodes.nonEmpty)
+    // the broadcast path is Spark's own BroadcastHashJoin + the
+    // asof_search codegen probe — no custom exec node at all
+    val joins = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(joins.nonEmpty, s"no broadcast hash join in:\n$plan")
     // the right side groups/sorts DISTRIBUTED (its own small shuffle);
     // the fact side must stream through untouched
-    val leftPlan = nodes.head.left.toString
+    val leftPlan = joins.head.left.toString
     assert(!leftPlan.contains("Exchange"), s"left side shuffled:\n$leftPlan")
     assert(!leftPlan.contains("Sort"), s"left side sorted:\n$leftPlan")
+    assert(plan.toString.contains("asof_search"), s"probe expression missing:\n$plan")
   }
 
   test("column pruning shrinks the merge node (unused left cols + payload dropped)") {
