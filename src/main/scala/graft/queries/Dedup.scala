@@ -292,15 +292,60 @@ object Dedup extends QueryModule {
 
   // d07: keeper sets — the 100 TB-shaped OUTPUT for near-dup dedup.
   // d02's pair list is the audit view and is quadratic in cluster
-  // size; here each connected cluster of the verified-pair graph
+  // size; here each connected cluster of the verified near-dup graph
   // (exact Jaccard ≥ 0.9, same contract as d02) collapses to one row
   // (keeper = min doc_id, member count), so the output is linear in
-  // the corpus however large the boilerplate clusters grow. Clustering
-  // is distributed min-label propagation (operators.ConnectedComponents);
-  // the oracle states the same fixpoint with a recursive CTE.
+  // the corpus however large the boilerplate clusters grow.
+  //
+  // CANDIDATE SPARSIFICATION (the part that makes the whole pipeline
+  // linear, not just the output): the pairwise band join d02 uses
+  // still materializes O(m²) candidates inside an m-member bucket — a
+  // 10⁶-copy boilerplate cluster is 5·10¹¹ candidate pairs before CC
+  // ever runs. For clustering, that's wasted work: connectivity needs
+  // O(m) edges, not all of them. Each LSH bucket therefore emits only
+  // rep edges (first member → each other member) + chain edges
+  // (consecutive members in sorted order) — ≤ 2 per member — and only
+  // THOSE are exact-verified. For buckets of ≤ 3 members this IS the
+  // full pair set, so on the oracle-checked SFs (planted clusters of
+  // 2-3) the component fixpoint is identical to the all-pairs graph;
+  // in general the sparsified graph is component-equal whenever
+  // near-dup similarity is locally transitive inside a bucket (the
+  // boilerplate/replica case this operator exists for), while an
+  // adversarial in-bucket chain-break can under-merge — the
+  // exhaustive-pair audit remains d02. A bucket's member list must
+  // fit in one row (10⁶ members ≈ 8 MB array vs the 10¹²-row pair
+  // blowup it replaces). Clustering is distributed min-label
+  // propagation (operators.ConnectedComponents); the oracle states
+  // the all-pairs fixpoint with a recursive CTE.
   private def d07(s: SparkSession, d: String): DataFrame = {
-    val pairs = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
-    graft.operators.ConnectedComponents.components(pairs)
+    val sh = shingled(s, d).cache()
+    val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
+        .as(Seq("band", "band_hash")))
+    val sparseEdges = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        // rep edges ms[0]->ms[i] plus chain edges ms[i-1]->ms[i]
+        // (sequence starts at 1 — size(ms) ≥ 2 keeps it ascending;
+        // the duplicated first edge is dropped by distinct below)
+        """concat(
+          |  transform(slice(ms, 2, size(ms) - 1), m -> struct(ms[0] AS doc_a, m AS doc_b)),
+          |  transform(sequence(1, size(ms) - 1), i -> struct(ms[i-1] AS doc_a, ms[i] AS doc_b)))
+          |""".stripMargin)).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val verified = sparseEdges
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents.components(verified)
       .groupBy(col("keeper").as("keeper_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("keeper_id")
