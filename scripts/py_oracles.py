@@ -191,8 +191,83 @@ def t07_bpe_token_stats(sf_dir):
     })
 
 
+def m03_audio_features(sf_dir):
+    """Audio features oracle across the binary+codec boundary.
+
+    Rebuilds the deterministic WAV containers the engine synthesizes
+    from the documents table (graft.multimodal.Multimodal
+    .syntheticMedia: doc_id % 3 == 1 → 8-bit mono PCM at 8 kHz,
+    nSamples = 2000 + (doc_id % 6000) * 8, sample bytes = UTF-8 text
+    cycled), then DECODES them with Python's stdlib `wave` module — an
+    independent RIFF parser — and recomputes the integer-exact signal
+    features (peak, Σ|s|, Σs², sign-change zero crossings) and the
+    per-source aggregate, including the engine's round-half-up
+    fixed-point mean.
+    """
+    import io
+    import struct
+    import wave
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    per_src = {}
+    for doc_id, text, src in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("text").to_pylist(),
+                                 docs.column("source").to_pylist()):
+        if doc_id % 3 != 1:
+            continue
+        payload = text.encode("utf-8")
+        n = 2000 + (doc_id % 6000) * 8
+        body = bytes(payload[i % len(payload)] for i in range(n)) if payload else bytes(n)
+        wav = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+               + b"data" + struct.pack("<I", n) + body)
+        with wave.open(io.BytesIO(wav)) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 1
+            frames = w.readframes(w.getnframes())
+        samples = [b - 128 for b in frames]
+        peak = sum_abs = sum_sq = zc = 0
+        prev_neg = False
+        for i, s in enumerate(samples):
+            a = abs(s)
+            sum_abs += a
+            sum_sq += a * a
+            peak = max(peak, a)
+            neg = s < 0
+            if i > 0 and neg != prev_neg:
+                zc += 1
+            prev_neg = neg
+        st = per_src.setdefault(src, [0, 0, 0, 0, 0, 0])
+        st[0] += 1                      # n_audio (all decode: pcm_real)
+        st[1] += len(samples)           # total_samples
+        st[2] = max(st[2], peak)        # peak
+        st[3] += zc                     # zero_crossings
+        st[4] += sum_sq                 # energy
+        st[5] += sum_abs                # Σ|s| for mean_abs
+
+    def rhu(s, c, mul):
+        # engine Q.rhu: sign(s) * floor((|s|*2*mul + c) / (2*c)) —
+        # double math there, exact here while |s|*2*mul < 2^53
+        return (s * 2 * mul + c) // (2 * c)
+
+    srcs = sorted(per_src)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_audio": pa.array([per_src[s][0] for s in srcs], pa.int64()),
+        "n_pcm_real": pa.array([per_src[s][0] for s in srcs], pa.int64()),
+        "total_samples": pa.array([per_src[s][1] for s in srcs], pa.int64()),
+        "peak": pa.array([per_src[s][2] for s in srcs], pa.int64()),
+        "zero_crossings": pa.array([per_src[s][3] for s in srcs], pa.int64()),
+        "energy": pa.array([per_src[s][4] for s in srcs], pa.int64()),
+        "mean_abs": pa.array(
+            [rhu(per_src[s][5] * 1000, per_src[s][1], 1000) / 1e6 for s in srcs],
+            pa.float64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,
+    "m03_audio_features": m03_audio_features,
 }

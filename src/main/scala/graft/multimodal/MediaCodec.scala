@@ -109,6 +109,58 @@ object MediaCodec {
     else None
   }
 
+  /** Decoded PCM: centered integer samples (8-bit unsigned → s−128,
+    * 16-bit LE signed as-is), interleaved across channels. */
+  final case class PcmAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                            samples: Array[Int])
+
+  /** Full PCM sample decode of a WAV (RIFF/WAVE) body: format code 1
+    * (integer PCM) at 8 or 16 bits. Returns None for other codecs
+    * (float/ADPCM/extensible) — the caller degrades to header-only
+    * metadata, same policy as the image decoders. */
+  def decodeWavSamples(b: Array[Byte]): Option[PcmAudio] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmtCode = -1
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length && (fmtCode < 0 || dataOff < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (size < 0) return None
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtCode = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    if (fmtCode != 1 || channels < 1 || sampleRate <= 0 || dataOff < 0) return None
+    val len = math.min(dataLen, b.length - dataOff)
+    bits match {
+      case 8 =>
+        val out = new Array[Int](len)
+        var j = 0
+        while (j < len) { out(j) = (b(dataOff + j) & 0xFF) - 128; j += 1 }
+        Some(PcmAudio(sampleRate, channels, 8, out))
+      case 16 =>
+        val n = len / 2
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          out(j) = ((b(dataOff + 2 * j) & 0xFF) | (b(dataOff + 2 * j + 1) << 8)).toShort.toInt
+          j += 1
+        }
+        Some(PcmAudio(sampleRate, channels, 16, out))
+      case _ => None
+    }
+  }
+
   /** MP4/ISO-BMFF (ISO 14496-12, published box layouts): walk
     * top-level boxes [size(4 BE) type(4)]; a leading `ftyp` gates the
     * sniff (arbitrary bytes can collide with a 4-char type); `moov`

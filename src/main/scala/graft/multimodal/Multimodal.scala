@@ -205,6 +205,77 @@ object Multimodal {
       }
   }
 
+  /** Per-record audio signal features over decoded PCM samples —
+    * all integer-exact so the aggregate is order-independent and
+    * oracle-checkable: peak = max |s|, sum_abs / sum_sq for
+    * amplitude/energy, zero crossings = sign changes (negative →
+    * non-negative or back) over the interleaved stream. */
+  final case class AudioFeatures(
+      media_id: Long,
+      source: String,
+      sample_rate: Int,
+      n_samples: Long,
+      peak: Long,
+      sum_abs: Long,
+      sum_sq: Long,
+      zero_crossings: Long,
+      pcm_real: Boolean)
+
+  def audioFeatures(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaCodec.decodeWavSamples(r.content) match {
+            case Some(pcm) =>
+              var (sumAbs, sumSq, zc, peak) = (0L, 0L, 0L, 0L)
+              var prevNeg = false
+              var i = 0
+              while (i < pcm.samples.length) {
+                val s = pcm.samples(i)
+                val a = math.abs(s).toLong
+                sumAbs += a; sumSq += a * a
+                if (a > peak) peak = a
+                val neg = s < 0
+                if (i > 0 && neg != prevNeg) zc += 1
+                prevNeg = neg
+                i += 1
+              }
+              AudioFeatures(r.media_id, r.source, pcm.sampleRate,
+                pcm.samples.length.toLong, peak, sumAbs, sumSq, zc, pcm_real = true)
+            case None =>
+              AudioFeatures(r.media_id, r.source, 0, 0L, 0L, 0L, 0L, 0L, pcm_real = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** m03: per-source audio profile over REAL decoded PCM — the
+    * feature-extract stage of an audio training-data pipeline
+    * (amplitude/energy/zero-crossing-rate), aggregated with
+    * integer-exact sums so the result hash-matches an independent
+    * decoder's. */
+  def audioSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val audio = syntheticMedia(spark, sfDir)
+      .filter(col("kind") === "audio")
+      .repartition(8, col("media_id"))
+    audioFeatures(audio).toDF()
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_audio"),
+        sum(when(col("pcm_real"), 1L).otherwise(0L)).as("n_pcm_real"),
+        sum(col("n_samples")).as("total_samples"),
+        max(col("peak")).as("peak"),
+        sum(col("zero_crossings")).as("zero_crossings"),
+        sum(col("sum_sq")).as("energy"),
+        graft.queries.Q.fixedDec(
+          graft.queries.Q.rhu(sum(col("sum_abs")) * 1000L, sum(col("n_samples")), 1000L), 6)
+          .as("mean_abs"))
+      .orderBy("source")
+  }
+
   /** Per-(modality, container) feature aggregate (rows-only query) —
     * pixel statistics are REAL for the png/bmp rows (pixels_real). */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {

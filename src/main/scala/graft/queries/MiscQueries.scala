@@ -15,6 +15,18 @@ object MiscQueries extends QueryModule {
   private def m01(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.featureSummary(s, d)
 
+  // m03: audio feature extraction ORACLE-CHECKED ACROSS THE BINARY
+  // AND CODEC BOUNDARY — the engine builds real 8-bit PCM WAVs from
+  // the documents table, decodes the samples back out of the RIFF
+  // container (MediaCodec.decodeWavSamples), computes integer-exact
+  // signal features (peak / Σ|s| / Σs² / zero crossings) and
+  // aggregates per source; the oracle (scripts/py_oracles.py)
+  // re-parses the same containers with Python's independent stdlib
+  // `wave` decoder and recomputes every value. A divergence anywhere
+  // in build→parse→decode→feature→aggregate fails the hash.
+  private def m03(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.audioSummary(s, d)
+
   // m02: media metadata ORACLE-CHECKED ACROSS THE BINARY BOUNDARY —
   // the engine builds real BMP/WAV containers from the documents
   // table, parses dimensions/durations back out of the binary headers
@@ -102,6 +114,7 @@ object MiscQueries extends QueryModule {
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> m01,
     "m02_media_meta" -> m02,
+    "m03_audio_features" -> m03,
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(

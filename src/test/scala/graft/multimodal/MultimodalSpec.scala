@@ -399,6 +399,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img420.rgb.forall(b => (b & 0xFF) == 128))
   }
 
+  test("WAV PCM decode: 8-bit samples centered, features match hand computation") {
+    val payload = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte, 100, 200.toByte)
+    val wav = MediaCodec.buildWav(8000, 6, payload)
+    val pcm = MediaCodec.decodeWavSamples(wav).get
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1 && pcm.bitsPerSample == 8)
+    // centered: unsigned byte − 128
+    assert(pcm.samples.toSeq == Seq(-128, -1, 0, 127, -28, 72))
+    // sign-change crossings: (-128,-1) no, (-1,0) yes, (0,127) no,
+    // (127,-28) yes, (-28,72) yes
+    val zc = pcm.samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(zc == 3)
+  }
+
+  test("WAV PCM decode: 16-bit little-endian signed, stereo interleave") {
+    // hand-build a 16-bit stereo RIFF: samples L=-2, R=300, L=32767, R=-32768
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(8)
+    Seq(-2, 300, 32767, -32768).foreach(s => bb.putShort(s.toShort))
+    val pcm = MediaCodec.decodeWavSamples(bb.array()).get
+    assert(pcm.bitsPerSample == 16 && pcm.channels == 2)
+    assert(pcm.samples.toSeq == Seq(-2, 300, 32767, -32768))
+    // float PCM (format 3) must be rejected, not misread
+    val bad = bb.array().clone()
+    bad(20) = 3 // fmt code LE16 at offset 20
+    assert(MediaCodec.decodeWavSamples(bad).isEmpty)
+  }
+
+  test("m03 audio summary is integer-exact and every synthetic WAV decodes") {
+    val out = graft.SparkEntry.queries("m03_audio_features")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_audio")) == r.getLong(r.fieldIndex("n_pcm_real")))
+      val meanAbs = r.getDouble(r.fieldIndex("mean_abs"))
+      val peak = r.getLong(r.fieldIndex("peak"))
+      assert(meanAbs > 0 && meanAbs <= peak.toDouble)
+    }
+  }
+
   test("JPEG decode: progressive and truncated streams fall back to None") {
     def be16(v: Int) = Array((v >> 8).toByte, (v & 0xFF).toByte)
     def seg(m: Int, body: Array[Byte]) =
