@@ -265,9 +265,109 @@ def m03_audio_features(sf_dir):
     })
 
 
+def _phash_bits(luma32):
+    """Sequency-ordered 2-D WHT pHash (graft.multimodal.ImageOps):
+    rows = bitreverse5(gray(s)) for s in 0..7; 63 coefficients
+    excluding (0,0); bit set iff coeff > lower median."""
+    def seq_row(s):
+        g = s ^ (s >> 1)
+        return int(format(g, "05b")[::-1], 2)
+
+    rows = [seq_row(s) for s in range(8)]
+    sgn = [[1 if bin(h & i).count("1") % 2 == 0 else -1 for i in range(32)]
+           for h in range(32)]
+    coeffs = []
+    for u in range(8):
+        hu = rows[u]
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            hv = rows[v]
+            acc = 0
+            for y in range(32):
+                sy = sgn[hu][y]
+                row = luma32[y * 32:(y + 1) * 32]
+                acc += sy * sum(sx * l for sx, l in zip(sgn[hv], row))
+            coeffs.append(acc)
+    med = sorted(coeffs)[31]
+    h = 0
+    for k, c in enumerate(coeffs):
+        if c > med:
+            h |= 1 << k
+    return h
+
+
+def _resize_luma(rgb, w, h):
+    """Integer area-average to 32x32 luma (ImageOps.resizeLuma)."""
+    out = []
+    for i in range(32):
+        y0 = i * h // 32
+        y1 = max(y0 + 1, (i + 1) * h // 32)
+        for j in range(32):
+            x0 = j * w // 32
+            x1 = max(x0 + 1, (j + 1) * w // 32)
+            s = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    p = (y * w + x) * 3
+                    s += (77 * rgb[p] + 150 * rgb[p + 1] + 29 * rgb[p + 2]) >> 8
+            cnt = (y1 - y0) * (x1 - x0)
+            out.append((2 * s + cnt) // (2 * cnt))
+    return out
+
+
+def m04_image_phash(sf_dir):
+    """Image pHash oracle: reconstructs the PIXELS the engine's
+    PNG/BMP decoders must produce from the deterministic construction
+    rule (Multimodal.syntheticMedia / MediaCodec.buildPng+buildBmp:
+    PNG = payload cycled row-major RGB; BMP = payload cycled over
+    padded bottom-up BGR rows), then recomputes resize+WHT-hash. The
+    engine side went through real inflate/unfilter (PNG) and row-flip
+    (BMP) decode — a pixel off anywhere changes the hash."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    per_key = {}
+    for doc_id, text, src in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("text").to_pylist(),
+                                 docs.column("source").to_pylist()):
+        if doc_id % 3 != 0 or (doc_id // 3) % 3 not in (0, 1):
+            continue
+        payload = text.encode("utf-8")
+        w, h = 16 + doc_id % 32, 12 + doc_id % 24
+        if (doc_id // 3) % 3 == 0:  # PNG: payload cycled, row-major RGB
+            fmt = "png"
+            n = h * w * 3
+            rgb = bytes(payload[i % len(payload)] for i in range(n))
+        else:  # BMP: payload cycled over padded bottom-up BGR rows
+            fmt = "bmp"
+            row_bytes = (w * 3 + 3) & ~3
+            data = bytes(payload[i % len(payload)] for i in range(row_bytes * h))
+            px = bytearray(h * w * 3)
+            for y in range(h):
+                src_row = (h - 1 - y) * row_bytes
+                for x in range(w):
+                    b, g, r = data[src_row + 3 * x: src_row + 3 * x + 3]
+                    px[(y * w + x) * 3: (y * w + x) * 3 + 3] = bytes((r, g, b))
+            rgb = bytes(px)
+        ph = _phash_bits(_resize_luma(rgb, w, h))
+        st = per_key.setdefault((src, fmt), [0, set(), 0])
+        st[0] += 1
+        st[1].add(ph)
+        st[2] += bin(ph).count("1")
+    keys = sorted(per_key)
+    return pa.table({
+        "source": pa.array([k[0] for k in keys], pa.string()),
+        "format": pa.array([k[1] for k in keys], pa.string()),
+        "n_images": pa.array([per_key[k][0] for k in keys], pa.int64()),
+        "n_distinct_phash": pa.array([len(per_key[k][1]) for k in keys], pa.int64()),
+        "set_bits": pa.array([per_key[k][2] for k in keys], pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,
     "m03_audio_features": m03_audio_features,
+    "m04_image_phash": m04_image_phash,
 }

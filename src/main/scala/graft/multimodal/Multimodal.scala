@@ -276,6 +276,54 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** Per-record perceptual hash over REAL decoded pixels (resize →
+    * 32×32 luma → sequency-WHT hash, see [[ImageOps]]). */
+  final case class ImageHash(
+      media_id: Long, source: String, format: String, phash: Long)
+
+  def imageHashes(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          MediaCodec.sniffImage(r.content).flatMap { info =>
+            (try {
+              info.format match {
+                case "png" => MediaCodec.decodePngPixels(r.content)
+                case "bmp" => MediaCodec.decodeBmpPixels(r.content)
+                case "gif" => MediaCodec.decodeGifPixels(r.content)
+                case "jpeg" => MediaCodec.decodeJpegPixels(r.content)
+                case _ => None
+              }
+            } catch { case scala.util.control.NonFatal(_) => None })
+              .map(img => ImageHash(r.media_id, r.source, info.format, ImageOps.phash(img)))
+          }
+        }
+      }
+    }
+  }
+
+  /** m04: per-source image fingerprint profile — decode → resize →
+    * perceptual hash, aggregated integer-exact. Scoped to the png/bmp
+    * records, whose pixel construction the oracle can restate without
+    * a second JPEG decoder (JPEG pHash is exercised in ImageOpsSpec);
+    * a divergence anywhere in inflate/unfilter/flip → luma → resize →
+    * WHT → hash fails the gate. */
+  def imagePhashSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val images = syntheticMedia(spark, sfDir)
+      .filter(col("kind") === "image")
+      .repartition(8, col("media_id"))
+    imageHashes(images).toDF()
+      .filter(col("format").isin("png", "bmp"))
+      .groupBy(col("source"), col("format"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        countDistinct(col("phash")).as("n_distinct_phash"),
+        sum(bit_count(col("phash"))).as("set_bits"))
+      .orderBy("source", "format")
+  }
+
   /** Per-(modality, container) feature aggregate (rows-only query) —
     * pixel statistics are REAL for the png/bmp rows (pixels_real). */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {

@@ -27,6 +27,16 @@ object MiscQueries extends QueryModule {
   private def m03(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.audioSummary(s, d)
 
+  // m04: image perceptual-hash profile ORACLE-CHECKED ACROSS THE
+  // PIXEL-DECODE BOUNDARY — the engine decodes real PNG (inflate +
+  // unfilter) and BMP (bottom-up BGR) containers, resizes to 32×32
+  // luma (integer area-average) and hashes with the sequency-WHT
+  // pHash; the oracle reconstructs the expected PIXELS from the
+  // deterministic construction rule and recomputes resize+hash in
+  // pure Python — any decoder or image-op divergence fails the hash.
+  private def m04(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.imagePhashSummary(s, d)
+
   // m02: media metadata ORACLE-CHECKED ACROSS THE BINARY BOUNDARY —
   // the engine builds real BMP/WAV containers from the documents
   // table, parses dimensions/durations back out of the binary headers
@@ -115,6 +125,7 @@ object MiscQueries extends QueryModule {
     "m01_media_features" -> m01,
     "m02_media_meta" -> m02,
     "m03_audio_features" -> m03,
+    "m04_image_phash" -> m04,
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(
