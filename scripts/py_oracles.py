@@ -364,10 +364,119 @@ def m04_image_phash(sf_dir):
     })
 
 
+def _scaled_long(y):
+    """graft.functions.ScaledLong.round: |y| >= 1 → half-up via
+    floor/ceil; |y| < 1 → HALF_UP on the shortest decimal repr."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+    if math.isfinite(y) and (y >= 1.0 or y <= -1.0):
+        return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+    return int(Decimal(repr(y)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _round6(x):
+    """Spark round(x, 6) → DECIMAL(18,6) → DOUBLE."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def s05_pq_adc_topk(sf_dir):
+    """Pure-Python recomputation of the PQ-ADC scan (graft.queries
+    .Similarity.pqTopK): identical subspace k-means (first-k init,
+    3 rounds, argmin L2² with d² = v·v − 2 v·c + c·c in left-to-right
+    folds, ties → smallest cid, scaled-long integer sums / count,
+    empty clusters keep their centroid), identical ADC lookup-table
+    fold, identical candidate and rescore ordering. Every float op is
+    IEEE double in the same order, so the hashes must match exactly."""
+    SUBS, SUBDIM, K, ITERS, RESCORE = 8, 8, 16, 3, 50
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label", "embedding"])
+    rows = sorted(zip(tbl.column("vec_id").to_pylist(),
+                      tbl.column("label").to_pylist(),
+                      tbl.column("embedding").to_pylist()))
+    vecs = {vid: [float(x) for x in emb] for vid, _, emb in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = [[vecs[vid][s * SUBDIM:(s + 1) * SUBDIM]
+              for vid, _, _ in rows[:K]] for s in range(SUBS)]
+
+    def assign(v):
+        codes = []
+        for s in range(SUBS):
+            sv = v[s * SUBDIM:(s + 1) * SUBDIM]
+            dss = dot(sv, sv)
+            best, bd = -1, None
+            for cid, c in enumerate(cents[s]):
+                d2 = (dss - 2.0 * dot(sv, c)) + dot(c, c)
+                if bd is None or d2 < bd:
+                    best, bd = cid, d2
+            codes.append(best)
+        return codes
+
+    for _ in range(ITERS):
+        sums = {}
+        for vid, _, _ in rows:
+            v = vecs[vid]
+            for s, cid in enumerate(assign(v)):
+                st = sums.setdefault((s, cid), [[0] * SUBDIM, 0])
+                for i in range(SUBDIM):
+                    st[0][i] += _scaled_long(v[s * SUBDIM + i] * 1e9)
+                st[1] += 1
+        nxt = [[list(c) for c in cs] for cs in cents]
+        for (s, cid), (sl, nc) in sums.items():
+            nxt[s][cid] = [(x / 1e9) / nc for x in sl]
+        cents = nxt
+
+    qv = vecs[0]
+    lut = [[dot(qv[s * SUBDIM:(s + 1) * SUBDIM], c) for c in cents[s]]
+           for s in range(SUBS)]
+    cands = []
+    for vid, _, _ in rows:
+        if vid == 0:
+            continue
+        codes = assign(vecs[vid])
+        approx = 0.0
+        for s in range(SUBS):
+            approx = approx + lut[s][codes[s]]
+        cands.append((vid, approx))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+
+    def cos(a, b):
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        import math
+        return dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+
+    out = []
+    for vid, approx in cands[:RESCORE]:
+        out.append((vid, labels[vid], _round6(approx), _round6(cos(vecs[vid], qv))))
+    out.sort(key=lambda t: (-t[3], t[0]))
+    out = out[:10]
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in out], pa.int64()),
+        "label": pa.array([r[1] for r in out], pa.int64()),
+        "adc_ip": pa.array([r[2] for r in out], pa.float64()),
+        "cos_sim": pa.array([r[3] for r in out], pa.float64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,
     "m03_audio_features": m03_audio_features,
     "m04_image_phash": m04_image_phash,
+    "s05_pq_adc_topk": s05_pq_adc_topk,
 }

@@ -271,11 +271,112 @@ object Similarity extends QueryModule {
       |WHERE deq.vec_id <> 0
       |ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin
 
+  // s05: product-quantization ADC scan + exact rescore — the
+  // compressed-domain half of the ANN story (s03's IVF prunes WHICH
+  // vectors are scanned; PQ shrinks WHAT a scan reads: 64 floats →
+  // 8 nibble codes = 256 B → 4 B per vector, so a 100 TB embedding
+  // corpus ADC-scans from ~1.6 TB of codes + a broadcast codebook,
+  // with exact rescore touching only the top-C candidates' full
+  // vectors).
+  //
+  // Determinism (the oracle is a pure-Python recomputation of every
+  // fold, scripts/py_oracles.py): per-subspace k-means with first-k
+  // init by vec_id, exactly PqIters assignment/update rounds,
+  // assignment = argmin L2² (d² = v·v − 2 v·c + c·c, left-to-right
+  // folds, ties → smallest cid), update = scaled-long integer element
+  // sums / count (empty clusters keep their centroid), ADC lookup
+  // table of query-subvector inner products, candidate order
+  // (approx desc, vec_id), exact-cosine rescore of the top
+  // PqRescore.
+  private val PqSubs = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqIters = 3
+  private val PqRescore = 50
+
+  private[queries] def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("label").cast(LongType).as("label"),
+      col("embedding"),
+      expr("transform(embedding, x -> cast(x as double))").as("v")).cache()
+    def subCol(sub: Int): Column = expr(s"slice(v, ${sub * PqSubDim + 1}, $PqSubDim)")
+
+    // init: sub-slices of the first PqK vectors by vec_id
+    val initRows = e.orderBy("vec_id").limit(PqK)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cents: Array[Array[Seq[Double]]] = Array.tabulate(PqSubs)(sub =>
+      initRows.map(v => v.slice(sub * PqSubDim, (sub + 1) * PqSubDim)))
+
+    // argmin-L2² code per subspace against the broadcast codebook;
+    // array_position takes the FIRST min → ties to the smallest cid
+    def codeCol(sub: Int): Column = {
+      val sv = subCol(sub)
+      val d2 = transform(
+        typedLit(cents(sub).map(_.toIndexedSeq).toIndexedSeq),
+        c => vectorDot(sv, sv) - lit(2.0) * vectorDot(sv, c) + vectorDot(c, c))
+      (array_position(d2, array_min(d2)) - 1).cast(IntegerType)
+    }
+    def codesCol: Column = array((0 until PqSubs).map(codeCol): _*)
+
+    for (_ <- 1 to PqIters) {
+      // ONE pass updates all subspaces: explode (sub, cid), fused
+      // scaled-long sub-vector sums, ≤ PqSubs·PqK fixed-width rows out
+      val grouped = e.withColumn("codes", codesCol)
+        .select(posexplode(col("codes")).as(Seq("sub", "cid")), col("embedding"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(graft.functions.GraftFunctions.vectorScaledSum(
+          expr(s"slice(embedding, sub * $PqSubDim + 1, $PqSubDim)"), PqSubDim, 9)
+          .as("sums"), count(lit(1)).as("nc"))
+        .collect()
+      val next = cents.map(_.clone())
+      grouped.foreach { r =>
+        val (sub, cid) = (r.getInt(0), r.getInt(1))
+        val sums = r.getSeq[Long](2)
+        val nc = r.getLong(3)
+        next(sub)(cid) = sums.map(sl => (sl.toDouble / 1e9) / nc)
+      }
+      cents = next // empty clusters keep their previous centroid
+    }
+
+    // ADC: lut[sub][cid] = q_sub · cent (left-to-right); approx(v) =
+    // Σ_sub lut[sub][code_sub], folded sub = 0..7
+    val qv = e.filter(col("vec_id") === 0).select(col("v")).collect()(0).getSeq[Double](0)
+    def ip(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val lut: Seq[Seq[Double]] = (0 until PqSubs).map { sub =>
+      val qs = qv.slice(sub * PqSubDim, (sub + 1) * PqSubDim)
+      cents(sub).toSeq.map(c => ip(qs, c))
+    }
+    val lutLit = typedLit(lut.map(_.toIndexedSeq).toIndexedSeq)
+    val approx = (0 until PqSubs)
+      .map(sub => element_at(element_at(lutLit, sub + 1), col("codes")(sub) + 1))
+      .reduce(_ + _)
+
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvemb"))
+    e.withColumn("codes", codesCol)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("adc", approx)
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(PqRescore)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(col("adc"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("adc_ip"),
+        round(cosineSimilarity(col("embedding"), col("qvemb")), 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  private def s05(s: SparkSession, d: String): DataFrame = pqTopK(s, d)
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute_cosine" -> s01,
     "s02_centroid_norms" -> s02,
     "s03_ivf_ann_topk" -> s03,
-    "s04_int8_quant_topk" -> s04)
+    "s04_int8_quant_topk" -> s04,
+    "s05_pq_adc_topk" -> s05)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,

@@ -25,6 +25,27 @@ class IvfSpec extends AnyFunSuite {
     assert(full == exact, s"full-probe IVF $full != brute $exact")
   }
 
+  test("PQ-ADC top-k (s05): recall floor and exact rescore values") {
+    val s1 = graft.SparkEntry.queries("s01_knn_brute_cosine")(spark, sf).collect()
+    val exactScores = s1.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact10 = s1.take(10).map(_.getLong(0)).toSet
+    val pq = graft.SparkEntry.queries("s05_pq_adc_topk")(spark, sf).collect()
+    assert(pq.length == 10)
+    // recall floor: 4-bit-per-subspace codes + rescore-50 on an
+    // isotropic corpus (measured 0.8 at sf0.01; floor leaves margin)
+    val ids = pq.map(_.getLong(0)).toSet
+    assert((exact10 & ids).size >= 6, s"recall ${(exact10 & ids).size}/10")
+    // the rescore is EXACT: every returned cos_sim equals the
+    // brute-force score for that vector (PQ approximates WHICH
+    // vectors to look at, never the reported score)
+    pq.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("cos_sim")) == exactScores(r.getLong(0)))
+    }
+    // the ADC approximation correlates: candidates ordered by adc_ip
+    // must rank the true best candidate in the kept set
+    assert(ids.contains(s1.head.getLong(0)), "true top-1 missing from PQ result")
+  }
+
   test("2-probe recall against the exact top-10") {
     val exact = top10("s01_knn_brute_cosine").toSet
     val ivf = top10("s03_ivf_ann_topk").toSet
