@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus hygiene operators beyond per-doc dedup: benchmark
+  * decontamination (train-vs-eval n-gram overlap, the check every LLM
+  * data pipeline runs before training — see e.g. the GPT-3/PaLM
+  * appendix methodology of 13-gram overlap; 5-grams here because the
+  * synthetic docs are 30-90 words) and corpus-level duplicated-span
+  * profiling (the C4-style "how much of each document is boilerplate
+  * that recurs elsewhere" measurement, at 3-gram granularity).
+  *
+  * Both emit per-source integer summaries (counts only — no float
+  * sums), so results are exact and order-independent by construction.
+  *
+  * Scale notes: gram explosion is linear in corpus token count and
+  * partitions freely. t08's eval-gram side is a DISTINCT projection of
+  * the (small, fixed) benchmark set — left UNHINTED so Spark
+  * broadcasts it when it fits and shuffle-joins when it doesn't (here
+  * the stand-in eval split is 1/37 of the corpus, which at 100 TB
+  * must NOT be force-broadcast). t09's gram document-frequency join is
+  * corpus-sized on both sides and shuffles on the gram hash — the
+  * standard map-reduce duplicated-span plan.
+  */
+object CorpusOps extends QueryModule {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  // Distinct word n-grams from a pre-split word array (same
+  // pre-materialization rationale as Dedup.shinglesExpr: referencing
+  // split(text) inside the lambda would re-split per element). The
+  // index list is built TOTAL — slice(sequence(0, size), 1,
+  // greatest(size-n+1, 0)) is empty for short docs — because
+  // sequence(0, size-n) DESCENDS when size < n ([0,-1], step
+  // inferred -1) and ws[i+n-1] then throws under ANSI; a size(ws)
+  // filter upstream does not reliably guard the projection once the
+  // optimizer reorders/collapses it.
+  private def gramExpr(n: Int): String = {
+    val refs = (0 until n).map(i => if (i == 0) "ws[i]" else s"ws[i+$i]").mkString(", ")
+    s"array_distinct(transform(slice(sequence(0, size(ws)), 1, greatest(size(ws) - ${n - 1}, 0)), " +
+      s"i -> concat_ws(' ', $refs)))"
+  }
+
+  private val gram5Expr = gramExpr(5)
+  private val gram3Expr = gramExpr(3)
+
+  private def grammed(s: SparkSession, d: String, minWords: Int, gramExpr: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= minWords)
+      .select(col("doc_id"), col("source"), expr(gramExpr).as("grams"))
+
+  // t08: benchmark decontamination. Eval split = doc_id % 37 == 0 (a
+  // deterministic stand-in for a held-out benchmark); a train doc is
+  // "contaminated" when ≥10% of its distinct 5-grams appear anywhere
+  // in the eval split. Per-source integer summary.
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    val g = grammed(s, d, 5, gram5Expr)
+    val evalGrams = g.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = g.filter(col("doc_id") % 37 =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col("doc_id"), col("source"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_hits")).as("total_hits"),
+        sum(when(col("n_hits") * 10 >= col("n_grams"), 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  private val t08Sql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(range(1, len(ws) - 3),
+      |          i -> array_to_string(ws[i:i+4], ' '))) AS grams
+      |      FROM w),
+      |ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 37 = 0),
+      |tr AS (SELECT doc_id, source, grams FROM g WHERE doc_id % 37 <> 0),
+      |hit AS (SELECT doc_id, COUNT(*) AS n_hits
+      |        FROM (SELECT doc_id, UNNEST(grams) AS gram FROM tr) x
+      |        WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
+      |pd AS (SELECT tr.doc_id, tr.source, len(grams) AS n_grams,
+      |         COALESCE(n_hits, 0) AS n_hits
+      |       FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+      |  CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+      |  CAST(SUM(CASE WHEN n_hits * 10 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // t09: duplicated-span profile. A doc's 3-gram is a "duplicated
+  // span" when it occurs in ≥2 distinct documents corpus-wide; per
+  // source: how many docs, how much of their span inventory is
+  // corpus-duplicated, and how many docs carry any duplicated span.
+  private def t09(s: SparkSession, d: String): DataFrame = {
+    val g = grammed(s, d, 3, gram3Expr)
+    val exploded = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // grams are distinct per doc, so count(*) per gram = document freq
+    val dupGrams = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    val dupPerDoc = exploded.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    g.select(col("doc_id"), col("source"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_dup")).as("dup_grams"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_with_dup"))
+      .orderBy("source")
+  }
+
+  private val t09Sql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(range(1, len(ws) - 1),
+      |          i -> array_to_string(ws[i:i+2], ' '))) AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+      |dup AS (SELECT gram FROM ex GROUP BY 1 HAVING COUNT(*) >= 2),
+      |dpd AS (SELECT doc_id, COUNT(*) AS n_dup FROM ex
+      |        WHERE gram IN (SELECT gram FROM dup) GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(grams)) AS BIGINT) AS total_grams,
+      |  CAST(SUM(COALESCE(n_dup, 0)) AS BIGINT) AS dup_grams,
+      |  CAST(SUM(CASE WHEN COALESCE(n_dup, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup
+      |FROM g LEFT JOIN dpd ON g.doc_id = dpd.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_decontamination" -> t08,
+    "t09_dupspan_profile" -> t09)
+
+  override def oracle: Map[String, String] = Map(
+    "t08_decontamination" -> t08Sql,
+    "t09_dupspan_profile" -> t09Sql)
+}

@@ -39,8 +39,13 @@ object Dedup extends QueryModule {
   // Word 3-shingles, distinct, built from a pre-materialized word
   // array: referencing split(text) inside the lambda would re-split
   // the whole text on every element access (O(len·words) per doc).
+  // The index list is TOTAL (empty for <3 words): sequence(0,
+  // size-3) DESCENDS for short docs ([0,-1], inferred step -1) and
+  // ws[i+2] then throws under ANSI — an upstream size(ws) filter does
+  // not reliably guard the projection once the optimizer collapses it
+  // (observed in CorpusOps; same pattern).
   private val shinglesExpr =
-    "array_distinct(transform(sequence(0, size(ws) - 3), " +
+    "array_distinct(transform(slice(sequence(0, size(ws)), 1, greatest(size(ws) - 2, 0)), " +
       "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
 
   // d01: exact dedup via content hash — keeper id + multiplicity per
@@ -160,7 +165,12 @@ object Dedup extends QueryModule {
     val withSim = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("hs",
-        expr("transform(sequence(0, size(ws) - 2), i -> xxhash64(ws[i], ws[i+1]))"))
+        // total index list: a 1-word doc yields NO bigrams (simhash 0)
+        // instead of a descending sequence + ANSI index error; the
+        // Python oracle's range() over the word list is empty the same
+        // way, so the two sides stay in lockstep
+        expr("transform(slice(sequence(0, size(ws)), 1, greatest(size(ws) - 1, 0)), " +
+          "i -> xxhash64(ws[i], ws[i+1]))"))
       .withColumn("simhash",
         expr("aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
           "if(aggregate(hs, 0L, (a, h) -> a + (shiftright(h, j) & 1)) * 2 > size(hs), shiftleft(1L, j), 0L))"))
@@ -329,12 +339,15 @@ object Dedup extends QueryModule {
       .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(
-        // rep edges ms[0]->ms[i] plus chain edges ms[i-1]->ms[i]
-        // (sequence starts at 1 — size(ms) ≥ 2 keeps it ascending;
-        // the duplicated first edge is dropped by distinct below)
+        // rep edges ms[0]->ms[i] plus chain edges ms[i-1]->ms[i]. The
+        // chain index list is TOTAL (empty for size(ms) < 2) so a
+        // singleton bucket can never hit a descending sequence + ANSI
+        // index error even if the size(ms)>1 filter is reordered; the
+        // duplicated first edge is dropped by distinct below.
         """concat(
-          |  transform(slice(ms, 2, size(ms) - 1), m -> struct(ms[0] AS doc_a, m AS doc_b)),
-          |  transform(sequence(1, size(ms) - 1), i -> struct(ms[i-1] AS doc_a, ms[i] AS doc_b)))
+          |  transform(slice(ms, 2, greatest(size(ms) - 1, 0)), m -> struct(ms[0] AS doc_a, m AS doc_b)),
+          |  transform(slice(sequence(0, size(ms)), 2, greatest(size(ms) - 1, 0)),
+          |    i -> struct(ms[i-1] AS doc_a, ms[i] AS doc_b)))
           |""".stripMargin)).as("e"))
       .select(col("e.doc_a"), col("e.doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))

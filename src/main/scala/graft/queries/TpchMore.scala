@@ -1,0 +1,488 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The remaining classic TPC-H query shapes, adapted to the synthetic
+  * schema (no partsupp / shipmode / receiptdate columns — stand-ins
+  * are noted per query). Together with Relational's h01/h03-h06/h10/
+  * h13/h17/h18 this covers the full TPC-H shape inventory: correlated
+  * min subqueries, disjunctive join predicates, nested IN chains,
+  * EXISTS/NOT-EXISTS self-joins, scalar-subquery thresholds.
+  *
+  * Scale notes: every dimension join (part, supplier, nation,
+  * customer) is `broadcast()`; fact-fact joins (lineitem⋈orders,
+  * lineitem⋈lineitem self semi/anti) shuffle on the join key and
+  * benefit from bucketing at 100 TB; scalar thresholds are computed as
+  * one-row aggregates crossJoin(broadcast(...))-ed into the plan, not
+  * collected and re-literalized (keeps the whole query one job and
+  * lets AQE see it).
+  *
+  * All money arithmetic goes through Q.dsum/Q.decd (exact fixed-point,
+  * order-independent, DOUBLE-final) so results hash-match the DuckDB
+  * oracle bit-for-bit; ratios divide the two exact doubles (both
+  * engines divide identical IEEE values). Years are BIGINT; every
+  * ORDER BY preceding a LIMIT is a total order so the cut is
+  * deterministic on both engines.
+  */
+object TpchMore extends QueryModule {
+  import Q._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revSql = "l_extendedprice * (1 - l_discount)"
+
+  // TPC-H Q2 shape: min-cost supplier per part (correlated MIN
+  // subquery re-expressed as aggregate + join-back on the min value).
+  // s_acctbal stands in for ps_supplycost; the supplied-parts relation
+  // is the DISTINCT (partkey, suppkey) projection of lineitem.
+  private def h02(s: SparkSession, d: String): DataFrame = {
+    val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    val sup = t(s, d, "supplier")
+    // min acctbal among ALL suppliers of the part (not just the
+    // filtered-part slice) — mirrors Q2's correlation on p_partkey only
+    val minBal = ps
+      .join(broadcast(sup.select(col("s_suppkey").as("msk"), col("s_acctbal").as("mbal"))),
+        col("l_suppkey") === col("msk"))
+      .groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("mbal")).as("min_bal"))
+    val p = t(s, d, "part")
+      .filter(col("p_size").between(10, 15) && col("p_type") === "LARGE")
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(minBal, col("l_partkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name").as("nation"), decd(col("s_acctbal"), 18, 2).as("acctbal"))
+      .orderBy(desc("acctbal"), col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  private val h02Sql =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |mb AS (SELECT l_partkey AS mk, MIN(s_acctbal) AS min_bal
+      |       FROM ps JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1)
+      |SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS nation,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+      |FROM ps
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN mb ON l_partkey = mk AND s_acctbal = min_bal
+      |WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+      |ORDER BY acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin
+
+  // TPC-H Q7 shape: volume shipping between a nation pair, by year.
+  // (NATION_3, NATION_8) are present on the supplier side at every SF.
+  private def h07(s: SparkSession, d: String): DataFrame = {
+    val n1 = t(s, d, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, d, "nation").select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val pair = Seq("NATION_3", "NATION_8")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01 00:00:00").cast(TimestampType),
+        lit("1997-12-31 00:00:00").cast(TimestampType)))
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+        (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dsum(rev, 22, 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val h07Sql =
+    s"""SELECT supp_nation, cust_nation, l_year, ${dsumSql("volume", 22, 4)} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       |    $revSql AS volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+       |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                       AND TIMESTAMP '1997-12-31 00:00:00') x
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // TPC-H Q8 shape: market share of one supplier nation within a
+  // customer region, by order year. Share = exact-decimal numerator /
+  // exact-decimal denominator, divided as the identical IEEE doubles.
+  private def h08(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val supN = t(s, d, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val vol = t(s, d, "lineitem")
+      .join(t(s, d, "orders").filter(col("o_orderdate").between(
+        lit("1996-01-01 00:00:00").cast(TimestampType),
+        lit("1997-12-31 00:00:00").cast(TimestampType))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"), "left_semi")
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("snk"))
+    vol
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_8", rev).otherwise(lit(0)), 22, 4).as("nation_volume"),
+        dsum(rev, 22, 4).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"), col("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val h08Sql =
+    s"""SELECT o_year, nation_volume, total_volume,
+       |  nation_volume / total_volume AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |    ${dsumSql(s"CASE WHEN n1.n_name = 'NATION_8' THEN $revSql ELSE 0 END", 22, 4)} AS nation_volume,
+       |    ${dsumSql(revSql, 22, 4)} AS total_volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                        AND TIMESTAMP '1997-12-31 00:00:00'
+       |    AND c_nationkey IN (SELECT n_nationkey FROM nation
+       |                        JOIN region ON n_regionkey = r_regionkey
+       |                        WHERE r_name = 'ASIA')
+       |  GROUP BY 1) x
+       |ORDER BY 1""".stripMargin
+
+  // TPC-H Q9 shape: product-type profit by supplier nation and order
+  // year. Profit stand-in (no ps_supplycost): discounted revenue minus
+  // p_retailprice·l_quantity — exact at 4 decimals.
+  private def h09(s: SparkSession, d: String): DataFrame = {
+    val amount = rev - col("p_retailprice") * col("l_quantity")
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(dsum(amount, 24, 4).as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  private val h09Sql =
+    s"""SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |  ${dsumSql(s"$revSql - p_retailprice * l_quantity", 24, 4)} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin
+
+  // TPC-H Q11 shape: important-part value concentration — grouped
+  // value with a HAVING threshold from a scalar subquery over the SAME
+  // filtered set (shipped value of NATION_3's suppliers stands in for
+  // partsupp stock value).
+  private def h11(s: SparkSession, d: String): DataFrame = {
+    val natSupp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val filtered = t(s, d, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val perPart = filtered.groupBy(col("l_partkey").as("partkey"))
+      .agg(dsum(col("l_extendedprice"), 18, 2).as("value"))
+    val total = filtered.agg(dsum(col("l_extendedprice"), 18, 2).as("total_value"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > col("total_value") * 0.001)
+      .select(col("partkey"), col("value"))
+      .orderBy(desc("value"), col("partkey"))
+  }
+
+  private val h11Sql =
+    s"""WITH f AS (SELECT l_partkey, l_extendedprice FROM lineitem
+       |           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+       |                               JOIN nation ON s_nationkey = n_nationkey
+       |                               WHERE n_name = 'NATION_3'))
+       |SELECT l_partkey AS partkey, ${dsumSql("l_extendedprice", 18, 2)} AS value
+       |FROM f GROUP BY 1
+       |HAVING ${dsumSql("l_extendedprice", 18, 2)} >
+       |  (SELECT ${dsumSql("l_extendedprice", 18, 2)} FROM f) * 0.001
+       |ORDER BY 2 DESC, 1""".stripMargin
+
+  // TPC-H Q12 shape: priority class counts per line status (stands in
+  // for shipmode), one year of shipments — join + conditional counts.
+  private def h12(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("linestatus")
+  }
+
+  private val h12Sql =
+    """SELECT l_linestatus AS linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // TPC-H Q14 shape: promo revenue share in one month. p_type='PROMO'
+  // is a real type value in the synthetic part table.
+  private def h14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-10-01 00:00:00").cast(TimestampType))
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)), 22, 4).as("promo_revenue"),
+        dsum(rev, 22, 4).as("total_revenue"))
+      .withColumn("promo_pct", lit(100.0) * col("promo_revenue") / col("total_revenue"))
+
+  private val h14Sql =
+    s"""SELECT promo_revenue, total_revenue,
+       |  100.0 * promo_revenue / total_revenue AS promo_pct
+       |FROM (
+       |  SELECT ${dsumSql(s"CASE WHEN p_type = 'PROMO' THEN $revSql ELSE 0 END", 22, 4)} AS promo_revenue,
+       |    ${dsumSql(revSql, 22, 4)} AS total_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00') x""".stripMargin
+
+  // TPC-H Q15 shape: top supplier by quarterly revenue — revenue view
+  // + MAX scalar subquery + equality join-back (exact decimals make
+  // the equality deterministic).
+  private def h15(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(rev, 22, 4).as("total_revenue"))
+    val mx = r.agg(max(col("total_revenue")).as("max_revenue"))
+    r.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val h15Sql =
+    s"""WITH r AS (SELECT l_suppkey, ${dsumSql(revSql, 22, 4)} AS total_revenue
+       |           FROM lineitem
+       |           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+       |           GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN r ON s_suppkey = l_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+       |ORDER BY 1""".stripMargin
+
+  // TPC-H Q16 shape: supplier count per (brand, type, size) slice,
+  // excluding a NOT-IN supplier set (negative balance stands in for
+  // complaint comments). DISTINCT pair projection + anti-join +
+  // count-distinct.
+  private def h16(s: SparkSession, d: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val excluded = t(s, d, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+    t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(sizes: _*))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast(LongType).as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val h16Sql =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3""".stripMargin
+
+  // TPC-H Q19 shape: disjunctive bracketed join predicate (brand ×
+  // size × quantity OR-of-conjunctions) — the optimizer should still
+  // extract the common l_partkey equi-join.
+  private def h19(s: SparkSession, d: String): DataFrame = {
+    def bracket(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bracket("Brand#12", 1, 5, 1, 11) ||
+        bracket("Brand#23", 1, 10, 10, 20) ||
+        bracket("Brand#3", 1, 15, 20, 30))
+      .agg(dsum(rev, 22, 4).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  private val h19Sql =
+    s"""SELECT ${dsumSql(revSql, 22, 4)} AS revenue, COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // TPC-H Q20 shape: nested IN chain — suppliers (in two nations) who
+  // shipped > 30 total quantity of some 'small%' part. part-IN →
+  // grouped HAVING → supplier-IN, each level a semi-join.
+  private def h20(s: SparkSession, d: String): DataFrame = {
+    val smallParts = t(s, d, "part").filter(col("p_name").startsWith("small"))
+      .select("p_partkey")
+    val heavyShippers = t(s, d, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(dsum(col("l_quantity"), 18, 2).as("sum_qty"))
+      .filter(col("sum_qty") > 30)
+      .select(col("l_suppkey")).distinct()
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavyShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val h20Sql =
+    s"""SELECT s_suppkey, s_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_3', 'NATION_8')
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM lineitem
+       |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+       |    GROUP BY l_suppkey, l_partkey
+       |    HAVING ${dsumSql("l_quantity", 18, 2)} > 30)
+       |ORDER BY 1""".stripMargin
+
+  // TPC-H Q21 shape: suppliers who were the ONLY one to return items
+  // on a multi-supplier finalized order — EXISTS + NOT-EXISTS
+  // self-joins on the fact table (returnflag 'R' stands in for the
+  // late-receipt predicate). The self semi/anti joins shuffle on
+  // l_orderkey; the supplier/nation filters broadcast and run first so
+  // only NATION_3's lines enter the self-join.
+  private def h21(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val natSupp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+    val other = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val otherR = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1
+      .join(other, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(otherR, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  private val h21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND n_name = 'NATION_3'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+
+  // TPC-H Q22 shape: dormant high-balance customers — scalar
+  // above-average threshold (exact fixed-point avg, see Q.davg) +
+  // NOT-EXISTS anti-join, grouped by segment (cntrycode stand-in).
+  private def h22(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("2000-06-01 00:00:00").cast(TimestampType))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 18, 2).as("totacctbal"))
+      .orderBy("segment")
+  }
+
+  private val h22Sql =
+    s"""SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+       |  ${dsumSql("c_acctbal", 18, 2)} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h02_min_supplier_part" -> h02,
+    "h07_volume_shipping" -> h07,
+    "h08_market_share" -> h08,
+    "h09_product_profit" -> h09,
+    "h11_value_concentration" -> h11,
+    "h12_priority_by_status" -> h12,
+    "h14_promo_share" -> h14,
+    "h15_top_supplier" -> h15,
+    "h16_supplier_cnt" -> h16,
+    "h19_disjunctive_pred" -> h19,
+    "h20_nested_in" -> h20,
+    "h21_only_returner" -> h21,
+    "h22_dormant_customers" -> h22)
+
+  override def oracle: Map[String, String] = Map(
+    "h02_min_supplier_part" -> h02Sql,
+    "h07_volume_shipping" -> h07Sql,
+    "h08_market_share" -> h08Sql,
+    "h09_product_profit" -> h09Sql,
+    "h11_value_concentration" -> h11Sql,
+    "h12_priority_by_status" -> h12Sql,
+    "h14_promo_share" -> h14Sql,
+    "h15_top_supplier" -> h15Sql,
+    "h16_supplier_cnt" -> h16Sql,
+    "h19_disjunctive_pred" -> h19Sql,
+    "h20_nested_in" -> h20Sql,
+    "h21_only_returner" -> h21Sql,
+    "h22_dormant_customers" -> h22Sql)
+}

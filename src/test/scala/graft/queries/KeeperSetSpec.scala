@@ -56,4 +56,31 @@ class KeeperSetSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 2L), s"got $out")
   }
+
+  test("1- and 2-word docs don't break the gram expressions (ANSI descending-sequence guard)") {
+    import spark.implicits._
+    // sequence(0, size-k) DESCENDS for docs shorter than the gram
+    // width, and under ANSI the out-of-range ws[i+k] access throws —
+    // upstream size() filters are not a reliable guard once the
+    // optimizer collapses projections. The index lists are now total;
+    // this corpus crashes the old forms.
+    val docs = Seq(
+      (1L, "one", "x"), (2L, "two words", "x"),
+      (3L, "three word doc", "x"),
+      (4L, "a full length document with enough words to form real shingles", "x"),
+      (5L, "a full length document with enough words to form real shingles", "x"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_short").toString
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val d07 = graft.SparkEntry.queries("d07_neardup_keeper_sets")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d07 == Map(4L -> 2L), s"got $d07")
+    // d04 simhash: short docs get an empty bigram set (simhash 0) and
+    // pair only with each other at hamming 0 — no crash
+    val d04 = graft.SparkEntry.queries("d04_simhash_pairs")(spark, dir).collect()
+    assert(d04.nonEmpty)
+    val d02 = graft.SparkEntry.queries("d02_minhash_jaccard_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d02.toSeq == Seq((4L, 5L)), s"got ${d02.toSeq}")
+  }
 }
