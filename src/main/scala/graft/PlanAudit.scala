@@ -125,6 +125,36 @@ object PlanAudit {
       "events scan pruned through as-of (no props/value)" -> (s =>
         !s.contains("props") && !s.contains("value#")))
 
+    // h19's OR-of-conjunctions spans both sides; the common l_partkey
+    // equi-join must still be extracted (no cartesian/nested-loop)
+    audit("h19_disjunctive_pred")(
+      "equi-join extracted from disjunction" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian fallback" -> (s =>
+        !s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin")))
+
+    // h21's EXISTS/NOT-EXISTS self-joins must plan as semi + anti
+    // joins on the fact key, with the supplier/nation dims broadcast
+    audit("h21_only_returner")(
+      "exists as semi join" -> (_.contains("LeftSemi")),
+      "not-exists as anti join" -> (_.contains("LeftAnti")),
+      "dims broadcast" -> (_.contains("BroadcastHashJoin")))
+
+    // h02: the correlated-min must be ONE pass — a per-partkey window
+    // over the joined relation, not a second lineitem scan + self-join
+    audit("h02_min_supplier_part")(
+      "single lineitem scan" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        "Scan parquet".r.findAllIn(finalPlan).size <= 4 // lineitem+3 dims
+      }),
+      "windowed min keyed by part" -> (_.contains("windowspecdefinition(p_partkey")))
+
+    // t08: the eval-gram side of the decontamination join must NOT be
+    // a hardcoded broadcast — at 100 TB the eval split exceeds the
+    // driver; Spark may still choose broadcast at this SF, but the
+    // semi join itself has to be present
+    audit("t08_decontamination")(
+      "gram probe is a semi join" -> (_.contains("LeftSemi")))
+
     // a USER-written window-form top-k (the w05 idiom spelled as
     // row_number + filter) must hit plans.TopKRewrite in the default
     // session — the extension is registered above, not per-test

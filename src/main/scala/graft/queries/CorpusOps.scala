@@ -58,7 +58,10 @@ object CorpusOps extends QueryModule {
   // "contaminated" when ≥10% of its distinct 5-grams appear anywhere
   // in the eval split. Per-source integer summary.
   private def t08(s: SparkSession, d: String): DataFrame = {
-    val g = grammed(s, d, 5, gram5Expr)
+    // both the eval and train branches consume the gram table; cache
+    // it so the parquet scan + split + gram build run once (same
+    // pattern as Dedup's shingled cache)
+    val g = grammed(s, d, 5, gram5Expr).cache()
     val evalGrams = g.filter(col("doc_id") % 37 === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     val train = g.filter(col("doc_id") % 37 =!= 0)
@@ -104,7 +107,8 @@ object CorpusOps extends QueryModule {
   // source: how many docs, how much of their span inventory is
   // corpus-duplicated, and how many docs carry any duplicated span.
   private def t09(s: SparkSession, d: String): DataFrame = {
-    val g = grammed(s, d, 3, gram3Expr)
+    // consumed three times (df counting, dup-per-doc, per-doc sizes)
+    val g = grammed(s, d, 3, gram3Expr).cache()
     val exploded = g.select(col("doc_id"), explode(col("grams")).as("gram"))
     // grams are distinct per doc, so count(*) per gram = document freq
     val dupGrams = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))

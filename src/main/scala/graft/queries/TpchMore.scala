@@ -41,20 +41,20 @@ object TpchMore extends QueryModule {
   // is the DISTINCT (partkey, suppkey) projection of lineitem.
   private def h02(s: SparkSession, d: String): DataFrame = {
     val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
-    val sup = t(s, d, "supplier")
-    // min acctbal among ALL suppliers of the part (not just the
-    // filtered-part slice) — mirrors Q2's correlation on p_partkey only
-    val minBal = ps
-      .join(broadcast(sup.select(col("s_suppkey").as("msk"), col("s_acctbal").as("mbal"))),
-        col("l_suppkey") === col("msk"))
-      .groupBy(col("l_partkey").as("mk"))
-      .agg(min(col("mbal")).as("min_bal"))
     val p = t(s, d, "part")
       .filter(col("p_size").between(10, 15) && col("p_type") === "LARGE")
+    // Q2 correlates the MIN on p_partkey only, so it ranges over ALL
+    // suppliers of the part; the part-attribute filter is constant per
+    // partkey, which makes a per-partkey window MIN over the filtered
+    // relation the SAME value — one lineitem scan and one window
+    // shuffle instead of a second scan + aggregate + self-join (ties
+    // all survive the equality, as Q2 requires).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
     ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(minBal, col("l_partkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+      .withColumn("min_bal", min(col("s_acctbal")).over(w))
+      .filter(col("s_acctbal") === col("min_bal"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
         col("n_name").as("nation"), decd(col("s_acctbal"), 18, 2).as("acctbal"))
       .orderBy(desc("acctbal"), col("p_partkey"), col("s_suppkey"))
