@@ -472,11 +472,111 @@ def s05_pq_adc_topk(sf_dir):
     })
 
 
+def _jround(x):
+    """Java Math.round(double): floor(x + 0.5) — NOT Python's
+    banker's rounding."""
+    import math
+    return int(math.floor(x + 0.5))
+
+
+def _clamp255(v):
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def m05_pixel_stats(sf_dir):
+    """Pixel-statistic oracle across ALL THREE image decoders.
+
+    Reconstructs the decoded RGB the engine must produce for every
+    synthetic image (Multimodal.syntheticMedia):
+      - PNG ((doc_id/3)%3 = 0): payload cycled row-major RGB — the
+        engine went through real deflate/inflate + unfilter;
+      - BMP (= 1): payload cycled over 4-byte-padded bottom-up BGR
+        rows — the engine parsed and flipped the real container;
+      - JPEG (= 2): block-constant colors through the encoder's
+        RGB→YCbCr (Java floor(x+0.5) rounding) and the decoder's
+        YCbCr→RGB doubles, mirrored operation-for-operation. The
+        DCT/quant round-trip is exact by construction (DC-only blocks,
+        all-ones quant table), so color conversion is the only pixel
+        math — identical IEEE operations in identical order.
+    Then recomputes the integer R/G/B/luma sums per (source, format).
+    """
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    agg = {}
+    for doc_id, text, src in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("text").to_pylist(),
+                                 docs.column("source").to_pylist()):
+        if doc_id % 3 != 0:
+            continue
+        payload = text.encode("utf-8")
+        w, h = 16 + doc_id % 32, 12 + doc_id % 24
+        sub = (doc_id // 3) % 3
+        if sub == 0:  # PNG: payload cycled, row-major RGB
+            fmt = "png"
+            n = h * w * 3
+            rgb = bytes(payload[i % len(payload)] for i in range(n))
+        elif sub == 1:  # BMP: payload cycled over padded bottom-up BGR
+            fmt = "bmp"
+            row_bytes = (w * 3 + 3) & ~3
+            data = bytes(payload[i % len(payload)] for i in range(row_bytes * h))
+            px = bytearray(h * w * 3)
+            for y in range(h):
+                src_row = (h - 1 - y) * row_bytes
+                for x in range(w):
+                    b, g, r = data[src_row + 3 * x: src_row + 3 * x + 3]
+                    px[(y * w + x) * 3: (y * w + x) * 3 + 3] = bytes((r, g, b))
+            rgb = bytes(px)
+        else:  # JPEG: block-constant colors through YCbCr and back
+            fmt = "jpeg"
+            px = bytearray(h * w * 3)
+            cache = {}
+            for by in range((h + 7) // 8):
+                for bx in range((w + 7) // 8):
+                    r0 = (doc_id * 7 + bx * 31 + by * 17) % 256
+                    g0 = (doc_id * 3 + bx * 13 + by * 7) % 256
+                    b0 = (doc_id * 11 + bx * 5 + by * 29) % 256
+                    # encoder forward convert (MediaCodec.buildJpeg)
+                    yy = _clamp255(_jround(0.299 * r0 + 0.587 * g0 + 0.114 * b0))
+                    cb = _clamp255(_jround(128.0 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0))
+                    cr = _clamp255(_jround(128.0 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0))
+                    # decoder inverse convert (decodeJpegPixels)
+                    r2 = _clamp255(_jround(yy + 1.402 * (cr - 128.0)))
+                    g2 = _clamp255(_jround(yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+                    b2 = _clamp255(_jround(yy + 1.772 * (cb - 128.0)))
+                    cache[(bx, by)] = (r2, g2, b2)
+            for y in range(h):
+                for x in range(w):
+                    r2, g2, b2 = cache[(x // 8, y // 8)]
+                    px[(y * w + x) * 3: (y * w + x) * 3 + 3] = bytes((r2, g2, b2))
+            rgb = bytes(px)
+        st = agg.setdefault((src, fmt), [0, 0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(rgb) // 3
+        for p in range(0, len(rgb), 3):
+            r, g, b = rgb[p], rgb[p + 1], rgb[p + 2]
+            st[2] += r
+            st[3] += g
+            st[4] += b
+            st[5] += (77 * r + 150 * g + 29 * b) >> 8
+    keys = sorted(agg)
+    return pa.table({
+        "source": pa.array([k[0] for k in keys], pa.string()),
+        "format": pa.array([k[1] for k in keys], pa.string()),
+        "n_images": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "n_pixels": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "sum_r": pa.array([agg[k][2] for k in keys], pa.int64()),
+        "sum_g": pa.array([agg[k][3] for k in keys], pa.int64()),
+        "sum_b": pa.array([agg[k][4] for k in keys], pa.int64()),
+        "sum_luma": pa.array([agg[k][5] for k in keys], pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,
     "m03_audio_features": m03_audio_features,
     "m04_image_phash": m04_image_phash,
+    "m05_pixel_stats": m05_pixel_stats,
     "s05_pq_adc_topk": s05_pq_adc_topk,
 }

@@ -324,6 +324,76 @@ object Multimodal {
       .orderBy("source", "format")
   }
 
+  /** Per-record integer pixel sums over REAL decoded pixels — the
+    * mean-color/luma feature stage of an image pipeline with
+    * order-independent integer arithmetic (sums, not means, so the
+    * aggregate is exact under any partial-aggregation order). Luma is
+    * the same integer weighting ImageOps uses: (77r+150g+29b)>>8. */
+  final case class PixelSums(
+      media_id: Long, source: String, format: String,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long, sum_luma: Long)
+
+  def pixelSums(records: Dataset[MediaRecord]): Dataset[PixelSums] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          MediaCodec.sniffImage(r.content).flatMap { info =>
+            (try {
+              info.format match {
+                case "png" => MediaCodec.decodePngPixels(r.content)
+                case "bmp" => MediaCodec.decodeBmpPixels(r.content)
+                case "gif" => MediaCodec.decodeGifPixels(r.content)
+                case "jpeg" => MediaCodec.decodeJpegPixels(r.content)
+                case _ => None
+              }
+            } catch { case scala.util.control.NonFatal(_) => None })
+              .map { img =>
+                var (sr, sg, sb, sl) = (0L, 0L, 0L, 0L)
+                var p = 0
+                while (p < img.rgb.length) {
+                  val rr = img.rgb(p) & 0xFF
+                  val gg = img.rgb(p + 1) & 0xFF
+                  val bb = img.rgb(p + 2) & 0xFF
+                  sr += rr; sg += gg; sb += bb
+                  sl += (77 * rr + 150 * gg + 29 * bb) >> 8
+                  p += 3
+                }
+                PixelSums(r.media_id, r.source, info.format,
+                  (img.rgb.length / 3).toLong, sr, sg, sb, sl)
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** m05: per-(source, container) pixel-statistic profile over every
+    * REAL image decode path — png (inflate+unfilter), bmp (bottom-up
+    * BGR), and, unlike m04, JPEG: the synthetic baseline JPEGs are
+    * block-constant at Q=1, so the block DCT is DC-only and decode
+    * reconstructs each block's Y/Cb/Cr exactly — the only residual
+    * decoder math is the deterministic double-precision color convert,
+    * which the Python oracle mirrors operation-for-operation
+    * (including Java's floor(x+0.5) rounding). A divergence anywhere
+    * in any of the three decoders fails the hash. */
+  def pixelStatSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val images = syntheticMedia(spark, sfDir)
+      .filter(col("kind") === "image")
+      .repartition(8, col("media_id"))
+    pixelSums(images).toDF()
+      .groupBy(col("source"), col("format"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(col("n_pixels")).as("n_pixels"),
+        sum(col("sum_r")).as("sum_r"),
+        sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_b")).as("sum_b"),
+        sum(col("sum_luma")).as("sum_luma"))
+      .orderBy("source", "format")
+  }
+
   /** Per-(modality, container) feature aggregate (rows-only query) —
     * pixel statistics are REAL for the png/bmp rows (pixels_real). */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {

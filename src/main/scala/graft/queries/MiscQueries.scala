@@ -121,11 +121,19 @@ object MiscQueries extends QueryModule {
       |  AND event_type IN ('click','purchase')
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // m05: pixel statistics ORACLE-CHECKED ACROSS ALL THREE IMAGE
+  // DECODERS — integer R/G/B/luma sums over real PNG, BMP AND JPEG
+  // pixel decodes (the JPEG fixtures are exact through DC-only DCT at
+  // Q=1; the oracle mirrors the deterministic color-convert doubles).
+  private def m05(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.pixelStatSummary(s, d)
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> m01,
     "m02_media_meta" -> m02,
     "m03_audio_features" -> m03,
     "m04_image_phash" -> m04,
+    "m05_pixel_stats" -> m05,
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(

@@ -453,4 +453,25 @@ class MultimodalSpec extends AnyFunSuite {
     val ok = MediaCodec.buildJpeg(16, 16, (_, _) => (10, 20, 30))
     assert(MediaCodec.decodeJpegPixels(ok.take(ok.length - 6)).isEmpty)
   }
+
+  test("m05 pixel stats cover all three decoders with consistent totals") {
+    val rows = Multimodal.pixelStatSummary(spark, sf).collect()
+    val formats = rows.map(_.getString(1)).distinct.sorted
+    assert(formats.toSeq == Seq("bmp", "jpeg", "png"), s"got ${formats.toSeq}")
+    rows.foreach { r =>
+      val (n, np, sl) = (r.getLong(2), r.getLong(3), r.getLong(7))
+      assert(n > 0 && np > 0 && sl > 0)
+      // integer luma is bounded by the channel sums it derives from
+      assert(sl <= ((77L * r.getLong(4) + 150L * r.getLong(5) + 29L * r.getLong(6)) >> 8))
+    }
+    // pixel totals must equal the construction dims Σ w·h per format
+    import spark.implicits._
+    val expect = graft.Tables.load(spark, sf, "documents").select("doc_id").as[Long]
+      .collect().filter(_ % 3 == 0)
+      .groupBy(id => (id / 3) % 3 match { case 0 => "png"; case 1 => "bmp"; case _ => "jpeg" })
+      .view.mapValues(_.map(id => (16 + id % 32) * (12 + id % 24)).sum).toMap
+    val got = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
 }
