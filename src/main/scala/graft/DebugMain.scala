@@ -2,29 +2,37 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling entry (not part of the driver contract). */
+/** Ad-hoc single-query timer (dev tool): runs the named
+  * `SparkEntry.queries` entries against an SF dir with the bench
+  * session settings and prints per-run wall times.
+  *
+  * Usage: runMain graft.DebugMain <sfDir> <query>[,query...] [nRuns]
+  */
 object DebugMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(Seq("d02_minhash_jaccard_pairs"))
+    val nRuns = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[debug] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    names.foreach { name =>
+      var run = 0
+      while (run < nRuns) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[debug] $name run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+        run += 1
+      }
     }
-    val d03 = time("d03 candidates") {
-      queries.Dedup.defs("d03_lsh_candidates")(spark, sfDir).count()
-    }
-    println(s"[debug] candidate pairs: $d03")
-    val d02 = time("d02 full") {
-      queries.Dedup.defs("d02_minhash_jaccard_pairs")(spark, sfDir).count()
-    }
-    println(s"[debug] verified pairs: $d02")
     spark.stop()
   }
 }
