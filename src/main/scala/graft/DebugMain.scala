@@ -14,14 +14,18 @@ object DebugMain {
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(Seq("d02_minhash_jaccard_pairs"))
     val nRuns = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    // opt-in experiment knobs, e.g. SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       var run = 0

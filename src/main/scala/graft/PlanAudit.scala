@@ -132,12 +132,22 @@ object PlanAudit {
       "no cartesian fallback" -> (s =>
         !s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin")))
 
-    // h21's EXISTS/NOT-EXISTS self-joins must plan as semi + anti
-    // joins on the fact key, with the supplier/nation dims broadcast
+    // h21's EXISTS/NOT-EXISTS pair is collapsed to a per-order profile
+    // over lineitem semi-joined to the candidate order keys: the fact
+    // must cross no sort-merge self-join (the literal EXISTS form
+    // planned two full self exchanges), the anti-exists must be an
+    // aggregate, and every join side that can broadcast must
     audit("h21_only_returner")(
-      "exists as semi join" -> (_.contains("LeftSemi")),
-      "not-exists as anti join" -> (_.contains("LeftAnti")),
-      "dims broadcast" -> (_.contains("BroadcastHashJoin")))
+      // l1 + the profile probe: exactly two lineitem reads, plus
+      // orders/supplier/nation — the literal EXISTS form scans the
+      // fact three times and exchanges it twice
+      "fact scanned at most twice (≤5 scans total)" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        "Scan parquet".r.findAllIn(finalPlan).size <= 5
+      }),
+      "per-order profile aggregated" -> (_.contains("HashAggregate")),
+      "key-set semi + dims broadcast" -> (s =>
+        s.contains("BroadcastHashJoin") && s.contains("LeftSemi")))
 
     // h02: the correlated-min must be ONE pass — a per-partkey window
     // over the joined relation, not a second lineitem scan + self-join

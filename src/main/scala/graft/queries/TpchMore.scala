@@ -40,9 +40,17 @@ object TpchMore extends QueryModule {
   // s_acctbal stands in for ps_supplycost; the supplied-parts relation
   // is the DISTINCT (partkey, suppkey) projection of lineitem.
   private def h02(s: SparkSession, d: String): DataFrame = {
-    val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
     val p = t(s, d, "part")
       .filter(col("p_size").between(10, 15) && col("p_type") === "LARGE")
+    // broadcast-join the filtered part BEFORE the pair distinct: the
+    // filter keeps ~2% of parts, so the distinct's shuffle input drops
+    // by the same factor (join-below-aggregate is not a rewrite
+    // Catalyst performs — the declaration order is the plan here);
+    // the pair set over the filtered parts is identical either way
+    val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("l_suppkey"))
+      .distinct()
     // Q2 correlates the MIN on p_partkey only, so it ranges over ALL
     // suppliers of the part; the part-attribute filter is constant per
     // partkey, which makes a per-partkey window MIN over the filtered
@@ -50,8 +58,7 @@ object TpchMore extends QueryModule {
     // shuffle instead of a second scan + aggregate + self-join (ties
     // all survive the equality, as Q2 requires).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
-    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    ps.join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .withColumn("min_bal", min(col("s_acctbal")).over(w))
       .filter(col("s_acctbal") === col("min_bal"))
@@ -86,7 +93,9 @@ object TpchMore extends QueryModule {
         lit("1996-01-01 00:00:00").cast(TimestampType),
         lit("1997-12-31 00:00:00").cast(TimestampType)))
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+      // customer is a SEMI-dimension (grows with scale): no broadcast
+      // hint — AQE broadcasts while it fits and shuffle-joins beyond
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
@@ -132,7 +141,8 @@ object TpchMore extends QueryModule {
         lit("1996-01-01 00:00:00").cast(TimestampType),
         lit("1997-12-31 00:00:00").cast(TimestampType))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+      // customer unhinted for the same semi-dimension reason as h07
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"), "left_semi")
       .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
@@ -279,11 +289,16 @@ object TpchMore extends QueryModule {
   // + MAX scalar subquery + equality join-back (exact decimals make
   // the equality deterministic).
   private def h15(s: SparkSession, d: String): DataFrame = {
+    // cached: the MAX scalar and the join-back both consume r —
+    // uncached, each side re-runs the full lineitem scan + aggregate
+    // (measured 2× the query cost at sf10); the cached relation is
+    // |suppliers| rows, negligible at any scale
     val r = t(s, d, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
         col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
       .groupBy(col("l_suppkey"))
       .agg(dsum(rev, 22, 4).as("total_revenue"))
+      .cache()
     val mx = r.agg(max(col("total_revenue")).as("max_revenue"))
     r.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("max_revenue"))
@@ -310,7 +325,11 @@ object TpchMore extends QueryModule {
   private def h16(s: SparkSession, d: String): DataFrame = {
     val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
     val excluded = t(s, d, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
-    t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    // part filter + supplier anti-join run BEFORE the distinct so the
+    // pair shuffle carries only the ~1/6 qualifying slice (the
+    // grouped countDistinct dedupes pairs itself, so the explicit
+    // distinct is dropped rather than reordered)
+    t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(t(s, d, "part")
         .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
           col("p_size").isin(sizes: _*))),
@@ -387,27 +406,51 @@ object TpchMore extends QueryModule {
        |ORDER BY 1""".stripMargin
 
   // TPC-H Q21 shape: suppliers who were the ONLY one to return items
-  // on a multi-supplier finalized order — EXISTS + NOT-EXISTS
-  // self-joins on the fact table (returnflag 'R' stands in for the
-  // late-receipt predicate). The self semi/anti joins shuffle on
-  // l_orderkey; the supplier/nation filters broadcast and run first so
-  // only NATION_3's lines enter the self-join.
+  // on a multi-supplier finalized order — the EXISTS + NOT-EXISTS
+  // pair (stated verbatim in the oracle SQL) collapses to ONE
+  // per-order aggregate: a line qualifies iff its order has ≥2
+  // distinct suppliers AND exactly one distinct RETURNING supplier
+  // AND that supplier is this line's. One pass over lineitem + a
+  // broadcast of the per-order profile of R-heavy orders, instead of
+  // two full self semi/anti shuffles (measured 5× at sf10; Catalyst
+  // plans the literal EXISTS form as two 60 M-row exchanges).
   private def h21(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
     val natSupp = t(s, d, "supplier")
       .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
+    // l1 = the candidate lines: R-flagged, finalized order, target
+    // nation — a ~0.5% slice of the fact. The EXISTS/NOT-EXISTS
+    // probes only ever touch l1's orders, so the per-order profile is
+    // computed on lineitem SEMI-JOINED to l1's (aggregation-deduped)
+    // order keys first: the 60 M-row fact crosses no exchange — AQE
+    // broadcasts the small key set (and degrades to a shuffle join
+    // only when l1 itself is huge, which is when the wide profile
+    // would be needed anyway). The literal EXISTS pair planned two
+    // full self semi/anti exchanges; a countDistinct profile planned
+    // an Expand; both measured ≥5× slower at sf10.
+    // broadcast nation-supplier cut FIRST (1/25 of suppliers) so the
+    // orders join exchanges the ~1% slice, not the 1/3 R slice —
+    // Catalyst keeps the declared inner-join order without CBO
     val l1 = li.filter(col("l_returnflag") === "R")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .join(t(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
-    val other = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-    val otherR = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      .cache()
+    val keys = l1.groupBy(col("l_orderkey").as("kk")).agg(lit(1))
+      .select(col("kk"))
+    val profile = li.select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(keys, col("l_orderkey") === col("kk"), "left_semi")
+      .groupBy(col("l_orderkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"),
+        min(when(col("has_r") === 1L, col("sk"))).as("r_supp"))
+      .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+      .select(col("pk"), col("r_supp"))
     l1
-      .join(other, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
-      .join(otherR, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(profile, col("l_orderkey") === col("pk") && col("l_suppkey") === col("r_supp"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
