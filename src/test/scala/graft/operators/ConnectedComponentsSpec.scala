@@ -37,4 +37,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = run(Seq((7L, 8L)))
     assert(got == Map(7L -> 7L, 8L -> 7L))
   }
+
+  test("a 200-node path converges within the pointer-jumping round bound") {
+    import spark.implicits._
+    // path graph = worst-case diameter (a drifting near-dup chain in
+    // d07 terms). Plain min-propagation needs ~200 rounds; pointer
+    // jumping halves distance-to-root each round, so 12 rounds
+    // suffice — the tight maxRounds makes the complexity claim the
+    // assertion, not just termination
+    val edges = (1L until 200L).map(i => (i + 1, i))
+    val got = ConnectedComponents
+      .components(edges.toDF("a", "b"), maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
 }
