@@ -30,6 +30,16 @@ object GraftFunctions {
   def minhash64(shingles: Column): Column = c(MinHash64(ex(shingles)))
   def bpeTokenCount(s: Column): Column = c(BpeTokenCount(ex(s)))
 
+  /** Argmax-cosine codebook assignment (k-means kernel); value-
+    * identical to transform+array_position over cosineSimilarity. */
+  def argMaxCosine(v: Column, cents: Array[Array[Double]]): Column =
+    c(ArgMaxCosine(ex(v), cents))
+
+  /** One-pass PQ code assignment over all subspaces; value-identical
+    * to the per-subspace transform+array_position argmin-L2² form. */
+  def pqAssignCodes(v: Column, cents: Array[Array[Array[Double]]], subDim: Int): Column =
+    c(PqAssignCodes(ex(v), cents, subDim))
+
   /** Fused element-wise scaled-long vector sum (aggregate):
     * array<long>[dims] of Σ round(v[i]·10^scale) per group. */
   def vectorScaledSum(v: Column, dims: Int, scale: Int): Column =

@@ -152,4 +152,29 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().flatMap(r => (0 until 16).map(i => (r.getInt(0), i) -> r.getLong(1 + i))).toMap
     assert(fused == unfused)
   }
+
+  test("ArgMaxCosine equals the transform+array_position form, incl. duplicate-centroid ties") {
+    import spark.implicits._
+    val rnd = new java.util.Random(77)
+    val rows = (0 until 500).map(i => (i.toLong, Array.fill(32)(rnd.nextDouble() - 0.5)))
+    // duplicate the FIRST centroid at the end: the max is attained at
+    // two indices and both forms must pick the first
+    val base = Array.fill(7)(Array.fill(32)(rnd.nextDouble() - 0.5))
+    val cents = base :+ base(0).clone()
+    val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val df = spark.createDataset(rows).toDF("id", "v")
+      .withColumn("native", GraftFunctions.argMaxCosine(col("v"), cents))
+      .withColumn("hof", {
+        val sims = transform(centsLit, c => GraftFunctions.cosineSimilarity(col("v"), c))
+        (array_position(sims, array_max(sims)) - 1).cast("long")
+      })
+    val mismatch = df.filter(col("native") =!= col("hof")).count()
+    assert(mismatch == 0)
+    // tie rows exist in spirit: force one exact-duplicate query vector
+    val tieDf = spark.createDataset(Seq((0L, cents(0))))
+      .toDF("id", "v")
+      .withColumn("native", GraftFunctions.argMaxCosine(col("v"), cents))
+    // cos(v, c0) == cos(v, c7) == 1 exactly → first index wins
+    assert(tieDf.collect().head.getLong(2) == 0L)
+  }
 }
