@@ -31,8 +31,11 @@ object DebugMain {
       var run = 0
       while (run < nRuns) {
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"[debug] $name run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // noop sink, matching graft.Bench: count() would let Catalyst
+        // prune the projections being measured
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[debug] $name run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         spark.catalog.clearCache()
         run += 1
       }

@@ -121,28 +121,28 @@ object Similarity extends QueryModule {
   /** Codebook + top-10 under an `nprobe`-bucket search; s03 uses
     * nprobe = 2, the spec uses nprobe = nlist to assert IVF == brute
     * force under full probing. */
-  private[queries] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    // repartition on load: the cached corpus otherwise inherits the
-    // parquet split count (a 50 MB file → 4 partitions → 4 of 32
-    // cores train the codebook)
-    val e = emb(s, d).select(col("vec_id"), col("label").cast(LongType).as("label"),
+  /** Corpus with the double-cast vector column, repartitioned on
+    * load: the cached corpus otherwise inherits the parquet split
+    * count (a 50 MB file → 4 partitions → 4 of 32 cores train). */
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"), col("label").cast(LongType).as("label"),
       col("embedding"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .repartition(col("vec_id")).cache()
+
+  /** Deterministic fixed-point Lloyd's k-means (see s03 scaladoc):
+    * first-⌈√N⌉ init by vec_id, KMeansIters rounds of native argmax
+    * assignment + fused scaled-long mean update. Shared by the
+    * in-query s03 training and the persisted IvfIndex build, so the
+    * two produce the SAME codebook on the same corpus. */
+  private[graft] def trainCodebook(e: DataFrame): Array[Seq[Double]] = {
     val n = e.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
     var cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
-    // argmax-cosine assignment against the broadcast codebook — the
-    // native kernel (functions.ArgMaxCosine) is value-identical to
-    // the transform+array_position(array_max) form (first max, NaN
-    // greatest) but runs one tight pass instead of k interpreted
-    // lambda evaluations twice over; measured 20×+ at 200 k × 448
-    def cidCol: Column =
-      graft.functions.GraftFunctions.argMaxCosine(col("v"),
-        cents.map(_.toArray))
     for (_ <- 1 to KMeansIters) {
-      val grouped = e.withColumn("cid", cidCol)
+      val grouped = e.withColumn("cid",
+        graft.functions.GraftFunctions.argMaxCosine(col("v"), cents.map(_.toArray)))
         .groupBy(col("cid"))
         .agg(graft.functions.GraftFunctions.vectorScaledSum(col("embedding"), Dims, 9)
           .as("sums"), count(lit(1)).as("nc"))
@@ -154,16 +154,33 @@ object Similarity extends QueryModule {
         sums.map(sl => (sl.toDouble / 1e9) / nc)
       }
     }
-    // probe selection over the driver-held codebook, same fold order
-    // as the engines' list_sum
-    val qv = e.filter(col("vec_id") === 0).select(col("v")).collect()(0).getSeq[Double](0)
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = cents.zipWithIndex.map { case (c, i) => (cos(c, qv), i.toLong) }
+    cents
+  }
+
+  /** Driver-side cosine, same fold order as the engines' list_sum. */
+  private[graft] def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Probe ranking over the driver-held codebook: nprobe best
+    * centroids by cosine, ties to the smaller cid. */
+  private[graft] def probeIds(cents: Array[Seq[Double]], qv: Seq[Double], nprobe: Int): Seq[Long] =
+    cents.zipWithIndex.map { case (c, i) => (cosDriver(c, qv), i.toLong) }
       .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2).toSeq
+
+  private[queries] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = corpus(s, d)
+    val cents = trainCodebook(e)
+    // native argmax-cosine assignment kernel — value-identical to the
+    // transform+array_position(array_max) form (first max, NaN
+    // greatest); measured 20×+ at 200 k × 448 over the HOF form
+    def cidCol: Column =
+      graft.functions.GraftFunctions.argMaxCosine(col("v"),
+        cents.map(_.toArray))
+    val qv = e.filter(col("vec_id") === 0).select(col("v")).collect()(0).getSeq[Double](0)
+    val probes = probeIds(cents, qv, nprobe)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvemb"))
     e.withColumn("cid", cidCol)
       .filter(col("cid").isin(probes: _*))
@@ -375,16 +392,31 @@ object Similarity extends QueryModule {
 
   private def s05(s: SparkSession, d: String): DataFrame = pqTopK(s, d)
 
+  // s06: the PERSISTED form of s03 — build the partitioned IVF index
+  // (operators.IvfIndex), then answer the same 2-probe query by
+  // reading only the probed cid partitions. Same trainer, same
+  // probes, same rescore → the s03 oracle checks the whole
+  // build→write→prune→read→search path end to end.
+  private def s06(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.operators.IvfIndex.build(s, d, dir)
+    graft.operators.IvfIndex.search(s, d, dir, nprobe = 2, k = 10)
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute_cosine" -> s01,
     "s02_centroid_norms" -> s02,
     "s03_ivf_ann_topk" -> s03,
     "s04_int8_quant_topk" -> s04,
-    "s05_pq_adc_topk" -> s05)
+    "s05_pq_adc_topk" -> s05,
+    "s06_ivf_index_search" -> s06)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
     "s02_centroid_norms" -> s02Sql,
     "s03_ivf_ann_topk" -> s03Sql,
-    "s04_int8_quant_topk" -> s04Sql)
+    "s04_int8_quant_topk" -> s04Sql,
+    // the persisted index must return exactly what the in-query
+    // training returns — one oracle states both pipelines
+    "s06_ivf_index_search" -> s03Sql)
 }

@@ -69,4 +69,34 @@ class IvfSpec extends AnyFunSuite {
       exact.get(id).foreach(ec => assert(ec == c, s"vec $id rescored $c != exact $ec"))
     }
   }
+
+  test("persisted IVF index: same answer as in-query training, probed partitions only") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    graft.operators.IvfIndex.build(spark, sf, dir)
+    val fromIndex = graft.operators.IvfIndex.search(spark, sf, dir, nprobe = 2, k = 10)
+    val inQuery = graft.SparkEntry.queries("s03_ivf_ann_topk")(spark, sf)
+    assert(fromIndex.collect().toSeq.map(_.toSeq) == inQuery.collect().toSeq.map(_.toSeq))
+    // the pruned scan carries the probe filter as a PARTITION filter
+    // (directory-level pruning, not per-row)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"))
+    // behavioral proof of pruning: delete every NON-probed partition
+    // directory — the search must not notice, because it never lists
+    // or reads them
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).map(_._2)
+    val qv = graft.Tables.load(spark, sf, "embeddings").filter(col("vec_id") === 0)
+      .selectExpr("transform(embedding, x -> cast(x as double))")
+      .collect()(0).getSeq[Double](0)
+    val probes = Similarity.probeIds(cb, qv, 2).toSet
+    val postingsDir = new java.io.File(s"$dir/postings")
+    val victims = postingsDir.listFiles().filter(f =>
+      f.getName.startsWith("cid=") &&
+        !probes.contains(f.getName.stripPrefix("cid=").toLong))
+    assert(victims.length > 2, "fixture must have more buckets than probes")
+    victims.foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+    val afterDelete = graft.operators.IvfIndex.search(spark, sf, dir, nprobe = 2, k = 10)
+    assert(afterDelete.collect().toSeq.map(_.toSeq) == inQuery.collect().toSeq.map(_.toSeq))
+  }
 }
