@@ -687,6 +687,21 @@ object MediaCodec {
     * closed form 244 + nData, which the m02 oracle restates in SQL.
     * Timescale 1000 so mvhd duration IS milliseconds; width/height as
     * 16.16 fixed-point. */
+  /** Top-level mdat box payload range (offset, length) — the frame
+    * sampler reads actual media bytes at sampled offsets without
+    * holding the payload in a row object. */
+  def mdatRange(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = be32(b, i)
+      if (size < 8 || i + size > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      if (typ == "mdat") return Some((i + 8, size - 8))
+      i += size
+    }
+    None
+  }
+
   def buildMp4(durationMs: Int, width: Int, height: Int, nData: Int,
                payload: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(244 + nData) // big-endian default

@@ -394,6 +394,56 @@ object Multimodal {
       .orderBy("source", "format")
   }
 
+  /** Per-video frame-sample descriptors: the frame-sampling stage of
+    * a video training pipeline. Timing comes from the REAL parsed
+    * container (mvhd duration), and each sample reads the ACTUAL
+    * mdat byte at the sampled offset — only the codec decode of that
+    * frame stays stubbed (no video codec in a pure-JVM engine). Evenly
+    * spaced integer sampling: frame i of n → ts = i·dur/n,
+    * offset = i·mdatLen/n. */
+  final case class FrameSample(
+      media_id: Long, source: String, frame_idx: Long,
+      ts_ms: Long, byte_off: Long, sample_byte: Long)
+
+  def frameSamples(records: Dataset[MediaRecord], nFrames: Int = 8): Dataset[FrameSample] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          MediaCodec.sniffMp4(r.content).toSeq.flatMap { info =>
+            MediaCodec.mdatRange(r.content).toSeq.flatMap { case (off, len) =>
+              if (len <= 0) Seq.empty
+              else (0 until nFrames).map { i =>
+                val ts = i.toLong * info.durationMs / nFrames
+                val bo = i.toLong * len / nFrames
+                FrameSample(r.media_id, r.source, i.toLong, ts, bo,
+                  (r.content(off + bo.toInt) & 0xFF).toLong)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** m06: per-(source, frame index) sampling profile — exercised
+    * across the container boundary (real mvhd duration, real mdat
+    * bytes); the oracle recomputes both from the deterministic
+    * construction formulas. */
+  def frameSampleSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val videos = syntheticMedia(spark, sfDir)
+      .filter(col("kind") === "video")
+      .repartition(8, col("media_id"))
+    frameSamples(videos).toDF()
+      .groupBy(col("source"), col("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("ts_ms")).as("sum_ts_ms"),
+        sum(col("sample_byte")).as("sum_byte"))
+      .orderBy("source", "frame_idx")
+  }
+
   /** Per-(modality, container) feature aggregate (rows-only query) —
     * pixel statistics are REAL for the png/bmp rows (pixels_real). */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {

@@ -128,15 +128,44 @@ object MiscQueries extends QueryModule {
   private def m05(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.pixelStatSummary(s, d)
 
+  // m06: video frame sampling ORACLE-CHECKED ACROSS THE CONTAINER
+  // BOUNDARY — timing from the parsed mvhd duration, sample bytes
+  // read from the actual mdat payload at evenly spaced offsets; the
+  // oracle recomputes both from the construction formulas (the mdat
+  // body is the UTF-8 text cycled, and the corpus is all-ASCII so
+  // substr/ord equals byte access).
+  private def m06(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.frameSampleSummary(s, d)
+
+  private val m06Sql =
+    """WITH v AS (
+      |  SELECT doc_id, source, text,
+      |    3000 + CAST(doc_id % 9000 AS BIGINT) AS dur,
+      |    500 + CAST(doc_id % 1500 AS BIGINT) AS dlen
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0),
+      |f AS (
+      |  SELECT source, i AS frame_idx,
+      |    (i * dur) // 8 AS ts_ms,
+      |    ord(substr(text, CAST(((i * dlen) // 8) % length(text) AS INT) + 1, 1)) AS sample_byte
+      |  FROM v, UNNEST(range(0, 8)) AS t(i))
+      |SELECT source, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  COUNT(*) AS n_frames,
+      |  CAST(SUM(ts_ms) AS BIGINT) AS sum_ts_ms,
+      |  CAST(SUM(sample_byte) AS BIGINT) AS sum_byte
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> m01,
     "m02_media_meta" -> m02,
     "m03_audio_features" -> m03,
     "m04_image_phash" -> m04,
     "m05_pixel_stats" -> m05,
+    "m06_frame_sample" -> m06,
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(
     "m02_media_meta" -> m02Sql,
+    "m06_frame_sample" -> m06Sql,
     "g01_grafana_macro_sql" -> g01Sql)
 }

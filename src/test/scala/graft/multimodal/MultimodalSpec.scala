@@ -454,6 +454,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeJpegPixels(ok.take(ok.length - 6)).isEmpty)
   }
 
+  test("frame sampling reads real mdat bytes at the computed offsets") {
+    import spark.implicits._
+    val payload = "abcdefghij".getBytes("UTF-8")
+    val mp4 = MediaCodec.buildMp4(8000, 160, 96, 25, payload)
+    // mdat payload = payload cycled over 25 bytes
+    val (off, len) = MediaCodec.mdatRange(mp4).get
+    assert(len == 25)
+    val ds = spark.createDataset(Seq(Multimodal.MediaRecord(7L, "video", mp4, "s")))
+    val rows = Multimodal.frameSamples(ds, nFrames = 4).collect().sortBy(_.frame_idx)
+    assert(rows.length == 4)
+    assert(rows.map(_.ts_ms).toSeq == Seq(0L, 2000L, 4000L, 6000L))
+    assert(rows.map(_.byte_off).toSeq == Seq(0L, 6L, 12L, 18L))
+    // byte at offset o is payload(o % 10) — real container read
+    assert(rows.map(_.sample_byte).toSeq ==
+      Seq(0, 6, 12, 18).map(o => payload(o % 10).toLong))
+    // a raw-bytes (non-container) video yields no samples, not a crash
+    val raw = spark.createDataset(Seq(Multimodal.MediaRecord(8L, "video", payload, "s")))
+    assert(Multimodal.frameSamples(raw, 4).collect().isEmpty)
+  }
+
   test("m05 pixel stats cover all three decoders with consistent totals") {
     val rows = Multimodal.pixelStatSummary(spark, sf).collect()
     val formats = rows.map(_.getString(1)).distinct.sorted
