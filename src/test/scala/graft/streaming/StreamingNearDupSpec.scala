@@ -78,4 +78,42 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(kept.toSeq == Seq(1L), s"kept $kept")
     } finally q.stop()
   }
+
+  test("bucket state survives a checkpointed restart: post-restart near-dups still suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val kept = scala.collection.mutable.SortedSet.empty[Long]
+    def start() = {
+      val verdicts = StreamingNearDup.bandVerdicts(
+        input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes",
+        horizonMs = 10 * 60 * 1000L, threshold = 0.9)
+      verdicts.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          kept ++= batch.groupBy("doc_id")
+            .agg(org.apache.spark.sql.functions.max("suppressed").as("s"))
+            .filter(!org.apache.spark.sql.functions.col("s"))
+            .select("doc_id").as[Long].collect()
+          ()
+        }
+        .start()
+    }
+    val q1 = start()
+    try {
+      input.addData((ts(0), 1L, base))
+      q1.processAllAvailable()
+      assert(kept.toSeq == Seq(1L))
+    } finally q1.stop()
+    // restart from the checkpoint: the bucket shingle-set state must
+    // come back, so a near-dup of the PRE-restart doc is suppressed
+    val q2 = start()
+    try {
+      input.addData((ts(1), 2L, nearDup), (ts(2), 3L, farDoc))
+      q2.processAllAvailable()
+      assert(kept.toSeq == Seq(1L, 3L), s"kept $kept")
+    } finally q2.stop()
+  }
 }
