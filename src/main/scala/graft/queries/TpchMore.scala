@@ -220,9 +220,18 @@ object TpchMore extends QueryModule {
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
     val perPart = filtered.groupBy(col("l_partkey").as("partkey"))
       .agg(dsum(col("l_extendedprice"), 18, 2).as("value"))
-    val total = filtered.agg(dsum(col("l_extendedprice"), 18, 2).as("total_value"))
+    // threshold relative to the MEAN per-part value, not a fixed
+    // fraction of the total: TPC-H's total-fraction form returns the
+    // empty set once the part count outgrows 1/fraction (measured: 0
+    // rows at sf10) — mean-relative keeps the "disproportionately
+    // valuable parts" semantics non-degenerate at every scale.
+    // avg = exact total / exact count, identical doubles both engines.
+    val total = perPart.agg(
+      sum(graft.functions.GraftFunctions.scaledLong(col("value"), 2)).as("tot_scaled"),
+      count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value") > col("total_value") * 0.001)
+      .filter(col("value") >
+        (col("tot_scaled").cast(DoubleType) / 100) / col("n_parts") * 3.0)
       .select(col("partkey"), col("value"))
       .orderBy(desc("value"), col("partkey"))
   }
@@ -231,11 +240,12 @@ object TpchMore extends QueryModule {
     s"""WITH f AS (SELECT l_partkey, l_extendedprice FROM lineitem
        |           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
        |                               JOIN nation ON s_nationkey = n_nationkey
-       |                               WHERE n_name = 'NATION_3'))
-       |SELECT l_partkey AS partkey, ${dsumSql("l_extendedprice", 18, 2)} AS value
-       |FROM f GROUP BY 1
-       |HAVING ${dsumSql("l_extendedprice", 18, 2)} >
-       |  (SELECT ${dsumSql("l_extendedprice", 18, 2)} FROM f) * 0.001
+       |                               WHERE n_name = 'NATION_3')),
+       |v AS (SELECT l_partkey AS partkey, ${dsumSql("l_extendedprice", 18, 2)} AS value
+       |      FROM f GROUP BY 1)
+       |SELECT partkey, value FROM v
+       |WHERE value > (SELECT (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+       |                        / COUNT(*) * 3.0 FROM v)
        |ORDER BY 2 DESC, 1""".stripMargin
 
   // TPC-H Q12 shape: priority class counts per line status (stands in
