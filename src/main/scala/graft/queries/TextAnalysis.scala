@@ -172,6 +172,54 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang")
   }
 
+  // t10: character-bigram language-model quality score — the
+  // LM-perplexity-filter stage of a data pipeline (score each doc by
+  // how typical its character transitions are of the corpus), in
+  // EXACT fixed-point so the oracle hash-matches: the model is the
+  // corpus's own transition table (bigram count / start-char count),
+  // each transition's probability is scaled to an integer micro-prob
+  // via the Q.rhu identity (exact while 2·count·10⁶ < 2⁵³, i.e.
+  // corpora under ~4.5e9 transitions — restate the scale at larger
+  // corpora), and every output is an integer sum/count. Docs shorter
+  // than 2 chars have no transitions and drop out on both sides.
+  //
+  // Scale shape: one explode (linear in corpus chars), two tiny
+  // grouped counts (≤ |alphabet|² rows, broadcast back), one
+  // aggregation — no quadratic anything.
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    val tr = docs(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), "").as("cs"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(sequence(0, size(cs)), 1, greatest(size(cs) - 1, 0)), " +
+          "i -> concat(cs[i], cs[i+1]))")).as("bg"))
+      .withColumn("c1", substring(col("bg"), 1, 1))
+    val bc = tr.groupBy(col("bg").as("bck")).agg(count(lit(1)).as("bcnt"))
+    val uc = tr.groupBy(col("c1").as("uck")).agg(count(lit(1)).as("ucnt"))
+    tr.join(broadcast(bc), col("bg") === col("bck"))
+      .join(broadcast(uc), col("c1") === col("uck"))
+      .withColumn("q", rhu(col("bcnt"), col("ucnt"), 1000000L))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_trans"),
+        sum(col("q")).as("total_q"),
+        rhu(sum(col("q")), count(lit(1)), 1L).as("avg_prob_e6"))
+      .orderBy("lang")
+  }
+
+  private val t10Sql =
+    s"""WITH cs AS (SELECT doc_id, lang, string_split(text, '') AS c FROM documents),
+       |tr AS (SELECT doc_id, lang, c[i] || c[i+1] AS bg, c[i] AS c1
+       |       FROM cs, UNNEST(range(1, len(c))) AS t(i)),
+       |bc AS (SELECT bg, COUNT(*) AS bcnt FROM tr GROUP BY 1),
+       |uc AS (SELECT c1, COUNT(*) AS ucnt FROM tr GROUP BY 1),
+       |q AS (SELECT tr.doc_id, tr.lang, ${rhuSql("bcnt", "ucnt", 1000000L)} AS q
+       |      FROM tr JOIN bc USING (bg) JOIN uc USING (c1))
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_trans,
+       |  CAST(SUM(q) AS BIGINT) AS total_q,
+       |  ${rhuSql("SUM(q)", "COUNT(*)", 1L)} AS avg_prob_e6
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -179,12 +227,14 @@ object TextAnalysis extends QueryModule {
     "t04_word_frequency" -> t04,
     "t05_bigram_profile" -> t05,
     "t06_doc_fingerprints" -> t06,
-    "t07_bpe_token_stats" -> t07)
+    "t07_bpe_token_stats" -> t07,
+    "t10_char_lm_quality" -> t10)
 
   override def oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
     "t02_quality_scores" -> t02Sql,
     "t03_lang_id_accuracy" -> t03Sql,
     "t04_word_frequency" -> t04Sql,
-    "t05_bigram_profile" -> t05Sql)
+    "t05_bigram_profile" -> t05Sql,
+    "t10_char_lm_quality" -> t10Sql)
 }

@@ -46,6 +46,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("s1", 3L, 12L, 4L, 1L)))
   }
 
+  test("t10: char-LM micro-probs match hand computation") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // transitions: doc20 → "aa"; doc21 → "ab"; model: P(a|a)=P(b|a)=1/2
+    Seq((20L, "aa", "en", "s0", 2L), (21L, "ab", "en", "s0", 2L),
+      (22L, "x", "en", "s0", 1L)) // 1 char → no transitions, drops out
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("t10_char_lm_quality")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(("en", 2L, 2L, 1000000L, 500000L)))
+  }
+
   test("t09: in-doc repetition of a span does not make it 'duplicated'") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_corpus2").toString
