@@ -12,10 +12,14 @@ it). A schema guard additionally rejects ANY decimal or int32 column in
 an oracle-checked output, on either side: every query def must
 final-cast decimals to DOUBLE and ranks/ntiles to BIGINT.
 
-Usage: python3 scripts/check.py [sfDir] [outDir] [skipCsv]
+Usage: python3 scripts/check.py [sfDir] [outDir] [skipCsv] [jsonOut]
   skipCsv: optional comma-separated query names whose ORACLE side is
   too expensive at this SF (the stated-quadratic d02/d05/d06 at
   sf0.1+); reported as skipped, never silently.
+  jsonOut: optional path; writes a per-query JSON record INCLUDING the
+  PY_ORACLES results (the driver's CORRECTNESS_r{N}.json counts only
+  SQL oracles and records python-checked queries as no_oracle — this
+  artifact is the recorded evidence for those).
 (Dev tool only — the Scala library has no duckdb dependency.)
 """
 import glob
@@ -32,7 +36,8 @@ from py_oracles import PY_ORACLES  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-SKIP = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+SKIP = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else set()
+JSON_OUT = sys.argv[4] if len(sys.argv) > 4 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -79,6 +84,7 @@ def main():
         oracle = json.load(f)
 
     n_pass = n_fail = 0
+    record = {}
     names = sorted(os.listdir(OUT_DIR))
     for name in names:
         path = os.path.join(OUT_DIR, name)
@@ -93,12 +99,17 @@ def main():
             if bad:
                 print(f"  ✗ {name}: {BANNED}: {bad}")
                 n_fail += 1
+                record[name] = {"status": "fail", "err": f"{BANNED}: {bad}"}
             else:
                 print(f"  ! {name}: oracle SKIPPED by request ({got.num_rows} rows)")
+                record[name] = {"status": "skipped_oracle_cost",
+                                "spark_rows": got.num_rows}
             continue
         if name not in oracle and name not in PY_ORACLES:
             print(f"  ~ {name}: rows-only ({got.num_rows} rows)")
+            record[name] = {"status": "rows_only", "spark_rows": got.num_rows}
             continue
+        kind = "sql" if name in oracle else "python"
         try:
             if name in oracle:
                 exp = con.sql(oracle[name]).arrow()
@@ -110,17 +121,23 @@ def main():
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
+            record[name] = {"status": "fail", "oracle": kind,
+                            "err": f"oracle error: {e}"}
             continue
         bad = banned_fields(got.schema) + banned_fields(exp.schema)
         if bad:
             print(f"  ✗ {name}: {BANNED}: {bad}")
             n_fail += 1
+            record[name] = {"status": "fail", "oracle": kind,
+                            "err": f"{BANNED}: {bad}"}
             continue
         gc, gr = canon(got)
         ec, er = canon(exp)
         if gc != ec:
             print(f"  ✗ {name}: column mismatch spark={gc} duck={ec}")
             n_fail += 1
+            record[name] = {"status": "fail", "oracle": kind,
+                            "err": f"column mismatch {gc} vs {ec}"}
         elif gr != er:
             n_fail += 1
             diff = [(a, b) for a, b in zip(gr, er) if a != b]
@@ -130,18 +147,32 @@ def main():
             if len(gr) != len(er):
                 only_g = [r for r in gr if r not in set(map(tuple, er))][:2]
                 print(f"      spark-only: {only_g}")
+            record[name] = {"status": "fail", "oracle": kind,
+                            "err": f"value mismatch ({len(gr)} vs {len(er)} rows)"}
         else:
             n_pass += 1
             print(f"  ✓ {name} ({len(gr)} rows)")
+            record[name] = {"status": "pass", "oracle": kind, "rows": len(gr)}
     missing = (set(oracle) | set(PY_ORACLES)) - {n for n in names
                              if os.path.isdir(os.path.join(OUT_DIR, n))}
     for m in sorted(missing):
         print(f"  ✗ {m}: no spark output written")
         n_fail += 1
+        record[m] = {"status": "fail", "err": "no spark output written"}
     for s in sorted(SKIP - set(names)):
         print(f"  ✗ skip name matches no output: {s}")
         n_fail += 1
     print(f"PASS {n_pass} FAIL {n_fail}")
+    if JSON_OUT:
+        summary = {"sf_dir": SF_DIR, "pass": n_pass, "fail": n_fail,
+                   "sql_checked": sum(1 for r in record.values()
+                                      if r.get("oracle") == "sql" and r["status"] == "pass"),
+                   "python_checked": sum(1 for r in record.values()
+                                         if r.get("oracle") == "python" and r["status"] == "pass"),
+                   "queries": record}
+        with open(JSON_OUT, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {JSON_OUT}")
     sys.exit(1 if n_fail else 0)
 
 

@@ -161,9 +161,15 @@ case class ArgMaxCosine(child: Expression, cents: Array[Array[Double]])
     math.sqrt(acc)
   }
 
+  private lazy val centDim: Int = if (cents.isEmpty) 0 else cents(0).length
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n < centDim)
+      throw new IllegalArgumentException(
+        s"argmax_cosine: input vector has $n elements but the codebook centroids have " +
+          s"$centDim dimensions — vectors must be at least centroid-length")
     val v = new Array[Double](n)
     var acc = 0.0
     var i = 0
@@ -229,6 +235,11 @@ case class PqAssignCodes(child: Expression, cents: Array[Array[Array[Double]]], 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    val need = cents.length * subDim
+    if (n < need)
+      throw new IllegalArgumentException(
+        s"pq_assign_codes: input vector has $n elements but the PQ codebook expects " +
+          s"${cents.length} subspaces x $subDim dims = $need — vector too short")
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {

@@ -42,10 +42,10 @@ object Multimodal {
       duration_ms: Int,      // audio: real (data bytes / byte rate); video: real mvhd duration (mp4)
       byte_histogram: Array[Double],  // 16-bin normalized histogram
       content_hash: Long,
-      mean_r: Double,        // REAL pixel statistics (png/bmp/gif
-      mean_g: Double,        // decode); 0.0 + pixels_real=false on the
-      mean_b: Double,        // pseudo path (jpeg DCT and video frame
-      mean_luma: Double,     // decode need codec libs)
+      mean_r: Double,        // REAL pixel statistics (png/bmp/gif/baseline-jpeg
+      mean_g: Double,        // decode); 0.0 + pixels_real=false only on the
+      mean_b: Double,        // fallback path (unparseable container or
+      mean_luma: Double,     // video frames needing an inter-frame codec)
       pixels_real: Boolean)
 
   /** STUB pixel-level decoder — deterministic pseudo-features for

@@ -24,7 +24,38 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
-  /** Train on the SF corpus and write the index. */
+  /** Deterministic per-corpus index location: one fixed dir under the
+    * JVM temp root, keyed by the corpus identity (canonical sfDir path
+    * + embeddings file mtime/size). Repeated bench/gate runs in a
+    * session — or across sessions on unchanged data — reuse the same
+    * dir instead of accumulating fresh temp copies; a data change
+    * changes the key and forces a rebuild in a new dir. */
+  def indexDirFor(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "embeddings.parquet")
+    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
+    val h = java.lang.Long.toHexString(
+      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_$h").getAbsolutePath
+  }
+
+  /** Build the index at [[indexDirFor]] unless it is already complete
+    * there (both parquet `_SUCCESS` markers present). Returns the dir.
+    * This is the amortization point: the 100 TB operating mode is
+    * build-once / search-many, and the bench reports build and search
+    * as separate costs. */
+  def ensureBuilt(s: SparkSession, sfDir: String): String = {
+    val dir = indexDirFor(sfDir)
+    val done = new java.io.File(dir, "postings/_SUCCESS").exists &&
+      new java.io.File(dir, "codebook/_SUCCESS").exists
+    if (!done) build(s, sfDir, dir)
+    dir
+  }
+
+  /** Train on the SF corpus and write the index. The shared corpus
+    * cache ([[Similarity.corpus]]) is deliberately NOT unpersisted
+    * here — other similarity queries in the session read the same
+    * cached plan, so its lifecycle belongs to the session, not to one
+    * build call. */
   def build(s: SparkSession, sfDir: String, indexDir: String): Unit = {
     val e = Similarity.corpus(s, sfDir)
     val cents = Similarity.trainCodebook(e)
@@ -36,7 +67,6 @@ object IvfIndex {
     cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c) }
       .toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
-    e.unpersist()
   }
 
   /** Probe-pruned top-k search for the corpus query vector vec_id=0

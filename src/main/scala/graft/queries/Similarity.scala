@@ -393,13 +393,15 @@ object Similarity extends QueryModule {
   private def s05(s: SparkSession, d: String): DataFrame = pqTopK(s, d)
 
   // s06: the PERSISTED form of s03 — build the partitioned IVF index
-  // (operators.IvfIndex), then answer the same 2-probe query by
-  // reading only the probed cid partitions. Same trainer, same
-  // probes, same rescore → the s03 oracle checks the whole
-  // build→write→prune→read→search path end to end.
+  // (operators.IvfIndex) if this corpus doesn't already have one, then
+  // answer the same 2-probe query by reading only the probed cid
+  // partitions. Same trainer, same probes, same rescore → the s03
+  // oracle checks the whole build→write→prune→read→search path end to
+  // end. The index lives at a deterministic mtime-keyed dir
+  // (IvfIndex.indexDirFor) so repeated runs amortize the build instead
+  // of leaking a fresh corpus-sized copy per invocation.
   private def s06(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-    graft.operators.IvfIndex.build(s, d, dir)
+    val dir = graft.operators.IvfIndex.ensureBuilt(s, d)
     graft.operators.IvfIndex.search(s, d, dir, nprobe = 2, k = 10)
   }
 

@@ -57,11 +57,15 @@ object TpchMore extends QueryModule {
     // relation the SAME value — one lineitem scan and one window
     // shuffle instead of a second scan + aggregate + self-join (ties
     // all survive the equality, as Q2 requires).
+    // the window MIN is taken BEFORE the nation join, matching the
+    // oracle's mb CTE exactly — an inner nation join first would
+    // silently shift the min if a min-balance supplier ever lacked a
+    // nation row, making the equivalence depend on FK integrity
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
     ps.join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .withColumn("min_bal", min(col("s_acctbal")).over(w))
       .filter(col("s_acctbal") === col("min_bal"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
         col("n_name").as("nation"), decd(col("s_acctbal"), 18, 2).as("acctbal"))
       .orderBy(desc("acctbal"), col("p_partkey"), col("s_suppkey"))

@@ -33,6 +33,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * clears idle buckets entirely once the watermark passes them. A doc
   * arriving later than the horizon can re-emit — the standard horizon
   * trade; batch d02/d07 downstream remain the global guarantee.
+  *
+  * Late-data trade (the OTHER side of the horizon): a ≥3-word doc
+  * whose event time lags the watermark by more than the watermark
+  * delay is dropped by FlatMapGroupsWithStateExec's pre-filter BEFORE
+  * the suppressor runs — it is neither kept nor suppressed, it simply
+  * never appears in the output (only <3-word docs bypass that filter,
+  * via the `run` short-doc path). Size the watermark delay to the
+  * source's real disorder bound; the batch d02/d07 pass downstream is
+  * what recovers any doc the streaming layer dropped as too-late.
   */
 object StreamingNearDup {
 
