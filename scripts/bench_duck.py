@@ -45,7 +45,10 @@ for name in sorted(oracle):
         skipped.append(name)
         continue
     t0 = time.time()
-    con.sql(oracle[name]).fetchall()
+    # .arrow() fetch — fetchall() would charge DuckDB for Python row
+    # conversion (round-4 protocol correction; the engine side pays a
+    # comparable columnar materialization in its noop sink)
+    con.sql(oracle[name]).arrow()
     times[name] = round(time.time() - t0, 3)
 
 print(json.dumps({"metric": "duckdb_total",

@@ -52,7 +52,20 @@ object Bench {
     // scan-cache/JIT effects when analyzing data-bound SFs. Default
     // (driver runs) stays single-shot.
     val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // s06's operating mode is build-once/search-many: charge the index
+    // BUILD to its own metric here (a forced fresh build into the
+    // keyed dir), so the s06 query line below measures SEARCH over the
+    // persisted index — the per-query cost a user actually pays.
+    // Both lines count toward the total: the session did both.
+    val s06Build: Seq[(String, Double)] =
+      if (skip("s06_ivf_index_search") || !only.forall(_("s06_ivf_index_search"))) Nil
+      else {
+        val t0 = System.nanoTime()
+        graft.operators.IvfIndex.build(spark, sfDir,
+          graft.operators.IvfIndex.indexDirFor(sfDir))
+        Seq("s06_ivf_index_build" -> (System.nanoTime() - t0) / 1e9)
+      }
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
       .filterNot { case (name, _) => skip(name) }
       .map { case (name, fn) =>
@@ -67,11 +80,25 @@ object Bench {
         val first = once()
         name -> (if (warm) once() else first)
       }
+    val results = (s06Build ++ timed).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skipped,"sf":"$sfDir"}""")
+    // Baseline comparison column: scripts/bench_duck.py records the
+    // DuckDB oracle-side per-query seconds for an SF dir into
+    // DUCK_<sfname>.json (committed); embed it verbatim so the round
+    // artifact carries BOTH engines' numbers, not just ours. (DuckDB
+    // is a driver-side python tool — the library itself has no such
+    // dependency, so the record rides in as data.)
+    val duck = {
+      val f = new java.io.File(s"DUCK_${new java.io.File(sfDir).getName}.json")
+      if (f.exists) {
+        val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+        if (s.startsWith("{")) s""","duckdb":$s""" else ""
+      } else ""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skipped,"sf":"$sfDir"$duck}""")
     spark.stop()
   }
 }

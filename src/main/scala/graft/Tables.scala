@@ -17,7 +17,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.etl.BucketedLayout.loadIfBucketed(spark, dir, name)
+      .getOrElse(loadPlain(spark, dir, name))
+
+  /** The raw parquet read, bypassing any materialized layout. */
+  private[graft] def loadPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader refuses as a timestamp; read it as a nanos-long and

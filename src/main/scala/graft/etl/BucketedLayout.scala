@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Co-located bucketed layout for the fact⋈fact join family.
+  *
+  * The lineitem⋈orders joins (h07/h08/h09/h11/h14/h15/h20/h21/h22 …)
+  * shuffle BOTH fact tables on every run when the input is plain
+  * parquet — at 100 TB that exchange is the dominant cost and the only
+  * part of the plan with a real scale-safe alternative: write the
+  * facts ONCE bucketed by the join key (`CLUSTERED BY (orderkey) INTO
+  * n BUCKETS`, one file per bucket, sorted), and every orderkey
+  * equi-join — and every `groupBy(l_orderkey)` partial aggregate —
+  * runs exchange-free because the scan itself reports the hash
+  * partitioning. This is the standard warehouse layout trade: one
+  * extra write of each fact at ingest, zero shuffles of them per
+  * query afterwards.
+  *
+  * Mechanics (Spark specifics):
+  *   - bucketing only exists through the catalog, so the layout
+  *     registers `graft_bkt_<key>_<table>` EXTERNAL tables; data lives
+  *     under a deterministic per-corpus dir (mtime-keyed like
+  *     [[graft.operators.IvfIndex.indexDirFor]]), so a regenerated
+  *     corpus re-buckets while an unchanged one re-uses bytes.
+  *   - the InMemoryCatalog forgets tables at JVM exit; `ensure`
+  *     re-registers the DDL over the existing files (bucket ids ride
+  *     in the file names), so only the FIRST session pays the write.
+  *   - `repartition(n, key)` before the bucketed write aligns write
+  *     tasks with buckets (Spark's bucket hash = Murmur3 = shuffle
+  *     hash) → exactly one file per bucket, which is also what lets
+  *     the scan report the files as sorted.
+  *
+  * Opt-in via spark conf `graft.layout.bucketed=true` (or env
+  * `SPARK_GRAFT_BUCKETED=1`): [[graft.Tables.load]] then serves
+  * lineitem/orders from the bucketed tables and every query runs
+  * unchanged — same single code path, different physical layout,
+  * which is precisely the promise of declaring plans over a catalog.
+  */
+object BucketedLayout {
+
+  /** fact table → bucket/sort key */
+  val facts: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey")
+
+  /** 32 matches local[32]; a real cluster sizes this to
+    * (fact size / target bucket file size) at ingest. */
+  val NumBuckets = 32
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.layout.bucketed")
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Corpus identity key: canonical path + fact file mtimes/sizes. */
+  private def corpusKey(dir: String): String = {
+    val parts = new java.io.File(dir).getCanonicalPath +: facts.keys.toSeq.sorted.map { n =>
+      val f = new java.io.File(dir, s"$n.parquet")
+      s"${f.lastModified}|${f.length}"
+    }
+    java.lang.Long.toHexString(
+      parts.mkString("|").getBytes("UTF-8")
+        .foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
+  }
+
+  def tableName(dir: String, name: String): String =
+    s"graft_bkt_${corpusKey(dir)}_$name"
+
+  private def dataDir(dir: String, name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bkt_${corpusKey(dir)}/$name").getAbsolutePath
+
+  /** Materialize (first session) or re-register (later sessions) the
+    * bucketed fact tables for `dir`. Idempotent; returns the table
+    * names. */
+  def ensure(spark: SparkSession, dir: String): Map[String, String] =
+    facts.map { case (name, key) =>
+      val tbl = tableName(dir, name)
+      if (!spark.catalog.tableExists(tbl)) {
+        val loc = dataDir(dir, name)
+        val src = graft.Tables.loadPlain(spark, dir, name)
+        if (new java.io.File(loc, "_SUCCESS").exists) {
+          // data already bucketed on disk — register the external DDL
+          // over it (bucket ids are parsed from the file names)
+          val schema = src.schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $tbl ($schema) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+        } else {
+          src.repartition(NumBuckets, col(key))
+            .write.mode("overwrite")
+            .option("path", loc)
+            .bucketBy(NumBuckets, key).sortBy(key)
+            .saveAsTable(tbl)
+        }
+      }
+      name -> tbl
+    }
+
+  /** The bucketed table for (dir, name) if the layout is enabled and
+    * materialized — [[graft.Tables.load]]'s first stop. */
+  def loadIfBucketed(spark: SparkSession, dir: String, name: String): Option[DataFrame] =
+    if (enabled(spark) && facts.contains(name)) {
+      val tbl = tableName(dir, name)
+      if (!spark.catalog.tableExists(tbl) &&
+          new java.io.File(dataDir(dir, name), "_SUCCESS").exists) {
+        ensure(spark, dir) // cheap re-register path
+      }
+      if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+    } else None
+}
