@@ -571,6 +571,70 @@ def m05_pixel_stats(sf_dir):
     })
 
 
+def m07_frame_pixels(sf_dir):
+    """MJPEG frame-pixel oracle: reconstructs every frame of every
+    synthetic MJPEG video (Multimodal.syntheticMjpegVideos — docs with
+    doc_id % 3 == 2) through the SAME color math as m05's JPEG branch
+    (block-constant DC-only blocks: encoder RGB→YCbCr with Java
+    floor(x+0.5) rounding, decoder YCbCr→RGB doubles), with frame_idx
+    mixed into the block colors, plus the stts timing formula
+    (constant per-frame duration at timescale 1000 → ts = fi*dur).
+    Recomputes the integer pixel sums per (source, frame_idx)."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    agg = {}
+    for doc_id, src in zip(docs.column("doc_id").to_pylist(),
+                           docs.column("source").to_pylist()):
+        if doc_id % 3 != 2:
+            continue
+        w, h = 16 + doc_id % 16, 16 + doc_id % 8
+        n_frames = 3 + doc_id % 4
+        frame_dur = 100 + (doc_id % 10) * 20
+        for fi in range(n_frames):
+            ts_ms = fi * frame_dur
+            # block-constant color through encode+decode converts
+            sr = sg = sb = sl = 0
+            for by in range((h + 7) // 8):
+                for bx in range((w + 7) // 8):
+                    r0 = (doc_id * 7 + fi * 19 + bx * 31 + by * 17) % 256
+                    g0 = (doc_id * 3 + fi * 23 + bx * 13 + by * 7) % 256
+                    b0 = (doc_id * 11 + fi * 29 + bx * 5 + by * 29) % 256
+                    yy = _clamp255(_jround(0.299 * r0 + 0.587 * g0 + 0.114 * b0))
+                    cb = _clamp255(_jround(128.0 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0))
+                    cr = _clamp255(_jround(128.0 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0))
+                    r2 = _clamp255(_jround(yy + 1.402 * (cr - 128.0)))
+                    g2 = _clamp255(_jround(yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+                    b2 = _clamp255(_jround(yy + 1.772 * (cb - 128.0)))
+                    # pixels of this block inside the image bounds
+                    npx = (min(8, w - bx * 8)) * (min(8, h - by * 8))
+                    sr += r2 * npx
+                    sg += g2 * npx
+                    sb += b2 * npx
+                    sl += ((77 * r2 + 150 * g2 + 29 * b2) >> 8) * npx
+            st = agg.setdefault((src, fi), [0, 0, 0, 0, 0, 0, 0, 0])
+            st[0] += 1          # n_frames
+            st[1] += 1          # n_real (every frame decodes)
+            st[2] += ts_ms
+            st[3] += w * h
+            st[4] += sr
+            st[5] += sg
+            st[6] += sb
+            st[7] += sl
+    keys = sorted(agg)
+    return pa.table({
+        "source": pa.array([k[0] for k in keys], pa.string()),
+        "frame_idx": pa.array([k[1] for k in keys], pa.int64()),
+        "n_frames": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "n_real": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "sum_ts_ms": pa.array([agg[k][2] for k in keys], pa.int64()),
+        "n_pixels": pa.array([agg[k][3] for k in keys], pa.int64()),
+        "sum_r": pa.array([agg[k][4] for k in keys], pa.int64()),
+        "sum_g": pa.array([agg[k][5] for k in keys], pa.int64()),
+        "sum_b": pa.array([agg[k][6] for k in keys], pa.int64()),
+        "sum_luma": pa.array([agg[k][7] for k in keys], pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
     "t06_doc_fingerprints": t06_doc_fingerprints,
@@ -578,5 +642,6 @@ PY_ORACLES = {
     "m03_audio_features": m03_audio_features,
     "m04_image_phash": m04_image_phash,
     "m05_pixel_stats": m05_pixel_stats,
+    "m07_frame_pixels": m07_frame_pixels,
     "s05_pq_adc_topk": s05_pq_adc_topk,
 }

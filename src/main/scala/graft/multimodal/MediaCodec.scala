@@ -739,6 +739,160 @@ object MediaCodec {
     out.array()
   }
 
+  // ---- MJPEG-in-MP4: real sample tables (ISO 14496-12 stbl) ----
+
+  /** One video sample (frame) located via the container's sample
+    * tables: presentation time, absolute byte offset, byte size. */
+  final case class Mp4Sample(tsMs: Long, offset: Int, size: Int)
+
+  /** First child box of `typ` in [start, end); returns (contentStart,
+    * boxEnd). */
+  private def findBox(b: Array[Byte], start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+    var i = start
+    while (i + 8 <= end) {
+      val size = be32(b, i)
+      if (size < 8 || i + size > end) return None
+      if (new String(b, i + 4, 4, "US-ASCII") == typ) return Some((i + 8, i + size))
+      i += size
+    }
+    None
+  }
+
+  /** MJPEG sample locations from the REAL sample tables: walks
+    * moov→trak→mdia, requires an stsd whose entry format is 'jpeg'
+    * (photo-JPEG/MJPEG), then reads stts (timing, mdhd timescale),
+    * stsz (sizes) and stco (chunk offsets, one chunk per sample — the
+    * layout stsc declares here). This is the standard demux path; the
+    * per-frame payload is a complete baseline JPEG that
+    * [[decodeJpegPixels]] decodes with zero new codec math. */
+  def mjpegSamples(b: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    for {
+      (moovS, moovE) <- findBox(b, 0, b.length, "moov")
+      (trakS, trakE) <- findBox(b, moovS, moovE, "trak")
+      (mdiaS, mdiaE) <- findBox(b, trakS, trakE, "mdia")
+      (mdhdS, _) <- findBox(b, mdiaS, mdiaE, "mdhd")
+      (minfS, minfE) <- findBox(b, mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- findBox(b, minfS, minfE, "stbl")
+      (stsdS, _) <- findBox(b, stblS, stblE, "stsd")
+      // stsd content: verflags(4) entry_count(4) entry{size(4) format(4) …}
+      if new String(b, stsdS + 12, 4, "US-ASCII") == "jpeg"
+      (sttsS, _) <- findBox(b, stblS, stblE, "stts")
+      (stszS, _) <- findBox(b, stblS, stblE, "stsz")
+      (stcoS, _) <- findBox(b, stblS, stblE, "stco")
+    } yield {
+      val timescale = be32(b, mdhdS + 12).toLong.max(1L)
+      val n = be32(b, stszS + 8)
+      val sizes = Array.tabulate(n) { i =>
+        val fixed = be32(b, stszS + 4)
+        if (fixed != 0) fixed else be32(b, stszS + 12 + 4 * i)
+      }
+      val offsets = Array.tabulate(n)(i => be32(b, stcoS + 8 + 4 * i))
+      // cumulative stts deltas → per-sample decode time
+      val nStts = be32(b, sttsS + 4)
+      val ts = new Array[Long](n)
+      var (si, entry, inEntry, acc) = (0, 0, 0, 0L)
+      while (si < n && entry < nStts) {
+        val cnt = be32(b, sttsS + 8 + 8 * entry)
+        val delta = be32(b, sttsS + 12 + 8 * entry)
+        ts(si) = acc * 1000L / timescale
+        acc += delta
+        inEntry += 1
+        if (inEntry >= cnt) { entry += 1; inEntry = 0 }
+        si += 1
+      }
+      (0 until n).flatMap { i =>
+        val (o, s) = (offsets(i), sizes(i))
+        // bounds + SOI guard: a corrupt table must yield no sample,
+        // not a throw
+        if (o >= 0 && s > 2 && o + s <= b.length &&
+            (b(o) & 0xFF) == 0xFF && (b(o + 1) & 0xFF) == 0xD8)
+          Some(Mp4Sample(ts(i), o, s))
+        else None
+      }
+    }
+  }
+
+  /** MJPEG-in-MP4 builder: an MP4 whose mdat is N complete baseline
+    * JPEG samples, located by REAL stsd('jpeg')/stts/stsc/stsz/stco
+    * tables — the fixture for the frame-pixel decode path. Constant
+    * per-frame duration at timescale 1000. */
+  def buildMjpegMp4(width: Int, height: Int, frameDurMs: Int,
+                    frames: Seq[Array[Byte]]): Array[Byte] = {
+    val n = frames.length
+    val durationMs = n * frameDurMs
+    val mdatData = frames.map(_.length).sum
+    // fixed-size boxes: ftyp 20; mvhd 108; tkhd 92; mdhd 32; hdlr 33;
+    // vmhd 20; stsd 102 (86-byte visual sample entry); stts 24; stsc 28
+    val stszSize = 20 + 4 * n
+    val stcoSize = 16 + 4 * n
+    val stblSize = 8 + 102 + 24 + 28 + stszSize + stcoSize
+    val minfSize = 8 + 20 + stblSize
+    val mdiaSize = 8 + 32 + 33 + minfSize
+    val trakSize = 8 + 92 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val mdatStart = 20 + moovSize + 8
+    val out = java.nio.ByteBuffer.allocate(mdatStart + mdatData)
+    out.putInt(20).put("ftyp".getBytes).put("isom".getBytes).putInt(0).put("isom".getBytes)
+    out.putInt(moovSize).put("moov".getBytes)
+    out.putInt(108).put("mvhd".getBytes)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1000).putInt(durationMs)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putInt(0).putInt(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(2)
+    out.putInt(trakSize).put("trak".getBytes)
+    out.putInt(92).put("tkhd".getBytes)
+      .putInt(7).putInt(0).putInt(0)
+      .putInt(1).putInt(0)
+      .putInt(durationMs)
+      .putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(width << 16).putInt(height << 16)
+    out.putInt(mdiaSize).put("mdia".getBytes)
+    out.putInt(32).put("mdhd".getBytes)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1000).putInt(durationMs) // timescale 1000 → ms
+      .putShort(0x55C4.toShort).putShort(0) // language 'und'
+    out.putInt(33).put("hdlr".getBytes)
+      .putInt(0).putInt(0).put("vide".getBytes)
+      .putInt(0).putInt(0).putInt(0).put(0.toByte)
+    out.putInt(minfSize).put("minf".getBytes)
+    out.putInt(20).put("vmhd".getBytes)
+      .putInt(1).putShort(0).putShort(0).putShort(0).putShort(0)
+    out.putInt(stblSize).put("stbl".getBytes)
+    out.putInt(102).put("stsd".getBytes).putInt(0).putInt(1)
+    out.putInt(86).put("jpeg".getBytes) // VisualSampleEntry
+      .putInt(0).putShort(0) // reserved(6)
+      .putShort(1) // data_reference_index
+      .putShort(0).putShort(0) // pre_defined, reserved
+      .putInt(0).putInt(0).putInt(0) // pre_defined(12)
+      .putShort(width.toShort).putShort(height.toShort)
+      .putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      .putInt(0).putShort(1) // reserved, frame_count
+      .put(new Array[Byte](32)) // compressorname
+      .putShort(24).putShort(0xFFFF.toShort) // depth, pre_defined -1
+    out.putInt(24).put("stts".getBytes).putInt(0).putInt(1)
+      .putInt(n).putInt(frameDurMs)
+    out.putInt(28).put("stsc".getBytes).putInt(0).putInt(1)
+      .putInt(1).putInt(1).putInt(1) // 1 sample per chunk
+    out.putInt(stszSize).put("stsz".getBytes).putInt(0).putInt(0).putInt(n)
+    frames.foreach(f => out.putInt(f.length))
+    out.putInt(stcoSize).put("stco".getBytes).putInt(0).putInt(n)
+    var off = mdatStart
+    frames.foreach { f => out.putInt(off); off += f.length }
+    out.putInt(8 + mdatData).put("mdat".getBytes)
+    frames.foreach(f => out.put(f))
+    out.array()
+  }
+
   // ---- JPEG baseline sequential DCT (ITU-T T.81, published spec) ----
 
   /** Zig-zag scan order, generated from the diagonal walk (T.81

@@ -427,6 +427,96 @@ object Multimodal {
     }
   }
 
+  /** MJPEG corpus for the frame-PIXEL path (m07): every video-subset
+    * doc becomes an MJPEG-in-MP4 — N complete baseline JPEG samples
+    * located by real stsd/stts/stsz/stco tables
+    * ([[MediaCodec.buildMjpegMp4]]). Frame colors are block-constant
+    * keyed by (doc_id, frame_idx, bx, by), so decode is exact (DC-only
+    * blocks) and a Python oracle can reconstruct every pixel. */
+  def syntheticMjpegVideos(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .filter(_._1 % 3 == 2)
+      .map { case (id, src) =>
+        val (w, h) = (16 + (id % 16).toInt, 16 + (id % 8).toInt)
+        val nFrames = 3 + (id % 4).toInt
+        val frames = (0 until nFrames).map { fi =>
+          MediaCodec.buildJpeg(w, h, (bx, by) => (
+            ((id * 7 + fi * 19 + bx * 31 + by * 17) % 256).toInt,
+            ((id * 3 + fi * 23 + bx * 13 + by * 7) % 256).toInt,
+            ((id * 11 + fi * 29 + bx * 5 + by * 29) % 256).toInt))
+        }
+        MediaRecord(id, "video",
+          MediaCodec.buildMjpegMp4(w, h, 100 + (id % 10).toInt * 20, frames), src)
+      }
+  }
+
+  /** Per-frame REAL pixel statistics: demux via the sample tables,
+    * decode each sample with the baseline JPEG decoder — the video
+    * path loses its last stub for MJPEG content (inter-frame codecs
+    * would still need a codec lib). Integer sums, order-independent. */
+  final case class FramePixels(
+      media_id: Long, source: String, frame_idx: Long, ts_ms: Long,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long, sum_luma: Long,
+      pixels_real: Boolean)
+
+  def framePixels(records: Dataset[MediaRecord]): Dataset[FramePixels] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          MediaCodec.mjpegSamples(r.content).toSeq.flatMap { samples =>
+            samples.zipWithIndex.map { case (s, fi) =>
+              val frameBytes = java.util.Arrays.copyOfRange(
+                r.content, s.offset, s.offset + s.size)
+              (try MediaCodec.decodeJpegPixels(frameBytes)
+               catch { case scala.util.control.NonFatal(_) => None }) match {
+                case Some(img) =>
+                  var (sr, sg, sb, sl) = (0L, 0L, 0L, 0L)
+                  var i = 0
+                  while (i < img.rgb.length) {
+                    val (rr, gg, bb) =
+                      (img.rgb(i) & 0xFF, img.rgb(i + 1) & 0xFF, img.rgb(i + 2) & 0xFF)
+                    sr += rr; sg += gg; sb += bb
+                    sl += (77 * rr + 150 * gg + 29 * bb) >> 8
+                    i += 3
+                  }
+                  FramePixels(r.media_id, r.source, fi.toLong, s.tsMs,
+                    img.width.toLong * img.height, sr, sg, sb, sl, pixels_real = true)
+                case None =>
+                  FramePixels(r.media_id, r.source, fi.toLong, s.tsMs,
+                    0L, 0L, 0L, 0L, 0L, pixels_real = false)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** m07: per-(source, frame index) REAL-pixel profile over the MJPEG
+    * corpus — n_real counts frames whose pixels decoded (all of them,
+    * which the oracle checks by recomputing the sums). */
+  def framePixelSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val videos = syntheticMjpegVideos(spark, sfDir)
+      .repartition(8, col("media_id"))
+    framePixels(videos).toDF()
+      .groupBy(col("source"), col("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("pixels_real"), 1L).otherwise(0L)).as("n_real"),
+        sum(col("ts_ms")).as("sum_ts_ms"),
+        sum(col("n_pixels")).as("n_pixels"),
+        sum(col("sum_r")).as("sum_r"),
+        sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_b")).as("sum_b"),
+        sum(col("sum_luma")).as("sum_luma"))
+      .orderBy("source", "frame_idx")
+  }
+
   /** m06: per-(source, frame index) sampling profile — exercised
     * across the container boundary (real mvhd duration, real mdat
     * bytes); the oracle recomputes both from the deterministic

@@ -137,6 +137,16 @@ object MiscQueries extends QueryModule {
   private def m06(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.frameSampleSummary(s, d)
 
+  // m07: video frame PIXELS — MJPEG-in-MP4 demuxed via the real
+  // stsd/stts/stsz/stco sample tables, each sample decoded by the
+  // baseline JPEG decoder; integer pixel sums per (source, frame_idx).
+  // Python oracle (py_oracles.m07) reconstructs every frame's pixels
+  // from the block-constant construction through the same
+  // encoder/decoder color-convert doubles as m05, PLUS the sample
+  // timing from the stts formula — pixels_real=true end to end.
+  private def m07(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.framePixelSummary(s, d)
+
   private val m06Sql =
     """WITH v AS (
       |  SELECT doc_id, source, text,
@@ -162,6 +172,7 @@ object MiscQueries extends QueryModule {
     "m04_image_phash" -> m04,
     "m05_pixel_stats" -> m05,
     "m06_frame_sample" -> m06,
+    "m07_frame_pixels" -> m07,
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(

@@ -474,6 +474,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.frameSamples(raw, 4).collect().isEmpty)
   }
 
+  test("MJPEG-in-MP4: sample tables locate every frame, pixels decode exactly") {
+    import spark.implicits._
+    val frames = (0 until 3).map(fi =>
+      MediaCodec.buildJpeg(24, 16, (bx, by) => ((fi * 50 + bx * 9) % 256, (by * 40) % 256, 77)))
+    val mp4 = MediaCodec.buildMjpegMp4(24, 16, 120, frames)
+
+    // demux via the real stsd/stts/stsz/stco walk
+    val samples = MediaCodec.mjpegSamples(mp4).get
+    assert(samples.length == 3)
+    assert(samples.map(_.tsMs) == Seq(0L, 120L, 240L))
+    assert(samples.map(_.size) == frames.map(_.length))
+    // each extracted sample decodes to EXACTLY the pixels of the
+    // directly-decoded source JPEG
+    samples.zipWithIndex.foreach { case (s, fi) =>
+      val cut = java.util.Arrays.copyOfRange(mp4, s.offset, s.offset + s.size)
+      val got = MediaCodec.decodeJpegPixels(cut).get
+      val want = MediaCodec.decodeJpegPixels(frames(fi)).get
+      assert(got.width == 24 && got.height == 16)
+      assert(java.util.Arrays.equals(got.rgb, want.rgb), s"frame $fi pixels differ")
+    }
+    // the container also still sniffs as a plain MP4 (mvhd/tkhd real)
+    val info = MediaCodec.sniffMp4(mp4).get
+    assert(info.durationMs == 360 && info.width == 24 && info.height == 16)
+
+    // corrupt table / non-container bytes: no samples, no crash
+    assert(MediaCodec.mjpegSamples("not an mp4".getBytes).isEmpty)
+    val ds = spark.createDataset(Seq(Multimodal.MediaRecord(1L, "video", mp4, "s")))
+    val px = Multimodal.framePixels(ds).collect().sortBy(_.frame_idx)
+    assert(px.length == 3 && px.forall(_.pixels_real))
+    assert(px.forall(_.n_pixels == 24L * 16))
+  }
+
+  test("m07 frame-pixel summary: every MJPEG frame decodes for real") {
+    val rows = Multimodal.framePixelSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // n_real == n_frames: no frame fell back
+      assert(r.getLong(2) == r.getLong(3), s"fallback frames in $r")
+      assert(r.getLong(5) > 0) // n_pixels
+    }
+    // frame_idx 0..2 exist for every source (every video has ≥3 frames)
+    val idx = rows.map(_.getLong(1)).distinct.sorted
+    assert(idx.take(3).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("m05 pixel stats cover all three decoders with consistent totals") {
     val rows = Multimodal.pixelStatSummary(spark, sf).collect()
     val formats = rows.map(_.getString(1)).distinct.sorted
