@@ -1000,12 +1000,14 @@ object MediaCodec {
   private final case class JComp(id: Int, h: Int, v: Int, tq: Int,
                                  var td: Int = 0, var ta: Int = 0)
 
-  /** Full baseline JPEG pixel decode — marker parse (DQT/DHT/SOF0/
-    * DRI/SOS), canonical Huffman entropy decode, dequantize,
-    * de-zigzag, double-precision IDCT, nearest-neighbor chroma
-    * upsampling (4:4:4/4:2:2/4:2:0), JFIF YCbCr→RGB. Supported:
-    * SOF0 (baseline sequential), 8-bit, 1 or 3 components, sampling
-    * factors ≤ 2, optional restart intervals. Progressive (SOF2),
+  /** Full JPEG pixel decode — marker parse (DQT/DHT/SOF/DRI/SOS),
+    * canonical Huffman entropy decode, dequantize, de-zigzag,
+    * double-precision IDCT, nearest-neighbor chroma upsampling
+    * (4:4:4/4:2:2/4:2:0), JFIF YCbCr→RGB. Supported: SOF0 (baseline
+    * sequential) AND SOF2 (progressive: spectral-selection +
+    * successive-approximation scan accumulation per T.81 Annex G),
+    * 8-bit, 1 or 3 components, sampling factors ≤ 2, optional restart
+    * intervals. Extended sequential, lossless, hierarchical,
     * arithmetic coding, 12-bit → None (pseudo path, declared). */
   def decodeJpegPixels(b: Array[Byte]): Option[PixelImage] = {
     if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
@@ -1021,16 +1023,28 @@ object MediaCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    // progressive: raw (un-dequantized) coefficients accumulate across
+    // scans, one Array[Int] of nBlocks*64 per component over the
+    // MCU-padded block grid
+    var pCoefs: Array[Array[Int]] = null
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if (u8(b, i) != 0xFF) return None
       val marker = u8(b, i + 1)
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
-      else if (marker == 0xD9) return None // EOI before SOS
+      else if (marker == 0xD9) {
+        // EOI: in progressive mode all scans have accumulated — now
+        // dequantize + IDCT + upsample once; baseline returned at SOS
+        return if (progressive && pCoefs != null)
+          finishProgressive(comps, quant, pCoefs, width, height)
+        else None
+      }
       else {
+        if (i + 4 > b.length) return None
         val len = be16(b, i + 2)
         val seg = i + 4
-        val segEnd = i + 2 + len
+        var segEnd = i + 2 + len
         if (len < 2 || segEnd > b.length) return None
         marker match {
           case 0xDB => // DQT: one or more tables
@@ -1063,8 +1077,9 @@ object MediaCodec {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + n
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
             if (u8(b, seg) != 8) return None // precision
+            progressive = marker == 0xC2
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nc = u8(b, seg + 5)
@@ -1076,32 +1091,343 @@ object MediaCodec {
             }
             if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3))
               return None
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame types: declared pseudo path
+            return None // extended/lossless/arithmetic: declared pseudo path
           case 0xDD => restartInterval = be16(b, seg)
           case 0xDA => // SOS → entropy-coded data follows
             if (comps == null) return None
             val ns = u8(b, seg)
-            if (ns != comps.length) return None
+            if (ns < 1 || ns > comps.length) return None
             var p = seg + 1
+            val scanComps = new Array[JComp](ns)
             var c = 0
             while (c < ns) {
               val cid = u8(b, p)
               val comp = comps.find(_.id == cid).getOrElse(return None)
               comp.td = u8(b, p + 1) >> 4
               comp.ta = u8(b, p + 1) & 0xF
+              scanComps(c) = comp
               p += 2
               c += 1
             }
-            return decodeScan(b, p + 3, comps, quant, dcTables, acTables,
-              width, height, restartInterval)
+            if (!progressive) {
+              if (ns != comps.length) return None
+              return decodeScan(b, p + 3, comps, quant, dcTables, acTables,
+                width, height, restartInterval)
+            }
+            // progressive scan header: spectral selection + successive
+            // approximation (T.81 G)
+            val ss = u8(b, p)
+            val se = u8(b, p + 1)
+            val ah = u8(b, p + 2) >> 4
+            val al = u8(b, p + 2) & 0xF
+            if (ss > 63 || se > 63 || se < ss || al > 13) return None
+            if (ss == 0 && se != 0) return None // DC scan is exactly band 0
+            if (ss > 0 && ns != 1) return None // AC scans are single-component
+            if (pCoefs == null) {
+              val maxH = comps.map(_.h).max
+              val maxV = comps.map(_.v).max
+              val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+              val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+              pCoefs = comps.map(cc => new Array[Int](mcusX * cc.h * mcusY * cc.v * 64))
+            }
+            val endPos = decodeProgressiveScan(b, p + 3, comps, scanComps,
+              pCoefs, dcTables, acTables, width, height, restartInterval,
+              ss, se, ah, al)
+            // resume the marker walk at the next real marker (0xFF
+            // followed by a non-stuffing byte)
+            var q = endPos
+            while (q + 1 < b.length && !((b(q) & 0xFF) == 0xFF && (b(q + 1) & 0xFF) != 0x00))
+              q += 1
+            segEnd = q
           case _ => () // APPn, COM, others: skip
         }
         i = segEnd
       }
     }
     None
+  }
+
+  /** One progressive scan (T.81 G.2): either a DC band scan
+    * (interleaved over the scan's components in MCU order) or a
+    * single-component AC band scan in block-raster order over that
+    * component's un-padded block grid. `Ah == 0` scans establish
+    * coefficient values at point transform `Al`; `Ah != 0` scans
+    * refine one bit. Returns the byte position after the scan's
+    * entropy data. */
+  private def decodeProgressiveScan(
+      b: Array[Byte], scanStart: Int, comps: Array[JComp],
+      scanComps: Array[JComp], pCoefs: Array[Array[Int]],
+      dcTables: Array[HuffTable], acTables: Array[HuffTable],
+      width: Int, height: Int, restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val in = new JpegBits(b, scanStart)
+    def compIdx(c: JComp): Int = comps.indexWhere(_.id == c.id)
+
+    if (ss == 0) {
+      // DC scan, interleaved in MCU order (a 1-component frame or
+      // 1-component scan degenerates to its block raster)
+      val pred = new Array[Int](scanComps.length)
+      val singleNI = scanComps.length == 1 && comps.length > 1
+      val c0 = scanComps(0)
+      // non-interleaved DC scan: raster over the component's real grid
+      val niW = if (singleNI) (width * c0.h + 8 * maxH - 1) / (8 * maxH) else 0
+      val niH = if (singleNI) (height * c0.v + 8 * maxV - 1) / (8 * maxV) else 0
+      val nUnits = if (singleNI) niW * niH else mcusX * mcusY
+      var unit = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!in.restart()) throw new IllegalArgumentException("missing RST")
+          java.util.Arrays.fill(pred, 0)
+        }
+        var sc = 0
+        while (sc < scanComps.length) {
+          val c = scanComps(sc)
+          val ci = compIdx(c)
+          val gridW = mcusX * c.h
+          def dcOne(blockIdx: Int): Unit = {
+            val coefBase = blockIdx * 64
+            if (ah == 0) {
+              val s = dcTables(c.td).decode(in)
+              if (s > 11) throw new IllegalArgumentException("bad DC cat")
+              pred(sc) += extend(in.receive(s), s)
+              pCoefs(ci)(coefBase) = pred(sc) << al
+            } else {
+              if (in.bit() == 1) pCoefs(ci)(coefBase) |= 1 << al
+            }
+          }
+          if (singleNI) {
+            val row = unit / niW
+            val col = unit % niW
+            dcOne(row * gridW + col)
+          } else {
+            val mx = unit % mcusX
+            val my = unit / mcusX
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                dcOne((my * c.v + by) * gridW + (mx * c.h + bx))
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          sc += 1
+        }
+        unit += 1
+      }
+    } else {
+      // AC scan: exactly one component, raster over its real grid
+      val c = scanComps(0)
+      val ci = compIdx(c)
+      val gridW = mcusX * c.h
+      val bw = (width * c.h + 8 * maxH - 1) / (8 * maxH)
+      val bh = (height * c.v + 8 * maxV - 1) / (8 * maxV)
+      val acT = acTables(c.ta)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var eobrun = 0
+      var unit = 0
+      val nUnits = bw * bh
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!in.restart()) throw new IllegalArgumentException("missing RST")
+          eobrun = 0
+        }
+        val base = ((unit / bw) * gridW + (unit % bw)) * 64
+        val coef = pCoefs(ci)
+        if (ah == 0) {
+          // AC first scan (G.1.2.2): EOB runs span whole blocks
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = acT.decode(in)
+              val r = rs >> 4
+              val sz = rs & 0xF
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += in.receive(r)
+                  k = 64
+                }
+              } else {
+                k += r
+                if (k > se) throw new IllegalArgumentException("AC overflow")
+                coef(base + ZigZag(k)) = extend(in.receive(sz), sz) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement (G.1.2.3): correction bits for already-
+          // nonzero coefficients; new values are ±(1<<Al)
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (k <= se && !done) {
+              val rs = acT.decode(in)
+              var r = rs >> 4
+              val sz = rs & 0xF
+              var insert = 0
+              if (sz == 0) {
+                if (r != 15) {
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += in.receive(r)
+                  done = true
+                }
+                // r == 15: ZRL — advance past 16 zero-history coefs
+              } else {
+                if (sz != 1) throw new IllegalArgumentException("bad AC refine size")
+                insert = if (in.bit() == 1) p1 else m1
+              }
+              if (!done) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = base + ZigZag(k)
+                  if (coef(z) != 0) {
+                    if (in.bit() == 1 && (coef(z) & p1) == 0)
+                      coef(z) += (if (coef(z) >= 0) p1 else m1)
+                  } else {
+                    if (r == 0) {
+                      if (insert != 0) coef(z) = insert
+                      placed = true
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && insert != 0)
+                  throw new IllegalArgumentException("AC refine overflow")
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB region: still corrects the remaining nonzero coefs
+            while (k <= se) {
+              val z = base + ZigZag(k)
+              if (coef(z) != 0) {
+                if (in.bit() == 1 && (coef(z) & p1) == 0)
+                  coef(z) += (if (coef(z) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        unit += 1
+      }
+    }
+    in.pos
+  }
+
+  /** Progressive finish: dequantize the accumulated coefficients,
+    * IDCT every block of every component plane, upsample and color
+    * convert — the same tail as the baseline path. */
+  private def finishProgressive(
+      comps: Array[JComp], quant: Array[Array[Int]],
+      pCoefs: Array[Array[Int]], width: Int, height: Int): Option[PixelImage] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(ci => new Array[Byte](planeW(ci) * planeH(ci))).toArray
+    comps.indices.foreach { ci =>
+      if (quant(comps(ci).tq) == null) return None
+    }
+    val dq = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quant(c.tq)
+      val gridW = mcusX * c.h
+      val gridH = mcusY * c.v
+      var blk = 0
+      val nBlocks = gridW * gridH
+      while (blk < nBlocks) {
+        val base = blk * 64
+        var z = 0
+        while (z < 64) { dq(z) = pCoefs(ci)(base + z) * q(z); z += 1 }
+        idctBlock(dq, planes(ci), planeW(ci), (blk % gridW) * 8, (blk / gridW) * 8)
+        blk += 1
+      }
+      ci += 1
+    }
+    Some(planesToRgb(comps, planes, planeW, maxH, maxV, width, height))
+  }
+
+  /** Double-precision IDCT of one dequantized 8×8 block into a plane
+    * at (px0, py0), with level shift + clamp. */
+  private def idctBlock(coef: Array[Int], plane: Array[Byte], planeW: Int,
+                        px0: Int, py0: Int): Unit = {
+    var y0 = 0
+    while (y0 < 8) {
+      var x0 = 0
+      while (x0 < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val f = coef(v * 8 + u)
+            if (f != 0) acc += IdctCos(x0)(u) * IdctCos(y0)(v) * f
+            v += 1
+          }
+          u += 1
+        }
+        val sample = math.round(acc / 4.0 + 128.0).toInt
+        val clamped = if (sample < 0) 0 else if (sample > 255) 255 else sample
+        plane((py0 + y0) * planeW + px0 + x0) = clamped.toByte
+        x0 += 1
+      }
+      y0 += 1
+    }
+  }
+
+  /** Nearest-neighbor chroma upsample + JFIF YCbCr→RGB (or grayscale
+    * replicate) — shared by the baseline and progressive paths. */
+  private def planesToRgb(comps: Array[JComp], planes: Array[Array[Byte]],
+                          planeW: Seq[Int], maxH: Int, maxV: Int,
+                          width: Int, height: Int): PixelImage = {
+    val rgb = new Array[Byte](width * height * 3)
+    var py = 0
+    while (py < height) {
+      var px = 0
+      while (px < width) {
+        val o = (py * width + px) * 3
+        if (comps.length == 1) {
+          val g = planes(0)(py * planeW(0) + px)
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+        } else {
+          def sample(ci: Int): Int = {
+            val sx = px * comps(ci).h / maxH
+            val sy = py * comps(ci).v / maxV
+            planes(ci)(sy * planeW(ci) + sx) & 0xFF
+          }
+          val y = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          rgb(o) = clamp(y + 1.402 * cr)
+          rgb(o + 1) = clamp(y - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = clamp(y + 1.772 * cb)
+        }
+        px += 1
+      }
+      py += 1
+    }
+    PixelImage(width, height, rgb)
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int, comps: Array[JComp],
@@ -1199,38 +1525,7 @@ object MediaCodec {
       mcu += 1
     }
 
-    // upsample (nearest) + color-convert to RGB
-    val rgb = new Array[Byte](width * height * 3)
-    var py = 0
-    while (py < height) {
-      var px = 0
-      while (px < width) {
-        val o = (py * width + px) * 3
-        if (comps.length == 1) {
-          val g = planes(0)(py * planeW(0) + px)
-          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
-        } else {
-          def sample(ci: Int): Int = {
-            val sx = px * comps(ci).h / maxH
-            val sy = py * comps(ci).v / maxV
-            planes(ci)(sy * planeW(ci) + sx) & 0xFF
-          }
-          val y = sample(0).toDouble
-          val cb = sample(1) - 128.0
-          val cr = sample(2) - 128.0
-          def clamp(d: Double): Byte = {
-            val v = math.round(d).toInt
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-          }
-          rgb(o) = clamp(y + 1.402 * cr)
-          rgb(o + 1) = clamp(y - 0.344136 * cb - 0.714136 * cr)
-          rgb(o + 2) = clamp(y + 1.772 * cb)
-        }
-        px += 1
-      }
-      py += 1
-    }
-    Some(PixelImage(width, height, rgb))
+    Some(planesToRgb(comps, planes, planeW, maxH, maxV, width, height))
   }
 
   /** Fixture JPEG encoder for the decoder's exactness contract:
@@ -1314,6 +1609,121 @@ object MediaCodec {
         if (nBits == 8) { out.write(cur); if (cur == 0xFF) out.write(0x00); cur = 0; nBits = 0 }
       }
     }
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE fixture encoder for the same block-constant contract
+    * as [[buildJpeg]] — identical final pixels, spread over five
+    * T.81-G scans: DC first at Al=1 (interleaved, all components), one
+    * full-band AC first scan per component at Al=0 (all-zero ACs →
+    * pure EOB runs, spanning blocks), then a DC refinement restoring
+    * bit 0 (always 0: DC = 8·(c−128) is even, so the two-scan DC is
+    * exact). Flat Q=1, 4:4:4, same Huffman-table style the decoder
+    * reads from DHT. */
+  def buildProgressiveJpeg(width: Int, height: Int,
+                           blockColor: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xFF)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    m(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1)) // DQT 0, all ones
+    m(0xC2, Array[Byte](8, // SOF2: progressive, 8-bit
+      (height >> 8).toByte, (height & 0xFF).toByte,
+      (width >> 8).toByte, (width & 0xFF).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // DHT 0/DC: 12 categories as 4-bit codes (canonical: code == symbol)
+    m(0xC4, Array[Byte](0x00) ++
+      Array[Byte](0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 11).map(_.toByte).toArray)
+    // DHT 0/AC: EOBn symbols r<<4 for r = 0..14 as 4-bit codes
+    m(0xC4, Array[Byte](0x10) ++
+      Array[Byte](0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 14).map(r => (r << 4).toByte).toArray)
+
+    var cur = 0
+    var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(cur)
+          if (cur == 0xFF) out.write(0x00)
+          cur = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nBits > 0) {
+      while (nBits != 0) {
+        cur = (cur << 1) | 1; nBits += 1
+        if (nBits == 8) { out.write(cur); if (cur == 0xFF) out.write(0x00); cur = 0; nBits = 0 }
+      }
+    }
+    val bxs = (width + 7) / 8
+    val bys = (height + 7) / 8
+    val nBlocks = bxs * bys
+
+    def dcOf(bx: Int, by: Int): Array[Int] = {
+      val (r, g, b) = blockColor(bx, by)
+      val y = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255).max(0)
+      val cb = math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt.min(255).max(0)
+      val cr = math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt.min(255).max(0)
+      Array(8 * (y - 128), 8 * (cb - 128), 8 * (cr - 128))
+    }
+
+    // scan 1: DC first, all comps interleaved, Ah=0 Al=1
+    m(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01))
+    val pred = new Array[Int](3)
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        val dcs = dcOf(bx, by)
+        var ci = 0
+        while (ci < 3) {
+          val pt = dcs(ci) >> 1 // point transform Al=1
+          val diff = pt - pred(ci)
+          pred(ci) = pt
+          val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putBits(s, 4)
+          if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    flushScan()
+
+    // scans 2-4: AC first, full band 1..63 at Al=0 per component —
+    // every AC is zero, so the whole grid is EOB runs
+    var comp = 1
+    while (comp <= 3) {
+      m(0xDA, Array[Byte](1, comp.toByte, 0x00, 1, 63, 0x00))
+      var left = nBlocks
+      while (left > 0) {
+        val chunk = math.min(left, 1 << 14)
+        val r = 31 - Integer.numberOfLeadingZeros(chunk)
+        putBits(r, 4) // EOBn symbol r<<4 has canonical 4-bit code == r
+        if (r > 0) putBits(chunk - (1 << r), r)
+        left -= chunk
+      }
+      flushScan()
+      comp += 1
+    }
+
+    // scan 5: DC refinement Ah=1 Al=0 — bit 0 of every (even) DC: 0
+    m(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10))
+    var i = 0
+    while (i < nBlocks * 3) { putBits(0, 1); i += 1 }
+    flushScan()
+
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }

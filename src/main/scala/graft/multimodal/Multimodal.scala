@@ -42,10 +42,10 @@ object Multimodal {
       duration_ms: Int,      // audio: real (data bytes / byte rate); video: real mvhd duration (mp4)
       byte_histogram: Array[Double],  // 16-bin normalized histogram
       content_hash: Long,
-      mean_r: Double,        // REAL pixel statistics (png/bmp/gif/baseline-jpeg
-      mean_g: Double,        // decode); 0.0 + pixels_real=false only on the
-      mean_b: Double,        // fallback path (unparseable container or
-      mean_luma: Double,     // video frames needing an inter-frame codec)
+      mean_r: Double,        // REAL pixel statistics (png/bmp/gif decode; jpeg
+      mean_g: Double,        // baseline SOF0 + progressive SOF2); 0.0 +
+      mean_b: Double,        // pixels_real=false only on the fallback path
+      mean_luma: Double,     // (unparseable container or inter-frame video codec)
       pixels_real: Boolean)
 
   /** STUB pixel-level decoder — deterministic pseudo-features for
@@ -167,8 +167,9 @@ object Multimodal {
   /** Synthesize a deterministic media table from the documents table
     * (no binary test data exists): REAL containers — image records
     * rotate through a valid 8-bit RGB PNG ((doc_id/3) % 3 = 0), a
-    * valid 24-bpp BMP (= 1), and a valid baseline JPEG (= 2,
-    * block-constant colors → exact decode); audio records are valid
+    * valid 24-bpp BMP (= 1), and a valid JPEG (= 2, block-constant
+    * colors → exact decode, alternating baseline SOF0 and progressive
+    * SOF2 encodes of identical pixels); audio records are valid
     * 8-bit PCM WAVs; video records alternate real MP4 containers with
     * raw bytes (the pseudo-decode path). */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
@@ -185,10 +186,17 @@ object Multimodal {
               (id / 3) % 3 match {
                 case 0 => MediaCodec.buildPng(w, h, payload)
                 case 1 => MediaCodec.buildBmp(w, h, payload)
-                case _ => MediaCodec.buildJpeg(w, h, (bx, by) =>
-                  (((id * 7 + bx * 31 + by * 17) % 256).toInt,
-                    ((id * 3 + bx * 13 + by * 7) % 256).toInt,
-                    ((id * 11 + bx * 5 + by * 29) % 256).toInt))
+                case _ =>
+                  // alternate baseline SOF0 / progressive SOF2 encodes
+                  // of the SAME block colors — the five-scan progressive
+                  // accumulation decodes to bit-identical pixels, so
+                  // the m05 oracle covers both without a format split
+                  val colors = (bx: Int, by: Int) =>
+                    (((id * 7 + bx * 31 + by * 17) % 256).toInt,
+                      ((id * 3 + bx * 13 + by * 7) % 256).toInt,
+                      ((id * 11 + bx * 5 + by * 29) % 256).toInt)
+                  if ((id / 9) % 2 == 0) MediaCodec.buildJpeg(w, h, colors)
+                  else MediaCodec.buildProgressiveJpeg(w, h, colors)
               }, src)
           case 1 => MediaRecord(id, "audio",
             MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)

@@ -345,6 +345,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Progressive JPEG decode: five-scan SOF2 fixture matches baseline pixel-for-pixel") {
+    // same block-constant contract as buildJpeg, spread over DC-first
+    // (Al=1) + per-component AC-first EOB-run scans + DC refinement;
+    // the accumulated coefficients must equal the baseline's exactly,
+    // so the decoded RGB must be bit-identical
+    val colors = (bx: Int, by: Int) =>
+      ((bx * 40 + by * 3) % 256, (200 - bx * 9 + 256) % 256, (by * 55 + 7) % 256)
+    for ((w, h) <- Seq((27, 19), (8, 8), (48, 40), (129, 17))) {
+      val base = MediaCodec.decodeJpegPixels(MediaCodec.buildJpeg(w, h, colors)).get
+      val prog = MediaCodec.decodeJpegPixels(MediaCodec.buildProgressiveJpeg(w, h, colors)).get
+      assert(prog.width == w && prog.height == h, s"dims ${w}x$h")
+      assert(java.util.Arrays.equals(prog.rgb, base.rgb), s"pixels ${w}x$h")
+    }
+  }
+
   test("JPEG decode: AC coefficients, 4:2:0 subsampling, and restart markers") {
     // independently written single-component JPEG: one 8x8 block with
     // a known DC + one AC coefficient, checked against a from-scratch
