@@ -635,8 +635,330 @@ def m07_frame_pixels(sf_dir):
     })
 
 
+# ---- m01: byte-exact container reconstruction ------------------------
+# Mirrors every MediaCodec builder byte-for-byte (the builders are
+# deterministic by design: PNG IDAT uses hand-framed stored deflate
+# blocks, the JPEG entropy streams are hand-rolled, BMP/WAV/MP4 are
+# fixed layouts), then the sniff -> decode -> feature path of
+# Multimodal.decodeRecord, so m01's per-(kind, format) integer
+# aggregates are recomputed from documents.parquet alone.
+
+def _le16(v):
+    return bytes((v & 0xFF, (v >> 8) & 0xFF))
+
+
+def _le32(v):
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
+
+
+def _be16b(v):
+    return bytes(((v >> 8) & 0xFF, v & 0xFF))
+
+
+def _be32b(v):
+    return bytes(((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF))
+
+
+def _cyc(payload, n):
+    if not payload or n == 0:
+        return bytes(n)
+    return (payload * (n // len(payload) + 1))[:n]
+
+
+def _build_png(w, h, payload):
+    import zlib
+    stride = w * 3
+    pix = _cyc(payload, h * stride)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        for x in range(stride):
+            v = pix[y * stride + x]
+            a = pix[y * stride + x - 3] if x >= 3 else 0
+            up = pix[(y - 1) * stride + x] if y > 0 else 0
+            c = pix[(y - 1) * stride + x - 3] if x >= 3 and y > 0 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else c)
+            raw.append((v - pred) & 0xFF)
+    comp = bytearray(b"\x78\x01")
+    off = 0
+    while True:
+        n = min(65535, len(raw) - off)
+        comp.append(1 if off + n >= len(raw) else 0)
+        comp += bytes((n & 0xFF, (n >> 8) & 0xFF, (~n) & 0xFF, ((~n) >> 8) & 0xFF))
+        comp += raw[off:off + n]
+        off += n
+        if off >= len(raw):
+            break
+    comp += _be32b(zlib.adler32(bytes(raw)) & 0xFFFFFFFF)
+
+    def chunk(typ, body):
+        return (_be32b(len(body)) + typ + body
+                + _be32b(zlib.crc32(typ + body) & 0xFFFFFFFF))
+    ihdr = _be32b(w) + _be32b(h) + bytes((8, 2, 0, 0, 0))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bytes(comp)) + chunk(b"IEND", b""))
+
+
+def _build_bmp(w, h, payload):
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    return (b"BM" + _le32(54 + data_size) + _le32(0) + _le32(54)
+            + _le32(40) + _le32(w) + _le32(h) + _le16(1) + _le16(24)
+            + _le32(0) + _le32(data_size) + _le32(2835) + _le32(2835)
+            + _le32(0) + _le32(0) + _cyc(payload, data_size))
+
+
+class _JBits:
+    """JPEG entropy bit writer with 0xFF stuffing, 1-padding flush."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def _emit(self):
+        self.out.append(self.cur)
+        if self.cur == 0xFF:
+            self.out.append(0)
+        self.cur = 0
+        self.n = 0
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self._emit()
+
+    def flush(self):
+        while self.n:
+            self.cur = (self.cur << 1) | 1
+            self.n += 1
+            if self.n == 8:
+                self._emit()
+
+    def take(self):
+        b = bytes(self.out)
+        self.out = bytearray()
+        return b
+
+
+def _jseg(marker, body):
+    return bytes((0xFF, marker)) + _be16b(len(body) + 2) + body
+
+
+def _jpeg_dcs(r, g, b):
+    y = _clamp255(_jround(0.299 * r + 0.587 * g + 0.114 * b))
+    cb = _clamp255(_jround(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+    cr = _clamp255(_jround(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+    return (8 * (y - 128), 8 * (cb - 128), 8 * (cr - 128))
+
+
+_JPEG_DHT_DC = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+
+
+def _build_jpeg(w, h, colors):
+    out = bytearray(b"\xFF\xD8")
+    out += _jseg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _jseg(0xC0, bytes([8]) + _be16b(h) + _be16b(w)
+                 + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += _jseg(0xC4, _JPEG_DHT_DC)
+    out += _jseg(0xC4, bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([0x00]))
+    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _JBits()
+    pred = [0, 0, 0]
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            dcs = _jpeg_dcs(*colors(bx, by))
+            for ci in range(3):
+                diff = dcs[ci] - pred[ci]
+                pred[ci] = dcs[ci]
+                s = 0 if diff == 0 else abs(diff).bit_length()
+                bw.put(s, 4)
+                if s:
+                    bw.put(diff + (1 << s) - 1 if diff < 0 else diff, s)
+                bw.put(0, 2)  # AC EOB
+    bw.flush()
+    out += bw.take()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _build_pjpeg(w, h, colors):
+    """Progressive (SOF2) five-scan twin of _build_jpeg — mirrors
+    MediaCodec.buildProgressiveJpeg."""
+    out = bytearray(b"\xFF\xD8")
+    out += _jseg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _jseg(0xC2, bytes([8]) + _be16b(h) + _be16b(w)
+                 + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += _jseg(0xC4, _JPEG_DHT_DC)
+    out += _jseg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 15] + [0] * 12)
+                 + bytes((r << 4) for r in range(15)))
+    bxs, bys = (w + 7) // 8, (h + 7) // 8
+    nb = bxs * bys
+    bw = _JBits()
+    # scan 1: DC first, interleaved, Ah=0 Al=1
+    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    pred = [0, 0, 0]
+    for by in range(bys):
+        for bx in range(bxs):
+            dcs = _jpeg_dcs(*colors(bx, by))
+            for ci in range(3):
+                pt = dcs[ci] >> 1
+                diff = pt - pred[ci]
+                pred[ci] = pt
+                s = 0 if diff == 0 else abs(diff).bit_length()
+                bw.put(s, 4)
+                if s:
+                    bw.put(diff + (1 << s) - 1 if diff < 0 else diff, s)
+    bw.flush()
+    out += bw.take()
+    # scans 2-4: AC first, full band, per component — pure EOB runs
+    for comp in (1, 2, 3):
+        out += _jseg(0xDA, bytes([1, comp, 0x00, 1, 63, 0x00]))
+        left = nb
+        while left > 0:
+            chunk = min(left, 1 << 14)
+            r = chunk.bit_length() - 1
+            bw.put(r, 4)
+            if r:
+                bw.put(chunk - (1 << r), r)
+            left -= chunk
+        bw.flush()
+        out += bw.take()
+    # scan 5: DC refinement Ah=1 Al=0 — bit 0 of every (even) DC: 0
+    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    for _ in range(nb * 3):
+        bw.put(0, 1)
+    bw.flush()
+    out += bw.take()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _build_wav(rate, n, payload):
+    return (b"RIFF" + _le32(36 + n) + b"WAVE"
+            + b"fmt " + _le32(16) + _le16(1) + _le16(1)
+            + _le32(rate) + _le32(rate) + _le16(1) + _le16(8)
+            + b"data" + _le32(n) + _cyc(payload, n))
+
+
+_MP4_MATRIX = b"".join(_be32b(v) for v in
+                       (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+
+
+def _build_mp4(dur, w, h, nd, payload):
+    mvhd = (_be32b(108) + b"mvhd" + _be32b(0) + _be32b(0) * 2
+            + _be32b(1000) + _be32b(dur)
+            + _be32b(0x00010000) + _be16b(0x0100) + _be16b(0)
+            + _be32b(0) * 2 + _MP4_MATRIX + _be32b(0) * 6 + _be32b(2))
+    tkhd = (_be32b(92) + b"tkhd" + _be32b(7) + _be32b(0) * 2
+            + _be32b(1) + _be32b(0) + _be32b(dur) + _be32b(0) * 2
+            + _be16b(0) * 4 + _MP4_MATRIX
+            + _be32b((w << 16) & 0xFFFFFFFF) + _be32b((h << 16) & 0xFFFFFFFF))
+    return (_be32b(20) + b"ftyp" + b"isom" + _be32b(0) + b"isom"
+            + _be32b(216) + b"moov" + mvhd + _be32b(100) + b"trak" + tkhd
+            + _be32b(8 + nd) + b"mdat" + _cyc(payload, nd))
+
+
+def _content_hash64(data):
+    """graft histAndHash: h = h*1000003 + byte over 64 bits, FNV
+    offset seed. Returned unsigned (distinct-count equivalent)."""
+    h = 1469598103934665603
+    for b in data:
+        h = (h * 1000003 + b) & MASK
+    return h
+
+
+def m01_media_features(sf_dir):
+    agg = {}
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        payload = text.encode("utf-8")
+        preal = False
+        if doc_id % 3 == 0:
+            kind = "image"
+            w, h = 16 + doc_id % 32, 12 + doc_id % 24
+            sub = (doc_id // 3) % 3
+            if sub == 0:
+                fmt, content = "png", _build_png(w, h, payload)
+            elif sub == 1:
+                fmt, content = "bmp", _build_bmp(w, h, payload)
+            else:
+                def colors(bx, by, i=doc_id):
+                    return ((i * 7 + bx * 31 + by * 17) % 256,
+                            (i * 3 + bx * 13 + by * 7) % 256,
+                            (i * 11 + bx * 5 + by * 29) % 256)
+                fmt = "jpeg"
+                content = (_build_jpeg(w, h, colors) if (doc_id // 9) % 2 == 0
+                           else _build_pjpeg(w, h, colors))
+            width, height, dur = w, h, 0
+            preal = True
+        elif doc_id % 3 == 1:
+            kind, fmt = "audio", "wav"
+            n = 2000 + (doc_id % 6000) * 8
+            content = _build_wav(8000, n, payload)
+            width, height, dur = 0, 0, (n * 1000) // 8000
+        else:
+            kind = "video"
+            if (doc_id // 3) % 2 == 0:
+                fmt = "mp4"
+                dur = 3000 + doc_id % 9000
+                width = 160 + (doc_id % 8) * 16
+                height = 96 + (doc_id % 6) * 16
+                content = _build_mp4(dur, width, height,
+                                     500 + (doc_id % 1500), payload)
+            else:  # raw bytes -> FakeCodec pseudo path
+                fmt = "unknown"
+                content = payload
+                hu = _content_hash64(content)
+                ha = abs(hu - (1 << 64) if hu >= (1 << 63) else hu)
+                width = 64 + ha % 1024
+                height = (width * 3) // 4
+                dur = 1000 + ha % 59000
+        st = agg.setdefault((kind, fmt), [0, 0, 0, 0, 0, 0, 0, 0, set()])
+        st[0] += 1
+        st[1] += 1 if fmt != "unknown" else 0
+        st[2] += 1 if preal else 0
+        st[3] += len(content)
+        st[4] += width
+        st[5] += height
+        st[6] += dur
+        st[7] += sum(1 for b in content if b >> 4 == 0)
+        st[8].add(_content_hash64(content))
+    keys = sorted(agg)
+    return pa.table({
+        "kind": pa.array([k[0] for k in keys], pa.string()),
+        "format": pa.array([k[1] for k in keys], pa.string()),
+        "n_media": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "n_sniffed": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "n_pixels_real": pa.array([agg[k][2] for k in keys], pa.int64()),
+        "total_bytes": pa.array([agg[k][3] for k in keys], pa.int64()),
+        "sum_width": pa.array([agg[k][4] for k in keys], pa.int64()),
+        "sum_height": pa.array([agg[k][5] for k in keys], pa.int64()),
+        "sum_duration_ms": pa.array([agg[k][6] for k in keys], pa.int64()),
+        "bin0_bytes": pa.array([agg[k][7] for k in keys], pa.int64()),
+        "n_distinct": pa.array([len(agg[k][8]) for k in keys], pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
+    "m01_media_features": m01_media_features,
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,
     "m03_audio_features": m03_audio_features,

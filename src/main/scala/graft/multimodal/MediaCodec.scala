@@ -560,7 +560,9 @@ object MediaCodec {
     * `payload` cyclically. Each row's filter type cycles 0..4, and the
     * encoder APPLIES the filter (raw = sample − predictor mod 256), so
     * a round-trip through [[decodePngPixels]] exercises every
-    * unfilter branch, not just None. */
+    * unfilter branch, not just None. The IDAT zlib stream uses stored
+    * (uncompressed) deflate blocks so the container bytes are
+    * implementation-independent and oracle-reconstructable. */
   def buildPng(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
     val stride = width * 3
     val bpp = 3
@@ -596,13 +598,27 @@ object MediaCodec {
       }
       y += 1
     }
-    val def_ = new java.util.zip.Deflater()
-    def_.setInput(raw)
-    def_.finish()
+    // zlib stream with deflate STORED blocks, hand-framed: compressed
+    // bytes are then a pure function of the raw bytes (no codec
+    // heuristics), so the m01 oracle can reconstruct the container
+    // byte-for-byte in Python; decodePngPixels still inflates it
+    // through the real java.util.zip.Inflater
     val comp = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!def_.finished()) comp.write(buf, 0, def_.deflate(buf))
-    def_.end()
+    comp.write(0x78); comp.write(0x01) // zlib header, 32K window, level 0
+    var off = 0
+    do {
+      val n = math.min(65535, raw.length - off)
+      comp.write(if (off + n >= raw.length) 1 else 0) // BFINAL + BTYPE=00
+      comp.write(n & 0xFF); comp.write((n >> 8) & 0xFF)
+      comp.write(~n & 0xFF); comp.write((~n >> 8) & 0xFF)
+      comp.write(raw, off, n)
+      off += n
+    } while (off < raw.length)
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val ad = adler.getValue
+    comp.write(((ad >> 24) & 0xFF).toInt); comp.write(((ad >> 16) & 0xFF).toInt)
+    comp.write(((ad >> 8) & 0xFF).toInt); comp.write((ad & 0xFF).toInt)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
     val ihdr = java.nio.ByteBuffer.allocate(13)

@@ -544,6 +544,18 @@ object Multimodal {
 
   /** Per-(modality, container) feature aggregate (rows-only query) —
     * pixel statistics are REAL for the png/bmp rows (pixels_real). */
+  /** m01: per-(kind, format) pipeline summary over the full
+    * decode surface. Every aggregate is integer-exact and
+    * order-independent so the Python oracle (scripts/py_oracles.py
+    * m01_media_features) can recompute it by reconstructing every
+    * container BYTE-FOR-BYTE from the deterministic builders (stored-
+    * block PNG zlib, hand-rolled JPEG entropy streams, fixed BMP/WAV/
+    * MP4 layouts) and mirroring the sniff → decode → feature path:
+    * sniff rates, byte totals, header dims/durations, bin-0 byte
+    * counts of the 16-bin histogram, and FNV-style content-hash
+    * distincts (pixel statistics are m05's oracle surface).
+    * `bin0 = round(hist[0]·n_bytes)` recovers the pre-normalization
+    * integer count exactly (error < 0.5 ulp-scaled). */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = extractFeatures(
       syntheticMedia(spark, sfDir).repartition(8, col("kind")))
@@ -554,10 +566,11 @@ object Multimodal {
         sum(when(col("format") =!= "unknown", 1L).otherwise(0L)).as("n_sniffed"),
         sum(when(col("pixels_real"), 1L).otherwise(0L)).as("n_pixels_real"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("width")), 3).as("avg_width"),
-        round(avg(col("duration_ms")), 3).as("avg_duration_ms"),
-        round(avg(when(col("pixels_real"), col("mean_luma"))), 3).as("avg_luma"),
-        round(avg(expr("byte_histogram[0]")), 6).as("avg_hist_bin0"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("duration_ms").cast("long")).as("sum_duration_ms"),
+        sum(round(expr("byte_histogram[0]") * col("n_bytes")).cast("long"))
+          .as("bin0_bytes"),
         countDistinct(col("content_hash")).as("n_distinct"))
       .orderBy("kind", "format")
   }

@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
 object MiscQueries extends QueryModule {
   import Q._
 
-  // m01: multimodal binary-column pipeline summary (incl. the
-  // non-SQL-reproducible histogram/hash columns → rows-only).
+  // m01: multimodal binary-column pipeline summary, ORACLE-CHECKED
+  // ACROSS THE FULL CONTAINER SURFACE — the Python oracle
+  // (scripts/py_oracles.py m01_media_features) reconstructs every
+  // synthetic container byte-for-byte (stored-block PNG zlib,
+  // hand-rolled baseline+progressive JPEG entropy streams, fixed
+  // BMP/WAV/MP4 layouts) and mirrors sniff → decode → aggregate:
+  // sniff/pixel counts, byte totals, header dims/durations, bin-0
+  // histogram byte counts, content-hash distincts.
   private def m01(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.featureSummary(s, d)
 

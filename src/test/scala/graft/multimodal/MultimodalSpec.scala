@@ -42,16 +42,22 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = s.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(rows == Seq(("audio", "wav"), ("image", "bmp"), ("image", "jpeg"),
       ("image", "png"), ("video", "mp4"), ("video", "unknown")))
-    // pixel stats are REAL (and present) exactly for the decodable containers
-    val lumaByFormat = s.collect().map(r =>
+    // pixel decode is REAL exactly for the decodable containers, and
+    // every built container is sniffed (only the raw-byte video rows
+    // fall to the pseudo path)
+    val byFormat = s.collect().map(r =>
       r.getString(1) -> (r.getLong(r.fieldIndex("n_pixels_real")),
-        r.isNullAt(r.fieldIndex("avg_luma")))).toMap
-    assert(lumaByFormat("bmp")._1 > 0 && !lumaByFormat("bmp")._2)
-    assert(lumaByFormat("png")._1 > 0 && !lumaByFormat("png")._2)
-    assert(lumaByFormat("jpeg")._1 > 0 && !lumaByFormat("jpeg")._2)
-    assert(lumaByFormat("wav")._1 == 0 && lumaByFormat("wav")._2)
-    assert(lumaByFormat("mp4")._1 == 0 && lumaByFormat("mp4")._2)
-    assert(lumaByFormat("unknown")._1 == 0 && lumaByFormat("unknown")._2)
+        r.getLong(r.fieldIndex("n_sniffed")),
+        r.getLong(r.fieldIndex("n_media")))).toMap
+    for (f <- Seq("bmp", "png", "jpeg")) {
+      val (preal, sniffed, n) = byFormat(f)
+      assert(preal == n && sniffed == n && n > 0, s"$f: $preal/$sniffed/$n")
+    }
+    for (f <- Seq("wav", "mp4")) {
+      val (preal, sniffed, n) = byFormat(f)
+      assert(preal == 0 && sniffed == n && n > 0, s"$f: $preal/$sniffed/$n")
+    }
+    assert(byFormat("unknown")._1 == 0 && byFormat("unknown")._2 == 0)
   }
 
   test("MediaCodec parses real container headers (PNG/JPEG/GIF/BMP/WAV)") {
