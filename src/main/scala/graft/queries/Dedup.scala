@@ -201,15 +201,48 @@ object Dedup extends QueryModule {
   // e.g. r=19, b=96 catches 5% of true pairs, while r small enough to
   // recall (r≤4) puts ~80% of ALL pairs in the candidate set (16
   // buckets per band). Low-threshold dense all-pairs is intrinsically
-  // Ω(n²) compute; the scalable form is blocked execution of this
-  // exact plan, and the LSH regime that IS sub-quadratic (cos ≥ 0.99)
+  // Ω(n²) compute; the LSH regime that IS sub-quadratic (cos ≥ 0.99)
   // is exercised by d06 below via operators.SignLsh.
+  //
+  // EXECUTION is grid-blocked, not a literal self-cross-join: vectors
+  // hash into B row/col blocks; a vector in block g is replicated to
+  // the upper-triangle cells (g, j≥g) as the row side and (i≤g, g) as
+  // the col side, so every unordered pair meets in EXACTLY ONE of the
+  // B(B+1)/2 cells: blocks ga≠gb meet once in cell (min,max) — in
+  // arbitrary id-order, since block order ≠ id order — and ga=gb meet
+  // in both orders on the diagonal, deduped there by vec_id<, with
+  // least/greatest canonicalizing the output. Each cell is then one key
+  // group of a plain (gi,gj) equi-join, whose per-key cross product
+  // Spark's sort-merge join streams with a SPILLABLE match buffer —
+  // so per-task memory is O(n/B) rows regardless of n, and the Ω(n²)
+  // compute spreads evenly over B(B+1)/2 distributable cells. At 2 M
+  // vectors (B=245): ~8 k rows per block, 30 k cells, ~500 M shuffled
+  // rows — a large but ordinary shuffle, where the old cross join
+  // either broadcast a 5.5 GB table or fell to a single cartesian
+  // stage. Measured at 200 k vectors (sf10): completes in bounded
+  // memory where the BNLJ plan stops scaling; see BENCH_NOTES.
   private def d05(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.{cosineSimilarity}
+    import graft.functions.GraftFunctions.cosineSimilarity
     val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        cosineSimilarity(col("x.embedding"), col("y.embedding")).as("cos"))
+    val n = vecCount.computeIfAbsent((d, embeddingsMtime(d)),
+      (_: (String, Long)) => Tables.load(s, d, "embeddings").count()).longValue()
+    // ~8k vectors per block (a cell's two sides ≈ 4 MB of 64-dim
+    // floats); floor of 8 keeps ≥36 cells of parallelism at tiny SF
+    val b = math.max(8L, math.min(4096L, n / 8192L + 1L)).toInt
+    val blk = pmod(xxhash64(col("vec_id")), lit(b)).cast("int")
+    val rows = e.select(col("vec_id"), col("embedding"), blk.as("gi"),
+      explode(sequence(blk, lit(b - 1))).as("gj"))
+    val cols = e.select(col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
+      explode(sequence(lit(0), blk)).as("gi"), blk.as("gj"))
+    // every cell is upper-triangle (gi ≤ gj); an off-diagonal cell
+    // holds each of its pairs once in arbitrary id-order (block order
+    // ≠ id order), the diagonal holds both orders — so dedup by id
+    // only on the diagonal and canonicalize ids in the projection
+    rows.join(cols, Seq("gi", "gj"))
+      .filter(col("gi") < col("gj") || col("vec_id") < col("vid_b"))
+      .select(least(col("vec_id"), col("vid_b")).as("vec_a"),
+        greatest(col("vec_id"), col("vid_b")).as("vec_b"),
+        cosineSimilarity(col("embedding"), col("emb_b")).as("cos"))
       .filter(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"),
         round(col("cos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
