@@ -199,6 +199,48 @@ object RtcmQueries extends QueryModule {
        |FROM ${dump("rtcm_observations_e2e")}
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- streaming window-aggregate parity (Q2/Q5/Q8 shapes) ----
+  //
+  // The same corpus is replayed through the LIVE path — MemoryStream →
+  // stateful framing → decode → watermarked event-time window
+  // aggregate (graft.streaming.DashboardStreams) — in five
+  // micro-batches plus a watermark-advancing flush. The oracle is the
+  // batch SQL over the batch pipeline's own e2e dump, so a hash match
+  // proves streaming == batch END TO END: framing state across batch
+  // boundaries, decode, epoch-aligned window starts, exact fixed-point
+  // aggregate arithmetic, and Append-mode window-close semantics.
+  private def streamed(s: SparkSession)(
+      shape: org.apache.spark.sql.Dataset[graft.etl.DecodedFrame] => DataFrame): DataFrame =
+    graft.streaming.StreamingReplay.run(s, SyntheticRtcm.corpus(NMounts, NFrames), 5)(in =>
+      shape(graft.streaming.RtcmStreaming.decodeStream(in)))
+      .filter(col("mountpoint") =!= graft.streaming.StreamingReplay.FlushMount)
+
+  private def gapsStream(s: SparkSession, d: String): DataFrame =
+    streamed(s)(graft.streaming.DashboardStreams.gapHeatmap(_))
+      .orderBy("bucket", "mountpoint")
+
+  private def rateStream(s: SparkSession, d: String): DataFrame =
+    streamed(s)(graft.streaming.DashboardStreams.rateTimeseries(_))
+      .orderBy("bucket", "mountpoint")
+
+  private def flowStream(s: SparkSession, d: String): DataFrame =
+    streamed(s)(graft.streaming.DashboardStreams.flowTimeseries(_))
+      .orderBy("bucket", "mountpoint")
+
+  private val rateStreamSql =
+    s"""SELECT ${bucketSql("receive_time", 60)} AS bucket, mountpoint,
+       |  CAST(CAST(ROUND(CAST(SUM(rtcm_sat_count) AS DOUBLE)/60, 6) AS DECIMAL(18,6)) AS DOUBLE) AS rate
+       |FROM ${dump("rtcm_packages_e2e")}
+       |WHERE rtcm_sat_count IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val flowStreamSql =
+    s"""SELECT ${bucketSql("receive_time", 30)} AS bucket, mountpoint,
+       |  CAST(SUM(rtcm_msg_size) AS BIGINT) AS bytes,
+       |  CAST(CAST(ROUND(CAST(SUM(rtcm_msg_size) AS DOUBLE)/30/8/1024, 9) AS DECIMAL(18,9)) AS DOUBLE) AS kbps
+       |FROM ${dump("rtcm_packages_e2e")}
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rtcm_template_signals" -> templateSignals,
     "rtcm_crc_audit" -> crcAudit,
@@ -208,14 +250,23 @@ object RtcmQueries extends QueryModule {
     "rtcm_coordinates_latest" -> coordinatesLatest,
     "rtcm_snr_pivot" -> snrPivot,
     "rtcm_latency_stats" -> latency,
-    "rtcm_gap_heatmap" -> gaps)
+    "rtcm_gap_heatmap" -> gaps,
+    "rtcm_gap_heatmap_stream" -> gapsStream,
+    "rtcm_rate_stream" -> rateStream,
+    "rtcm_flow_stream" -> flowStream)
 
   /** Derived analytics get oracles over the e2e parquet dumps; the
-    * dumps themselves and the CRC audit stay rows-only. */
+    * dumps themselves and the CRC audit stay rows-only. The three
+    * `_stream` queries run the STREAMING path but are checked against
+    * the BATCH dump's SQL — that equality is the streaming-parity
+    * contract. */
   override def oracle: Map[String, String] = Map(
     "rtcm_template_signals" -> templateSignalsSql,
     "rtcm_coordinates_latest" -> coordinatesLatestSql,
     "rtcm_snr_pivot" -> snrPivotSql,
     "rtcm_latency_stats" -> latencySql,
-    "rtcm_gap_heatmap" -> gapsSql)
+    "rtcm_gap_heatmap" -> gapsSql,
+    "rtcm_gap_heatmap_stream" -> gapsSql,
+    "rtcm_rate_stream" -> rateStreamSql,
+    "rtcm_flow_stream" -> flowStreamSql)
 }

@@ -119,6 +119,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming window aggregates equal the batch dashboard queries") {
+    import graft.queries.Q
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import spark.implicits._
+    // live path: chunks -> stateful framing -> decode -> watermarked
+    // event-time windows, replayed across four micro-batch boundaries;
+    // batch path: the same corpus through the batch pipeline + Q.bucket.
+    // 400 frames/mount ≈ 150 s of 0.5 s-cadence chunk time — several
+    // 30 s/60 s windows per mount, so window close is exercised both
+    // mid-stream and at the flush
+    val corpus = SyntheticRtcm.corpus(3, 400)
+    val batchPkgs = RtcmPipeline.packages(
+      RtcmPipeline.decode(RtcmPipeline.frameChunks(spark.createDataset(corpus)))).persist()
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+
+      val gapStream = graft.streaming.StreamingReplay.run(spark, corpus, 4)(in =>
+        graft.streaming.DashboardStreams.gapHeatmap(
+          graft.streaming.RtcmStreaming.decodeStream(in)))
+        .filter(col("mountpoint") =!= graft.streaming.StreamingReplay.FlushMount)
+      val gapBatch = batchPkgs.filter(col("rtcm_obs_epoch").isNotNull)
+        .groupBy(Q.bucket(col("receive_time"), 30).as("bucket"), col("mountpoint"))
+        .agg(count(lit(1)).as("n"))
+      assert(canon(gapStream) == canon(gapBatch))
+      // real multi-window output: ≥3 closed 30 s windows per mountpoint
+      assert(gapStream.count() >= 9)
+
+      val rateStream = graft.streaming.StreamingReplay.run(spark, corpus, 4)(in =>
+        graft.streaming.DashboardStreams.rateTimeseries(
+          graft.streaming.RtcmStreaming.decodeStream(in)))
+        .filter(col("mountpoint") =!= graft.streaming.StreamingReplay.FlushMount)
+      val rateBatch = batchPkgs.filter(col("rtcm_sat_count").isNotNull)
+        .groupBy(Q.bucket(col("receive_time"), 60).as("bucket"), col("mountpoint"))
+        .agg(round(sum(col("rtcm_sat_count")).cast(DoubleType) / 60, 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("rate"))
+      assert(canon(rateStream) == canon(rateBatch))
+
+      val flowStream = graft.streaming.StreamingReplay.run(spark, corpus, 4)(in =>
+        graft.streaming.DashboardStreams.flowTimeseries(
+          graft.streaming.RtcmStreaming.decodeStream(in)))
+        .filter(col("mountpoint") =!= graft.streaming.StreamingReplay.FlushMount)
+      val flowBatch = batchPkgs
+        .groupBy(Q.bucket(col("receive_time"), 30).as("bucket"), col("mountpoint"))
+        .agg(sum(col("rtcm_msg_size")).cast("long").as("bytes"),
+          round(sum(col("rtcm_msg_size")).cast(DoubleType) / 30 / 8 / 1024, 9)
+            .cast(DecimalType(18, 9)).cast(DoubleType).as("kbps"))
+      assert(canon(flowStream) == canon(flowBatch))
+    } finally batchPkgs.unpersist()
+  }
+
   test("batch framing is order-restoring and streams per partition (no group buffering)") {
     import spark.implicits._
     // shuffled arrival order + byte-split chunks across many mounts:
