@@ -188,6 +188,104 @@ object PlanAudit {
       }
     }
 
+    // AQE skew-join: the w02/q02-shape hot key (one join key holding
+    // 80% of the fact) must trigger the sort-merge skew split — the
+    // runtime mitigation for skew the static planner can't see. The
+    // audit runs the same skewed join with the skew handler off and
+    // on and reports the task-duration spread (max/median) both ways;
+    // detector thresholds are scaled to audit-sized data (defaults
+    // are 256 MB — correct at cluster scale, unreachable here).
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+        .map(k => k -> conf.getOption(k)).toMap
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        // distributed range (no driver-side local table) with a ~64 B
+        // payload so the hot task's work dominates per-task overhead
+        val fact = spark.range(0, 2000000).select(
+          when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"),
+          rpad(hex(col("id")), 64, "x").as("payload"))
+        val dim = spark.range(0, 2000000, 5)
+          .select(col("id").as("k"), (col("id") * 2).as("tag"))
+
+        // spread = worst per-stage max/median task duration (stages
+        // with ≥4 tasks — the join stage is where the hot key lands;
+        // whole-query pooling would let the local-table parallelize
+        // stages mask it)
+        def spread(skewOn: Boolean): (Double, Long, String) = {
+          conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+          val byStage = new java.util.concurrent.ConcurrentHashMap[
+            Int, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskInfo != null)
+                byStage.computeIfAbsent(t.stageId,
+                  (_: Int) => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+                  .add(t.taskInfo.duration)
+          }
+          spark.sparkContext.addSparkListener(listener)
+          try {
+            // aggregate ON TOP of the join (the 2 M joined rows stay in
+            // the executors); payload is referenced so pruning can't
+            // drop it from the skewed shuffle
+            val j = fact.join(dim, "k")
+              .agg(sum(length(col("payload"))).as("bytes"), count(lit(1)).as("n"))
+            val t0 = System.nanoTime()
+            val r = j.collect()
+            assert(r(0).getLong(1) == 2000000L)
+            val wallMs = (System.nanoTime() - t0) / 1000000L
+            // listener events are delivered async; give the bus a beat
+            Thread.sleep(1000)
+            var worst = 1.0
+            byStage.forEach { (_, q) =>
+              val arr = scala.collection.mutable.ArrayBuffer[Long]()
+              q.forEach(d => arr += d.longValue())
+              if (arr.length >= 4) {
+                val sorted = arr.sorted
+                val med = math.max(1L, sorted(sorted.length / 2))
+                worst = math.max(worst, sorted.last.toDouble / med)
+              }
+            }
+            (worst, wallMs, j.queryExecution.executedPlan.toString)
+          } finally spark.sparkContext.removeSparkListener(listener)
+        }
+
+        val (spreadOff, wallOff, _) = spread(skewOn = false)
+        val (spreadOn, wallOn, planOn) = spread(skewOn = true)
+        val checks = Seq(
+          "skew split engaged (skew=true in SMJ)" -> planOn.contains("skew=true"),
+          // with one task owning 80% of rows the unsplit join stage's
+          // spread is far above the split one; require a decisive
+          // improvement
+          "task-time spread improved ≥2x" -> (spreadOff / math.max(spreadOn, 0.01) >= 2.0))
+        checks.foreach { case (desc, ok) =>
+          if (!ok) failures += 1
+          println(f"[plan] ${if (ok) "PASS" else "FAIL"}%s  aqe_skew_join               $desc")
+        }
+        println(f"[plan] INFO  aqe_skew_join               worst-stage max/median task " +
+          f"time: off=$spreadOff%.1f on=$spreadOn%.1f; wall off=${wallOff}ms on=${wallOn}ms")
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+
     println(s"[plan] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

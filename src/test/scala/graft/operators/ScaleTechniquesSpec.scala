@@ -57,6 +57,48 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("AQE skew-join splits the hot-key partition of a sort-merge join") {
+    import spark.implicits._
+    // one key holds 80% of the fact — the w02/q02-shape hot key. With
+    // broadcast disabled (both sides "large" at cluster scale) the
+    // join is sort-merge, and AQE must detect the oversized partition
+    // and split it instead of letting one task run the hot key alone.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // scale the detector to test-sized data (defaults are 256 MB)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (0 until 200000).map { i =>
+        (if (i % 5 != 0) 0L else i.toLong, i.toLong)
+      }.toDF("k", "v")
+      // plain table on the dim side: OptimizeSkewedJoin only matches a
+      // sort-merge join whose children are sorts over bare shuffle
+      // stages (an agg between stage and sort disqualifies the split)
+      val dim = (0 until 200000 by 5).map(i => (i.toLong, i.toLong * 2)).toDF("k", "tag")
+      val j = fact.join(dim, "k")
+      // execute THIS QueryExecution (count() would plan a new one and
+      // the adaptive plan would never finalize on j)
+      assert(j.collect().length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
