@@ -205,45 +205,127 @@ object Dedup extends QueryModule {
   // is exercised by d06 below via operators.SignLsh.
   //
   // EXECUTION is grid-blocked, not a literal self-cross-join: vectors
-  // hash into B row/col blocks; a vector in block g is replicated to
-  // the upper-triangle cells (g, j≥g) as the row side and (i≤g, g) as
+  // hash into B ≈ n/8192 blocks; a vector in block g is replicated to
+  // the upper-triangle cells (g, j≥g) as the row side and (i<g, g) as
   // the col side, so every unordered pair meets in EXACTLY ONE of the
-  // B(B+1)/2 cells: blocks ga≠gb meet once in cell (min,max) — in
-  // arbitrary id-order, since block order ≠ id order — and ga=gb meet
-  // in both orders on the diagonal, deduped there by vec_id<, with
-  // least/greatest canonicalizing the output. Each cell is then one key
-  // group of a plain (gi,gj) equi-join, whose per-key cross product
-  // Spark's sort-merge join streams with a SPILLABLE match buffer —
-  // so per-task memory is O(n/B) rows regardless of n, and the Ω(n²)
-  // compute spreads evenly over B(B+1)/2 distributable cells. At 2 M
-  // vectors (B=245): ~8 k rows per block, 30 k cells, ~500 M shuffled
-  // rows — a large but ordinary shuffle, where the old cross join
-  // either broadcast a 5.5 GB table or fell to a single cartesian
-  // stage. Measured at 200 k vectors (sf10): completes in bounded
-  // memory where the BNLJ plan stops scaling; see BENCH_NOTES.
+  // B(B+1)/2 cells (blocks ga≠gb once in cell (min,max); ga=gb on the
+  // diagonal, where a triangular loop dedups). Cells shuffle to tasks
+  // (several cells per task, each cell two O(n/B) sides ≈ 4 MB), and a
+  // mapPartitions kernel runs the per-cell cross product as a tight
+  // primitive loop — the same double arithmetic as the VectorDot/
+  // VectorNorm expressions (float→double promote, sequential
+  // accumulate, dot/(‖x‖·‖y‖)), so results are bit-identical to the
+  // expression form, without per-pair join-row machinery. Per-task
+  // memory is O(cells/task · n/B) regardless of corpus size; shuffle
+  // ≈ n·(B+1)/2 rows spread over distributable cells. At 2 M vectors:
+  // B=245, ~30 k cells, ~250 M shuffled rows — a large but ordinary
+  // shuffle, where the old cross join either broadcast a 5.5 GB table
+  // or fell to a single cartesian stage. Measured at 200 k vectors
+  // (sf10, 20 G pairs): see BENCH_NOTES.
   private def d05(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.cosineSimilarity
-    val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    import s.implicits._
     val n = vecCount.computeIfAbsent((d, embeddingsMtime(d)),
       (_: (String, Long)) => Tables.load(s, d, "embeddings").count()).longValue()
-    // ~8k vectors per block (a cell's two sides ≈ 4 MB of 64-dim
-    // floats); floor of 8 keeps ≥36 cells of parallelism at tiny SF
+    // ~8k vectors per block; floor of 8 keeps ≥36 cells of
+    // parallelism at tiny SF
     val b = math.max(8L, math.min(4096L, n / 8192L + 1L)).toInt
+    val nCells = b * (b + 1) / 2
+    // ~16 cells per task bounds task memory (~70 MB) independent of n
+    val nParts = math.max(64, math.min(nCells, nCells / 16 + 1))
     val blk = pmod(xxhash64(col("vec_id")), lit(b)).cast("int")
-    val rows = e.select(col("vec_id"), col("embedding"), blk.as("gi"),
-      explode(sequence(blk, lit(b - 1))).as("gj"))
-    val cols = e.select(col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
-      explode(sequence(lit(0), blk)).as("gi"), blk.as("gj"))
-    // every cell is upper-triangle (gi ≤ gj); an off-diagonal cell
-    // holds each of its pairs once in arbitrary id-order (block order
-    // ≠ id order), the diagonal holds both orders — so dedup by id
-    // only on the diagonal and canonicalize ids in the projection
-    rows.join(cols, Seq("gi", "gj"))
-      .filter(col("gi") < col("gj") || col("vec_id") < col("vid_b"))
-      .select(least(col("vec_id"), col("vid_b")).as("vec_a"),
-        greatest(col("vec_id"), col("vid_b")).as("vec_b"),
-        cosineSimilarity(col("embedding"), col("emb_b")).as("cos"))
-      .filter(col("cos") >= 0.45)
+    val cells = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), blk.as("g"))
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, g) =>
+        // norm once per source vector — same accumulation order as
+        // VectorNorm, carried through the replication
+        var ss = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i).toDouble; ss += x * x; i += 1 }
+        val nm = math.sqrt(ss)
+        val out = new Array[(Int, Byte, Long, Array[Float], Double)](b)
+        var k = 0
+        var j = g
+        while (j < b) { out(k) = (g * b + j, 0: Byte, id, v, nm); k += 1; j += 1 }
+        var i2 = 0
+        while (i2 < g) { out(k) = (i2 * b + g, 1: Byte, id, v, nm); k += 1; i2 += 1 }
+        out
+      }
+    val pairs = cells.toDF("cell", "side", "id", "v", "nm")
+      .repartition(nParts, col("cell"))
+      .as[(Int, Byte, Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val byCell = scala.collection.mutable.HashMap.empty[Int,
+          (scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)],
+            scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)])]
+        it.foreach { case (cell, side, id, v, nm) =>
+          val bufs = byCell.getOrElseUpdate(cell,
+            (scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
+          (if (side == 0) bufs._1 else bufs._2) += ((id, v, nm))
+        }
+        def dot(x: Array[Double], y: Array[Double]): Double = {
+          val n2 = math.min(x.length, y.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n2) { acc += x(i) * y(i); i += 1 }
+          acc
+        }
+        // unpack each side to flat primitive arrays once per cell so
+        // the O(n²/B²) inner loop touches no boxed tuples, and hoist
+        // the exact float→double widening out of the pair loop (same
+        // values, same accumulation order — bit-identical results)
+        final class Side(buf: scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]) {
+          val n: Int = buf.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Double]](n)
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val t = buf(i)
+            ids(i) = t._1
+            val f = t._2
+            val dv = new Array[Double](f.length)
+            var k = 0
+            while (k < f.length) { dv(k) = f(k).toDouble; k += 1 }
+            vecs(i) = dv
+            norms(i) = t._3
+            i += 1
+          }
+        }
+        byCell.iterator.flatMap { case (cell, (b0, b1)) =>
+          val diag = (cell / b) == (cell % b)
+          val s0 = new Side(b0)
+          val s1 = if (diag) s0 else new Side(b1)
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < s0.n) {
+            val ia = s0.ids(i)
+            val va = s0.vecs(i)
+            val na = s0.norms(i)
+            var j = if (diag) i + 1 else 0
+            while (j < s1.n) {
+              val prod = na * s1.norms(j)
+              val dv = dot(va, s1.vecs(j))
+              // cheap under-approximate gate (margin ≫ fp error of the
+              // one division) saves the divide on the ~universal miss
+              // path; the exact threshold semantics are unchanged —
+              // every near-hit still runs the expression-identical
+              // dv/prod >= 0.45 test
+              if (dv >= 0.4499 * prod) {
+                val cos = dv / prod
+                if (cos >= 0.45) {
+                  val ib = s1.ids(j)
+                  res += ((math.min(ia, ib), math.max(ia, ib), cos))
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          res.iterator
+        }
+      }
+    pairs.toDF("vec_a", "vec_b", "cos")
       .select(col("vec_a"), col("vec_b"),
         round(col("cos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
       .orderBy("vec_a", "vec_b")

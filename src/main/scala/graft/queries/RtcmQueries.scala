@@ -203,7 +203,7 @@ object RtcmQueries extends QueryModule {
   //
   // The same corpus is replayed through the LIVE path — MemoryStream →
   // stateful framing → decode → watermarked event-time window
-  // aggregate (graft.streaming.DashboardStreams) — in five
+  // aggregate (graft.streaming.DashboardStreams) — in three
   // micro-batches plus a watermark-advancing flush. The oracle is the
   // batch SQL over the batch pipeline's own e2e dump, so a hash match
   // proves streaming == batch END TO END: framing state across batch
@@ -211,7 +211,7 @@ object RtcmQueries extends QueryModule {
   // aggregate arithmetic, and Append-mode window-close semantics.
   private def streamed(s: SparkSession)(
       shape: org.apache.spark.sql.Dataset[graft.etl.DecodedFrame] => DataFrame): DataFrame =
-    graft.streaming.StreamingReplay.run(s, SyntheticRtcm.corpus(NMounts, NFrames), 5)(in =>
+    graft.streaming.StreamingReplay.run(s, SyntheticRtcm.corpus(NMounts, NFrames), 3)(in =>
       shape(graft.streaming.RtcmStreaming.decodeStream(in)))
       .filter(col("mountpoint") =!= graft.streaming.StreamingReplay.FlushMount)
 
