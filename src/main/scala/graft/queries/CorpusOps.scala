@@ -1,17 +1,20 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Training-corpus hygiene operators beyond per-doc dedup: benchmark
-  * decontamination (train-vs-eval n-gram overlap, the check every LLM
-  * data pipeline runs before training — see e.g. the GPT-3/PaLM
-  * appendix methodology of 13-gram overlap; 5-grams here because the
-  * synthetic docs are 30-90 words) and corpus-level duplicated-span
-  * profiling (the C4-style "how much of each document is boilerplate
-  * that recurs elsewhere" measurement, at 3-gram granularity).
+/** Training-corpus hygiene + assembly operators beyond per-doc dedup:
+  * benchmark decontamination (train-vs-eval n-gram overlap, the check
+  * every LLM data pipeline runs before training — see e.g. the
+  * GPT-3/PaLM appendix methodology of 13-gram overlap; 5-grams here
+  * because the synthetic docs are 30-90 words), corpus-level
+  * duplicated-span profiling (the C4-style "how much of each document
+  * is boilerplate that recurs elsewhere" measurement, at 3-gram
+  * granularity), Gopher-style repetition quality profiling (t11), and
+  * deterministic stratified sampling with exact per-stratum quotas
+  * (c01 — the mixture-weights operator of corpus assembly).
   *
   * Both emit per-source integer summaries (counts only — no float
   * sums), so results are exact and order-independent by construction.
@@ -145,11 +148,120 @@ object CorpusOps extends QueryModule {
       |FROM g LEFT JOIN dpd ON g.doc_id = dpd.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t11: repetition quality profile — the "repetitive document"
+  // filters every LLM pipeline applies before training (the Gopher
+  // appendix's duplicate-fraction heuristics): per doc the duplicate
+  // word fraction (1 − distinct/total), the top-word fraction, and
+  // their bigram analogues; per-source integer summary with flag
+  // counts at stated thresholds (top word > 10% of words, duplicate
+  // words > 50%, duplicate bigrams > 20%). All counts, no floats —
+  // exact and order-independent. Scale: two explode→hash-agg passes
+  // keyed by (doc, token) then one per-source agg, all linear with
+  // map-side partial aggregation; the doc_id join is doc-count sized.
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val perWord = docs(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val perDocW = perWord.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("w"), count(lit(1)).as("dw"), max(col("c")).as("topw"))
+    val words = split(col("text"), " ")
+    // same bigram construction as t05's profile (and its SQL twin)
+    val bigrams = zip_with(slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (a: Column, b: Column) => concat_ws(" ", a, b))
+    val perDocB = docs(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("b"), count(lit(1)).as("db"))
+    perDocW.join(perDocB, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("b", "db"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("total_words"),
+        sum(col("w") - col("dw")).as("dup_words"),
+        sum(col("topw")).as("top_word_hits"),
+        sum(when(col("topw") * 10 > col("w"), 1L).otherwise(0L)).as("n_top_flagged"),
+        sum(when((col("w") - col("dw")) * 2 > col("w"), 1L).otherwise(0L)).as("n_dup_flagged"),
+        sum(col("b")).as("total_bigrams"),
+        sum(col("b") - col("db")).as("dup_bigrams"),
+        sum(when(col("b") > 0 && (col("b") - col("db")) * 5 > col("b"), 1L)
+          .otherwise(0L)).as("n_bg_flagged"))
+      .orderBy("source")
+  }
+
+  private val t11Sql =
+    """WITH wc AS (SELECT doc_id, source, word, COUNT(*) AS c
+      |            FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS word
+      |                  FROM documents) x
+      |            WHERE word <> '' GROUP BY 1, 2, 3),
+      |pw AS (SELECT doc_id, source, SUM(c) AS w, COUNT(*) AS dw, MAX(c) AS topw
+      |       FROM wc GROUP BY 1, 2),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c
+      |       FROM (SELECT doc_id, UNNEST(list_transform(range(1, len(string_split(text, ' '))),
+      |               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+      |             FROM documents) y
+      |       GROUP BY 1, 2),
+      |pb AS (SELECT doc_id, SUM(c) AS b, COUNT(*) AS db FROM bc GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS total_words,
+      |  CAST(SUM(w - dw) AS BIGINT) AS dup_words,
+      |  CAST(SUM(topw) AS BIGINT) AS top_word_hits,
+      |  CAST(SUM(CASE WHEN topw * 10 > w THEN 1 ELSE 0 END) AS BIGINT) AS n_top_flagged,
+      |  CAST(SUM(CASE WHEN (w - dw) * 2 > w THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flagged,
+      |  CAST(SUM(COALESCE(b, 0)) AS BIGINT) AS total_bigrams,
+      |  CAST(SUM(COALESCE(b - db, 0)) AS BIGINT) AS dup_bigrams,
+      |  CAST(SUM(CASE WHEN COALESCE(b, 0) > 0 AND (b - db) * 5 > b THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_flagged
+      |FROM pw LEFT JOIN pb ON pw.doc_id = pb.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // c01: deterministic stratified sampling — corpus assembly's
+  // mixture-weights operator: an exact ceil(10%) quota per source
+  // stratum, members selected by rank of a Knuth multiplicative hash
+  // of doc_id — pseudorandom, reproducible, engine-independent (pure
+  // integer arithmetic, no RNG). Scale: the rank is a per-stratum
+  // window (strata are few by construction); the O(1)-state form at
+  // extreme stratum sizes is hash-thresholding against the quota
+  // quantile of skey — same sample, no rank — at the cost of an extra
+  // quantile pass; the window form keeps exact rank ties stable here.
+  private def c01(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val quota = docs(s, d).groupBy(col("source"))
+      .agg(ceil(count(lit(1)) / 10.0).cast(LongType).as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    docs(s, d).select(col("source"), col("doc_id"), skey.as("skey"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("rn"), col("doc_id"), col("skey"))
+      .orderBy("source", "rn")
+  }
+
+  private val c01Sql =
+    """WITH q AS (SELECT source, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS quota
+      |           FROM documents GROUP BY 1),
+      |r AS (SELECT source, doc_id,
+      |        CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
+      |      FROM documents)
+      |SELECT r.source, rn, doc_id, skey
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE rn <= quota ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_decontamination" -> t08,
-    "t09_dupspan_profile" -> t09)
+    "t09_dupspan_profile" -> t09,
+    "t11_repetition_profile" -> t11,
+    "c01_stratified_sample" -> c01)
 
   override def oracle: Map[String, String] = Map(
     "t08_decontamination" -> t08Sql,
-    "t09_dupspan_profile" -> t09Sql)
+    "t09_dupspan_profile" -> t09Sql,
+    "t11_repetition_profile" -> t11Sql,
+    "c01_stratified_sample" -> c01Sql)
 }
