@@ -26,6 +26,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * `rtcm_{gap_heatmap,rate,flow}_stream` in [[graft.queries.RtcmQueries]]
   * replay the synthetic corpus through this path and are hash-compared
   * by the gate against the SAME SQL the batch dump satisfies.
+  *
+  * LATE-DATA POLICY (the watermark trade, stated): a row whose event
+  * time is older than the current watermark arrives after its window
+  * closed and is DROPPED by the aggregation — it appears in a batch
+  * recompute over the landed table but never in the stream output
+  * (StreamingSpec pins this divergence). Size the watermark to the
+  * source's real disorder bound; the NTRIP transport stamps receive
+  * time at read, so disorder is bounded by micro-batch interleave,
+  * not by station clocks.
   */
 object DashboardStreams {
 

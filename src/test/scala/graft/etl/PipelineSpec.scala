@@ -171,6 +171,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally batchPkgs.unpersist()
   }
 
+  test("streaming window aggregates DROP data later than the watermark (stated policy)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = SyntheticRtcm.corpus(2, 64)
+    val input = MemoryStream[RawChunk]
+    val out = graft.streaming.DashboardStreams.gapHeatmap(
+      graft.streaming.RtcmStreaming.decodeStream(input.toDS()), watermark = "2 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-ckpt")
+    val q = out.writeStream.format("memory").queryName("late_drop_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      val maxT = corpus.map(_.receiveMicros).max
+      // batch 1: the whole in-order corpus -> watermark = maxT - 2 min
+      input.addData(corpus.sortBy(c => (c.receiveMicros, c.mountPoint)))
+      q.processAllAvailable()
+      // batch 2: a frame 10 minutes OLDER than the watermark, on its
+      // own mountpoint — its window closed long ago
+      val (_, lateFrame) = SyntheticRtcm.framesFor("LATE01", 998, 1, 5L).head
+      input.addData(RawChunk("LATE01", maxT - 600000000L - 120000000L, 0L, lateFrame))
+      q.processAllAvailable()
+      // flush: advance the watermark past every open window
+      val (_, flushFrame) = SyntheticRtcm.framesFor("ZZFLUSH", 999, 1, 7L).head
+      input.addData(RawChunk("ZZFLUSH", maxT + 600000000L, 0L, flushFrame))
+      q.processAllAvailable()
+      val got = spark.table("late_drop_out")
+      // the late mountpoint's rows were dropped, not emitted late
+      assert(got.filter(col("mountpoint") === "LATE01").count() == 0)
+      // while the in-watermark corpus emitted normally
+      assert(got.filter(col("mountpoint").startsWith("MNT")).count() > 0)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("late_drop_out")
+    }
+  }
+
   test("batch framing is order-restoring and streams per partition (no group buffering)") {
     import spark.implicits._
     // shuffled arrival order + byte-split chunks across many mounts:
