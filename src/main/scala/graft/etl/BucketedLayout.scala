@@ -39,10 +39,16 @@ import org.apache.spark.sql.functions.col
   */
 object BucketedLayout {
 
-  /** fact table → bucket/sort key */
+  /** fact table → bucket/sort key. `events` buckets by `user_id`: the
+    * dashboard timeseries family groups on (time-bucket, user_id), and
+    * a HashPartitioning(user_id) scan satisfies that
+    * ClusteredDistribution (partition key ⊆ grouping keys), so the
+    * 4 M-group aggregate exchange disappears the same way the
+    * orderkey join exchange does. */
   val facts: Map[String, String] = Map(
     "lineitem" -> "l_orderkey",
-    "orders" -> "o_orderkey")
+    "orders" -> "o_orderkey",
+    "events" -> "user_id")
 
   /** 32 matches local[32]; a real cluster sizes this to
     * (fact size / target bucket file size) at ingest. */

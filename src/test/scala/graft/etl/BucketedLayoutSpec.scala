@@ -66,6 +66,26 @@ class BucketedLayoutSpec extends AnyFunSuite {
     assert(planStr.nonEmpty)
   }
 
+  test("bucketed events: timeseries groupBy(bucket, user_id) runs exchange-free, same results") {
+    BucketedLayout.ensure(spark, sf)
+    val plain = graft.SparkEntry.queries("q02_rate_timeseries")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    withBucketed {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = graft.SparkEntry.queries("q02_rate_timeseries")(spark, sf)
+        assert(df.collect().map(_.toSeq).toSet == plain)
+        // HashPartitioning(user_id) from the bucketed scan satisfies
+        // ClusteredDistribution(bucket, user_id): the aggregate needs
+        // no hash exchange — the only exchange left is the final
+        // orderBy's range partitioning
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+        assert(plan.contains("Bucketed: true"), plan.take(1500))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("bucketed layout: catalog loss re-registers over existing files, no rewrite") {
     BucketedLayout.ensure(spark, sf)
     val tbl = BucketedLayout.tableName(sf, "lineitem")
