@@ -59,28 +59,57 @@ object BucketedLayout {
       .orElse(sys.env.get("SPARK_GRAFT_BUCKETED"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
-  /** Corpus identity key: canonical path + fact file mtimes/sizes. */
-  private def corpusKey(dir: String): String = {
-    val parts = new java.io.File(dir).getCanonicalPath +: facts.keys.toSeq.sorted.map { n =>
+  private def fnv(s: String): String =
+    java.lang.Long.toHexString(s.getBytes("UTF-8")
+      .foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
+
+  /** Stable per-path identity — survives corpus regeneration. */
+  private def pathKey(dir: String): String =
+    fnv(new java.io.File(dir).getCanonicalPath)
+
+  /** Volatile corpus identity: fact file mtimes/sizes — a regenerated
+    * corpus at the same path gets a fresh key (and [[ensure]] GCs the
+    * stale one via the shared pathKey prefix). */
+  private def corpusKey(dir: String): String =
+    fnv(facts.keys.toSeq.sorted.map { n =>
       val f = new java.io.File(dir, s"$n.parquet")
       s"${f.lastModified}|${f.length}"
-    }
-    java.lang.Long.toHexString(
-      parts.mkString("|").getBytes("UTF-8")
-        .foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
-  }
+    }.mkString("|"))
 
   def tableName(dir: String, name: String): String =
-    s"graft_bkt_${corpusKey(dir)}_$name"
+    s"graft_bkt_${pathKey(dir)}_${corpusKey(dir)}_$name"
+
+  private def layoutDirName(dir: String): String =
+    s"graft_bkt_p${pathKey(dir)}_${corpusKey(dir)}"
 
   private def dataDir(dir: String, name: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_bkt_${corpusKey(dir)}/$name").getAbsolutePath
+      s"${layoutDirName(dir)}/$name").getAbsolutePath
+
+  /** Delete bucketed data of PREVIOUS generations of this same corpus
+    * path (same pathKey, different corpusKey) — regeneration would
+    * otherwise leak a fact-sized dir per generation. Other corpora
+    * (different paths → different pathKey) are untouched. */
+  private def gcStale(dir: String): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_bkt_p${pathKey(dir)}_"
+    val current = layoutDirName(dir)
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix) && f.getName != current) {
+        def del(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(del)
+          x.delete(); ()
+        }
+        del(f)
+      }
+    }
+  }
 
   /** Materialize (first session) or re-register (later sessions) the
     * bucketed fact tables for `dir`. Idempotent; returns the table
     * names. */
-  def ensure(spark: SparkSession, dir: String): Map[String, String] =
+  def ensure(spark: SparkSession, dir: String): Map[String, String] = {
+    gcStale(dir)
     facts.map { case (name, key) =>
       val tbl = tableName(dir, name)
       if (!spark.catalog.tableExists(tbl)) {
@@ -104,6 +133,7 @@ object BucketedLayout {
       }
       name -> tbl
     }
+  }
 
   /** The bucketed table for (dir, name) if the layout is enabled and
     * materialized — [[graft.Tables.load]]'s first stop. */
