@@ -133,6 +133,84 @@ object Dedup extends QueryModule {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
       |ORDER BY 1, 2""".stripMargin
 
+  // d08: d02's MinHash-LSH pipeline under a DOCUMENT-FREQUENCY CAP —
+  // the standard boilerplate defense (stop-shingle filtering): a
+  // shingle occurring in > DfCap documents is corpus boilerplate
+  // (navigation chrome, license headers, the salt tokens of the
+  // synthetic scaled corpora) and is dropped from every document's
+  // set BEFORE minhashing AND from the Jaccard itself — the stated
+  // semantics are "similarity over informative shingles". Docs whose
+  // whole set is boilerplate drop out (no informative content to
+  // match on). Why it matters at 100 TB: boilerplate shared by m docs
+  // puts Ω(m²) background pairs at J≈0.1, which band-collide at J⁴
+  // per band (measured: d02 burns 234 s at 500 k salted docs on
+  // exactly this); capping DF removes those collisions while leaving
+  // genuinely-near-dup pairs intact unless their overlap WAS the
+  // boilerplate — which is the point. One extra DF aggregation + a
+  // semi join, both linear, shuffling on the shingle key.
+  //
+  // The cap is RELATIVE — max(64, n_docs/1000) — not a fixed
+  // constant, and the reason is a measured failure: with a fixed cap
+  // of 64 on the 500 k-doc corpus (where every document legitimately
+  // has ~100 near-copies, so informative shingles have DF ≈ 100), the
+  // cap deleted the SIGNAL and kept only rare boundary noise — every
+  // doc collapsed to a 2-3-shingle set, distinct tiny sets formed
+  // mega-buckets, and the verify stage went quadratic (spilled out
+  // the disk). A boilerplate cap must sit ABOVE the corpus's
+  // legitimate duplication multiplicity and scale with corpus size;
+  // 0.1% of docs (floor 64) is the standard operating point.
+  private def dfCap(nDocs: Long): Long = math.max(64L, nDocs / 1000L)
+
+  private def cappedShingled(s: SparkSession, d: String): DataFrame = {
+    val cap = dfCap(docs(s, d).count())
+    val ex = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g"))
+    // shingles are distinct per doc, so count(*) per shingle = DF
+    val keep = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("g")
+    ex.join(keep, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("g")).as("sh"))
+  }
+
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val sh = cappedShingled(s, d).cache()
+    val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
+        .as(Seq("band", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.9)
+      .select(col("doc_a"), col("doc_b"),
+        Q.fixedDec(Q.rhu(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"),
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long"), 1000L), 3).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d08Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+      |keep AS (SELECT g FROM ex GROUP BY g
+      |         HAVING COUNT(*) <= GREATEST(64, CAST(FLOOR((SELECT COUNT(*) FROM documents) / 1000.0) AS BIGINT))),
+      |cs AS (SELECT doc_id, list(g) AS sh FROM ex
+      |       WHERE g IN (SELECT g FROM keep) GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(CAST(CAST(CAST(SIGN(len(list_intersect(a.sh, b.sh))) * FLOOR((ABS(len(list_intersect(a.sh, b.sh))) * 2000 + len(list_distinct(list_concat(a.sh, b.sh)))) / (len(list_distinct(list_concat(a.sh, b.sh))) * 2)) AS BIGINT) AS DECIMAL(38,0)) / 1000 AS DECIMAL(18,3)) AS DOUBLE) AS jaccard
+      |FROM cs a JOIN cs b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+      |ORDER BY 1, 2""".stripMargin
+
   // d03: the LSH candidate set itself (pre-verification), with shared-
   // band counts — the intermediate a pipeline monitors for bucket
   // skew. Not SQL-expressible (xxhash64) → rows-only.
@@ -504,7 +582,8 @@ object Dedup extends QueryModule {
     "d04_simhash_pairs" -> d04,
     "d05_embedding_neardup" -> d05,
     "d06_signlsh_neardup" -> d06,
-    "d07_neardup_keeper_sets" -> d07)
+    "d07_neardup_keeper_sets" -> d07,
+    "d08_minhash_dfcap" -> d08)
 
   // Quadratic by definition — the oracle states the all-pairs
   // semantics; see d05's scaladoc for why sub-quadratic banding cannot
@@ -527,5 +606,6 @@ object Dedup extends QueryModule {
     "d02_minhash_jaccard_pairs" -> d02Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d06_signlsh_neardup" -> d06Sql,
-    "d07_neardup_keeper_sets" -> d07Sql)
+    "d07_neardup_keeper_sets" -> d07Sql,
+    "d08_minhash_dfcap" -> d08Sql)
 }
