@@ -330,11 +330,11 @@ def m04_image_phash(sf_dir):
     for doc_id, text, src in zip(docs.column("doc_id").to_pylist(),
                                  docs.column("text").to_pylist(),
                                  docs.column("source").to_pylist()):
-        if doc_id % 3 != 0 or (doc_id // 3) % 3 not in (0, 1):
+        if doc_id % 3 != 0 or (doc_id // 3) % 4 not in (0, 1):
             continue
         payload = text.encode("utf-8")
         w, h = 16 + doc_id % 32, 12 + doc_id % 24
-        if (doc_id // 3) % 3 == 0:  # PNG: payload cycled, row-major RGB
+        if (doc_id // 3) % 4 == 0:  # PNG: payload cycled, row-major RGB
             fmt = "png"
             n = h * w * 3
             rgb = bytes(payload[i % len(payload)] for i in range(n))
@@ -484,7 +484,7 @@ def _clamp255(v):
 
 
 def m05_pixel_stats(sf_dir):
-    """Pixel-statistic oracle across ALL THREE image decoders.
+    """Pixel-statistic oracle across ALL FOUR image decoders.
 
     Reconstructs the decoded RGB the engine must produce for every
     synthetic image (Multimodal.syntheticMedia):
@@ -510,7 +510,7 @@ def m05_pixel_stats(sf_dir):
             continue
         payload = text.encode("utf-8")
         w, h = 16 + doc_id % 32, 12 + doc_id % 24
-        sub = (doc_id // 3) % 3
+        sub = (doc_id // 3) % 4
         if sub == 0:  # PNG: payload cycled, row-major RGB
             fmt = "png"
             n = h * w * 3
@@ -526,6 +526,10 @@ def m05_pixel_stats(sf_dir):
                     b, g, r = data[src_row + 3 * x: src_row + 3 * x + 3]
                     px[(y * w + x) * 3: (y * w + x) * 3 + 3] = bytes((r, g, b))
             rgb = bytes(px)
+        elif sub == 3:  # GIF: grayscale palette over payload-cycled indices
+            fmt = "gif"
+            rgb = bytes(payload[k % len(payload)] for k in range(h * w)
+                        for _ in range(3))
         else:  # JPEG: block-constant colors through YCbCr and back
             fmt = "jpeg"
             px = bytearray(h * w * 3)
@@ -720,6 +724,48 @@ def _build_bmp(w, h, payload):
             + _le32(0) + _le32(0) + _cyc(payload, data_size))
 
 
+def _build_gif(w, h, payload):
+    """Byte mirror of MediaCodec.buildGif: GIF89a, 256-entry grayscale
+    palette, uncompressed-LZW body (9-bit literal codes, clear every
+    254 symbols)."""
+    out = bytearray(b"GIF89a")
+    out += _le16(w) + _le16(h)
+    out += bytes((0xF7, 0, 0))
+    for ci in range(256):
+        out += bytes((ci, ci, ci))
+    out += bytes((0x2C,)) + _le16(0) + _le16(0) + _le16(w) + _le16(h) + bytes((0,))
+    out.append(8)  # LZW minimum code size
+    body = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(c):
+        nonlocal acc, nacc
+        acc |= c << nacc
+        nacc += 9
+        while nacc >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    put(256)
+    n_pix = w * h
+    for k in range(n_pix):
+        if k > 0 and k % 254 == 0:
+            put(256)
+        put(payload[k % len(payload)] if payload else 0)
+    put(257)
+    if nacc > 0:
+        body.append(acc & 0xFF)
+    off = 0
+    while off < len(body):
+        n = min(255, len(body) - off)
+        out.append(n)
+        out += body[off:off + n]
+        off += n
+    out += bytes((0, 0x3B))
+    return bytes(out)
+
+
 class _JBits:
     """JPEG entropy bit writer with 0xFF stuffing, 1-padding flush."""
 
@@ -893,11 +939,13 @@ def m01_media_features(sf_dir):
         if doc_id % 3 == 0:
             kind = "image"
             w, h = 16 + doc_id % 32, 12 + doc_id % 24
-            sub = (doc_id // 3) % 3
+            sub = (doc_id // 3) % 4
             if sub == 0:
                 fmt, content = "png", _build_png(w, h, payload)
             elif sub == 1:
                 fmt, content = "bmp", _build_bmp(w, h, payload)
+            elif sub == 3:
+                fmt, content = "gif", _build_gif(w, h, payload)
             else:
                 def colors(bx, by, i=doc_id):
                     return ((i * 7 + bx * 31 + by * 17) % 256,

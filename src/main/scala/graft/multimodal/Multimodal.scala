@@ -166,10 +166,12 @@ object Multimodal {
 
   /** Synthesize a deterministic media table from the documents table
     * (no binary test data exists): REAL containers — image records
-    * rotate through a valid 8-bit RGB PNG ((doc_id/3) % 3 = 0), a
-    * valid 24-bpp BMP (= 1), and a valid JPEG (= 2, block-constant
+    * rotate through a valid 8-bit RGB PNG ((doc_id/3) % 4 = 0), a
+    * valid 24-bpp BMP (= 1), a valid JPEG (= 2, block-constant
     * colors → exact decode, alternating baseline SOF0 and progressive
-    * SOF2 encodes of identical pixels); audio records are valid
+    * SOF2 encodes of identical pixels), and a valid GIF89a (= 3,
+    * grayscale palette, uncompressed-LZW body) so all four image
+    * decoders sit under the pixel oracles; audio records are valid
     * 8-bit PCM WAVs; video records alternate real MP4 containers with
     * raw bytes (the pseudo-decode path). */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
@@ -183,10 +185,10 @@ object Multimodal {
           case 0 =>
             val (w, h) = (16 + (id % 32).toInt, 12 + (id % 24).toInt)
             MediaRecord(id, "image",
-              (id / 3) % 3 match {
+              (id / 3) % 4 match {
                 case 0 => MediaCodec.buildPng(w, h, payload)
                 case 1 => MediaCodec.buildBmp(w, h, payload)
-                case _ =>
+                case 2 =>
                   // alternate baseline SOF0 / progressive SOF2 encodes
                   // of the SAME block colors — the five-scan progressive
                   // accumulation decodes to bit-identical pixels, so
@@ -197,6 +199,7 @@ object Multimodal {
                       ((id * 11 + bx * 5 + by * 29) % 256).toInt)
                   if ((id / 9) % 2 == 0) MediaCodec.buildJpeg(w, h, colors)
                   else MediaCodec.buildProgressiveJpeg(w, h, colors)
+                case _ => MediaCodec.buildGif(w, h, payload)
               }, src)
           case 1 => MediaRecord(id, "audio",
             MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)

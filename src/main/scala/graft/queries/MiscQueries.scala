@@ -14,8 +14,8 @@ object MiscQueries extends QueryModule {
   // ACROSS THE FULL CONTAINER SURFACE — the Python oracle
   // (scripts/py_oracles.py m01_media_features) reconstructs every
   // synthetic container byte-for-byte (stored-block PNG zlib,
-  // hand-rolled baseline+progressive JPEG entropy streams, fixed
-  // BMP/WAV/MP4 layouts) and mirrors sniff → decode → aggregate:
+  // hand-rolled baseline+progressive JPEG entropy streams, GIF
+  // uncompressed-LZW body, fixed BMP/WAV/MP4 layouts) and mirrors sniff → decode → aggregate:
   // sniff/pixel counts, byte totals, header dims/durations, bin-0
   // histogram byte counts, content-hash distincts.
   private def m01(s: SparkSession, d: String): DataFrame =
@@ -70,8 +70,9 @@ object MiscQueries extends QueryModule {
   }
 
   // Construction formulas (Multimodal.syntheticMedia + MediaCodec
-  // builders): image = BMP(16+id%32, 12+id%24) for (id/3)%3 = 1 (PNG
-  // deflates and JPEG entropy-codes — no closed-form size, excluded),
+  // builders): image = BMP(16+id%32, 12+id%24) for (id/3)%4 = 1 (PNG
+  // deflates, JPEG entropy-codes, GIF LZW-packs — no closed-form size,
+  // excluded),
   // 54-byte header + 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz,
   // 2000+(id%6000)*8 samples), 44-byte header, duration = samples/8 ms
   // exactly; video = MP4(dur 3000+id%9000 ms, w 160+(id%8)*16,
@@ -93,7 +94,7 @@ object MiscQueries extends QueryModule {
        |         WHEN doc_id % 3 = 2 THEN 244 + 500 + (doc_id % 1500)
        |         ELSE 44 + 2000 + (doc_id % 6000) * 8 END AS n_bytes
        |  FROM documents
-       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 3 = 1)
+       |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 4 = 1)
        |     OR (doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0))
        |SELECT kind, COUNT(*) AS n_media,
        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
@@ -127,10 +128,11 @@ object MiscQueries extends QueryModule {
       |  AND event_type IN ('click','purchase')
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  // m05: pixel statistics ORACLE-CHECKED ACROSS ALL THREE IMAGE
-  // DECODERS — integer R/G/B/luma sums over real PNG, BMP AND JPEG
-  // pixel decodes (the JPEG fixtures are exact through DC-only DCT at
-  // Q=1; the oracle mirrors the deterministic color-convert doubles).
+  // m05: pixel statistics ORACLE-CHECKED ACROSS ALL FOUR IMAGE
+  // DECODERS — integer R/G/B/luma sums over real PNG, BMP, GIF and
+  // JPEG (baseline + progressive) pixel decodes (the JPEG fixtures
+  // are exact through DC-only DCT at Q=1; the oracle mirrors the
+  // deterministic color-convert doubles).
   private def m05(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.pixelStatSummary(s, d)
 

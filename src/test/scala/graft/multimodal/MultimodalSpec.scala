@@ -40,8 +40,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("feature summary groups per (modality, container)") {
     val s = Multimodal.featureSummary(spark, sf)
     val rows = s.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(rows == Seq(("audio", "wav"), ("image", "bmp"), ("image", "jpeg"),
-      ("image", "png"), ("video", "mp4"), ("video", "unknown")))
+    assert(rows == Seq(("audio", "wav"), ("image", "bmp"), ("image", "gif"),
+      ("image", "jpeg"), ("image", "png"), ("video", "mp4"), ("video", "unknown")))
     // pixel decode is REAL exactly for the decodable containers, and
     // every built container is sniffed (only the raw-byte video rows
     // fall to the pseudo path)
@@ -49,7 +49,7 @@ class MultimodalSpec extends AnyFunSuite {
       r.getString(1) -> (r.getLong(r.fieldIndex("n_pixels_real")),
         r.getLong(r.fieldIndex("n_sniffed")),
         r.getLong(r.fieldIndex("n_media")))).toMap
-    for (f <- Seq("bmp", "png", "jpeg")) {
+    for (f <- Seq("bmp", "png", "jpeg", "gif")) {
       val (preal, sniffed, n) = byFormat(f)
       assert(preal == n && sniffed == n && n > 0, s"$f: $preal/$sniffed/$n")
     }
@@ -96,8 +96,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imgs.nonEmpty)
     imgs.foreach { r =>
       val id = r.getLong(0)
-      val wantFormat = (id / 3) % 3 match {
-        case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
+      val wantFormat = (id / 3) % 4 match {
+        case 0 => "png"; case 1 => "bmp"; case 2 => "jpeg"; case _ => "gif"
       }
       assert(r.getString(1) == wantFormat, s"id $id format")
       assert(r.getInt(2) == 16 + (id % 32).toInt, s"id $id width")
@@ -540,10 +540,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx.take(3).toSeq == Seq(0L, 1L, 2L))
   }
 
-  test("m05 pixel stats cover all three decoders with consistent totals") {
+  test("m05 pixel stats cover all four decoders with consistent totals") {
     val rows = Multimodal.pixelStatSummary(spark, sf).collect()
     val formats = rows.map(_.getString(1)).distinct.sorted
-    assert(formats.toSeq == Seq("bmp", "jpeg", "png"), s"got ${formats.toSeq}")
+    assert(formats.toSeq == Seq("bmp", "gif", "jpeg", "png"), s"got ${formats.toSeq}")
     rows.foreach { r =>
       val (n, np, sl) = (r.getLong(2), r.getLong(3), r.getLong(7))
       assert(n > 0 && np > 0 && sl > 0)
@@ -554,7 +554,8 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val expect = graft.Tables.load(spark, sf, "documents").select("doc_id").as[Long]
       .collect().filter(_ % 3 == 0)
-      .groupBy(id => (id / 3) % 3 match { case 0 => "png"; case 1 => "bmp"; case _ => "jpeg" })
+      .groupBy(id => (id / 3) % 4 match {
+        case 0 => "png"; case 1 => "bmp"; case 2 => "jpeg"; case _ => "gif" })
       .view.mapValues(_.map(id => (16 + id % 32) * (12 + id % 24)).sum).toMap
     val got = rows.groupBy(_.getString(1)).view
       .mapValues(_.map(_.getLong(3)).sum).toMap
