@@ -196,9 +196,9 @@ def m03_audio_features(sf_dir):
 
     Rebuilds the deterministic WAV containers the engine synthesizes
     from the documents table (graft.multimodal.Multimodal
-    .syntheticMedia: doc_id % 3 == 1 → 8-bit mono PCM at 8 kHz,
-    nSamples = 2000 + (doc_id % 6000) * 8, sample bytes = UTF-8 text
-    cycled), then DECODES them with Python's stdlib `wave` module — an
+    .syntheticMedia: doc_id % 3 == 1 → mono PCM at 8 kHz, 8-bit for even (doc_id/3) and
+    16-bit LE signed for odd, nSamples = 2000 + (doc_id % 6000) * 8,
+    sample bytes = UTF-8 text cycled), then DECODES them with Python's stdlib `wave` module — an
     independent RIFF parser — and recomputes the integer-exact signal
     features (peak, Σ|s|, Σs², sign-change zero crossings) and the
     per-source aggregate, including the engine's round-half-up
@@ -218,14 +218,22 @@ def m03_audio_features(sf_dir):
             continue
         payload = text.encode("utf-8")
         n = 2000 + (doc_id % 6000) * 8
-        body = bytes(payload[i % len(payload)] for i in range(n)) if payload else bytes(n)
-        wav = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
-               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
-               + b"data" + struct.pack("<I", n) + body)
+        wide = (doc_id // 3) % 2 == 1  # 16-bit LE for odd (id/3)
+        nbytes = n * 2 if wide else n
+        body = (bytes(payload[i % len(payload)] for i in range(nbytes))
+                if payload else bytes(nbytes))
+        width = 2 if wide else 1
+        wav = (b"RIFF" + struct.pack("<I", 36 + nbytes) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                       8000 * width, width, 8 * width)
+               + b"data" + struct.pack("<I", nbytes) + body)
         with wave.open(io.BytesIO(wav)) as w:
-            assert w.getnchannels() == 1 and w.getsampwidth() == 1
+            assert w.getnchannels() == 1 and w.getsampwidth() == width
             frames = w.readframes(w.getnframes())
-        samples = [b - 128 for b in frames]
+        if wide:
+            samples = list(struct.unpack(f"<{n}h", frames))
+        else:
+            samples = [b - 128 for b in frames]
         peak = sum_abs = sum_sq = zc = 0
         prev_neg = False
         for i, s in enumerate(samples):
@@ -901,6 +909,14 @@ def _build_wav(rate, n, payload):
             + b"data" + _le32(n) + _cyc(payload, n))
 
 
+def _build_wav16(rate, n, payload):
+    nb = n * 2
+    return (b"RIFF" + _le32(36 + nb) + b"WAVE"
+            + b"fmt " + _le32(16) + _le16(1) + _le16(1)
+            + _le32(rate) + _le32(rate * 2) + _le16(2) + _le16(16)
+            + b"data" + _le32(nb) + _cyc(payload, nb))
+
+
 _MP4_MATRIX = b"".join(_be32b(v) for v in
                        (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
 
@@ -959,7 +975,8 @@ def m01_media_features(sf_dir):
         elif doc_id % 3 == 1:
             kind, fmt = "audio", "wav"
             n = 2000 + (doc_id % 6000) * 8
-            content = _build_wav(8000, n, payload)
+            content = (_build_wav16(8000, n, payload) if (doc_id // 3) % 2 == 1
+                       else _build_wav(8000, n, payload))
             width, height, dur = 0, 0, (n * 1000) // 8000
         else:
             kind = "video"

@@ -1758,4 +1758,23 @@ object MediaCodec {
     }
     out.array()
   }
+
+  /** 16-bit LE signed mono PCM twin of [[buildWav]]: sample bytes from
+    * `payload` cyclically (2 bytes per sample), block align 2, byte
+    * rate 2·sampleRate — exercises the 16-bit decode branch. */
+  def buildWav16(sampleRate: Int, nSamples: Int, payload: Array[Byte]): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes).putInt(dataBytes)
+    var i = 0
+    while (i < dataBytes) {
+      out.put(if (payload.nonEmpty) payload(i % payload.length) else 0.toByte)
+      i += 1
+    }
+    out.array()
+  }
 }

@@ -202,7 +202,13 @@ object Multimodal {
                 case _ => MediaCodec.buildGif(w, h, payload)
               }, src)
           case 1 => MediaRecord(id, "audio",
-            MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload), src)
+            // alternate 8-bit and 16-bit PCM so both decode branches
+            // sit under the m03/m01 oracles; same sample count, so
+            // the sniffed duration formula is shared
+            if ((id / 3) % 2 == 0)
+              MediaCodec.buildWav(8000, 2000 + (id % 6000).toInt * 8, payload)
+            else
+              MediaCodec.buildWav16(8000, 2000 + (id % 6000).toInt * 8, payload), src)
           case _ => MediaRecord(id, "video",
             // alternate real MP4 containers with raw bytes so the
             // declared pseudo fallback stays exercised (same pattern

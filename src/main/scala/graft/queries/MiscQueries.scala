@@ -74,8 +74,9 @@ object MiscQueries extends QueryModule {
   // deflates, JPEG entropy-codes, GIF LZW-packs — no closed-form size,
   // excluded),
   // 54-byte header + 4-byte-aligned 24-bpp rows; audio = WAV(8 kHz,
-  // 2000+(id%6000)*8 samples), 44-byte header, duration = samples/8 ms
-  // exactly; video = MP4(dur 3000+id%9000 ms, w 160+(id%8)*16,
+  // 2000+(id%6000)*8 samples; 8-bit for (id/3) even, 16-bit LE for odd
+  // — 1 or 2 bytes/sample), 44-byte header, duration = samples/8 ms
+  // exactly either way (byte rate scales with sample width); video = MP4(dur 3000+id%9000 ms, w 160+(id%8)*16,
   // h 96+(id%6)*16, mdat data 500+id%1500) for (id/3) even — fixed
   // 244-byte box overhead (ftyp 20 + moov 216 + mdat header 8).
   private val m02Sql =
@@ -92,7 +93,7 @@ object MiscQueries extends QueryModule {
        |    CASE WHEN doc_id % 3 = 0
        |         THEN 54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (12 + doc_id % 24)
        |         WHEN doc_id % 3 = 2 THEN 244 + 500 + (doc_id % 1500)
-       |         ELSE 44 + 2000 + (doc_id % 6000) * 8 END AS n_bytes
+       |         ELSE 44 + (2000 + (doc_id % 6000) * 8) * (1 + (doc_id // 3) % 2) END AS n_bytes
        |  FROM documents
        |  WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND (doc_id // 3) % 4 = 1)
        |     OR (doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0))
