@@ -27,6 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 EXCLUDE_PREFIX = ("rtcm_",)
 EXCLUDE = {"d02_minhash_jaccard_pairs", "d05_embedding_neardup",
+           "d08_minhash_dfcap",
            "d06_signlsh_neardup", "d07_neardup_keeper_sets"}
 
 con = duckdb.connect()
