@@ -227,6 +227,17 @@ object RtcmQueries extends QueryModule {
     streamed(s)(graft.streaming.DashboardStreams.flowTimeseries(_))
       .orderBy("bucket", "mountpoint")
 
+  // Q12 shape: event time is the GNSS observation epoch, so the
+  // replay flushes with an epoch-aligned frame (see
+  // StreamingReplay.epochAlignedFlush)
+  private def snrStream(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingReplay.run(s, SyntheticRtcm.corpus(NMounts, NFrames), 3,
+        graft.streaming.StreamingReplay.epochAlignedFlush)(in =>
+      graft.streaming.DashboardStreams.snrPivot(
+        graft.streaming.RtcmStreaming.decodeStream(in)))
+      .filter(col("mountpoint") =!= graft.streaming.StreamingReplay.FlushMount)
+      .orderBy("bucket", "mountpoint")
+
   private val rateStreamSql =
     s"""SELECT ${bucketSql("receive_time", 60)} AS bucket, mountpoint,
        |  CAST(CAST(ROUND(CAST(SUM(rtcm_sat_count) AS DOUBLE)/60, 6) AS DECIMAL(18,6)) AS DOUBLE) AS rate
@@ -253,7 +264,8 @@ object RtcmQueries extends QueryModule {
     "rtcm_gap_heatmap" -> gaps,
     "rtcm_gap_heatmap_stream" -> gapsStream,
     "rtcm_rate_stream" -> rateStream,
-    "rtcm_flow_stream" -> flowStream)
+    "rtcm_flow_stream" -> flowStream,
+    "rtcm_snr_stream" -> snrStream)
 
   /** Derived analytics get oracles over the e2e parquet dumps; the
     * dumps themselves and the CRC audit stay rows-only. The three
@@ -268,5 +280,6 @@ object RtcmQueries extends QueryModule {
     "rtcm_gap_heatmap" -> gapsSql,
     "rtcm_gap_heatmap_stream" -> gapsSql,
     "rtcm_rate_stream" -> rateStreamSql,
-    "rtcm_flow_stream" -> flowStreamSql)
+    "rtcm_flow_stream" -> flowStreamSql,
+    "rtcm_snr_stream" -> snrPivotSql)
 }

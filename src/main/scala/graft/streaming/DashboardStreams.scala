@@ -76,6 +76,31 @@ object DashboardStreams {
           .cast(DecimalType(18, 9)).cast(DoubleType).as("kbps"))
       .select(unix_timestamp(col("w.start")).as("bucket"), col("mountpoint"),
         col("bytes"), col("kbps"))
+
+  /** Q12 shape (GPS SNR pivot) over the per-observation stream — event
+    * time is the GNSS OBSERVATION EPOCH, not the receive time, so the
+    * watermark tracks satellite time (use [[StreamingReplay
+    * .epochAlignedFlush]] when replaying: a flush whose observation
+    * epoch also sits at the far-future receive time). Exact
+    * fixed-point per-signal averages, same arithmetic as the batch
+    * `rtcm_snr_pivot`. */
+  def snrPivot(decoded: Dataset[DecodedFrame],
+               watermark: String = "2 minutes"): DataFrame = {
+    import graft.queries.Q
+    def p(sig: String) = {
+      val sm = sum(when(col("sat_signal") === sig,
+        graft.functions.GraftFunctions.scaledLong(col("obs_snr"), 4)))
+      val c = count(when(col("sat_signal") === sig, col("obs_snr")))
+      Q.fixedDec(Q.rhu(sm, c, 100), 6).as(s"avg_snr_$sig")
+    }
+    graft.etl.RtcmPipeline.observations(decoded)
+      .filter(col("constellation") === "GPS")
+      .withWatermark("obs_epoch", watermark)
+      .groupBy(window(col("obs_epoch"), "60 seconds").as("w"), col("mountpoint"))
+      .agg(p("L1C"), p("L2W"), p("L2X"), p("L5X"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("mountpoint"),
+        col("avg_snr_L1C"), col("avg_snr_L2W"), col("avg_snr_L2X"), col("avg_snr_L5X"))
+  }
 }
 
 /** Replays a finite chunk corpus through a streaming transform in
@@ -93,7 +118,28 @@ object StreamingReplay {
   val FlushMount = "ZZFLUSH"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
-  def run(s: SparkSession, chunks: Seq[RawChunk], nBatches: Int)
+  /** Default flush: a frame far past the corpus in RECEIVE time —
+    * advances receive-time watermarks. */
+  def defaultFlush(maxT: Long): RawChunk = {
+    val (_, frame) = SyntheticRtcm.framesFor(FlushMount, 999, 1, 7L).head
+    RawChunk(FlushMount, maxT + 600000000L, 0L, frame)
+  }
+
+  /** Flush whose MSM OBSERVATION EPOCH also sits at the far-future
+    * receive time (epoch seconds-of-day of the flush receive instant,
+    * so GNSS-time resolution lands next to it) — advances watermarks
+    * keyed on `obs_epoch`, which [[defaultFlush]] cannot (its
+    * observation epoch resolves near the corpus start). */
+  def epochAlignedFlush(maxT: Long): RawChunk = {
+    val t = maxT + 600000000L
+    val secOfDayMs = ((t / 1000000L) % 86400L) * 1000L
+    val frame = graft.rtcm.RtcmEncoder.msmFrame(
+      SyntheticRtcm.msm(new java.util.Random(7L), 1077, 999, secOfDayMs))
+    RawChunk(FlushMount, t, 0L, frame)
+  }
+
+  def run(s: SparkSession, chunks: Seq[RawChunk], nBatches: Int,
+          flush: Long => RawChunk = defaultFlush)
          (transform: Dataset[RawChunk] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
@@ -123,9 +169,7 @@ object StreamingReplay {
         input.addData(g)
         q.processAllAvailable()
       }
-      val maxT = chunks.iterator.map(_.receiveMicros).max
-      val (_, flushFrame) = SyntheticRtcm.framesFor(FlushMount, 999, 1, 7L).head
-      input.addData(RawChunk(FlushMount, maxT + 600000000L, 0L, flushFrame))
+      input.addData(flush(chunks.iterator.map(_.receiveMicros).max))
       q.processAllAvailable()
       val table = s.table(name)
       // materialize before the query/table lifecycle ends
