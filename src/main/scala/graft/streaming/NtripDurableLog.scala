@@ -149,4 +149,14 @@ object NtripDurableLog {
         unbase64(col("data")).as("data"))
       .as[RawChunk]
   }
+
+  /** Batch read of the same log — the ground-truth twin a restart test
+    * compares the streamed output against. */
+  def readBatch(spark: SparkSession, dir: String): Dataset[RawChunk] = {
+    import spark.implicits._
+    spark.read.schema(FileSchema).json(dir)
+      .select(col("mountPoint"), col("receiveMicros"), col("seq"),
+        unbase64(col("data")).as("data"))
+      .as[RawChunk]
+  }
 }
