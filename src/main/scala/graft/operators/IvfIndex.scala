@@ -69,6 +69,28 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** Incremental index maintenance: assign each new vector to its
+    * coarse cell with the FROZEN codebook and APPEND to the cid
+    * partitions — the ingest-side operation a live corpus needs
+    * between retrains (no retrain, no rebuild; untouched partitions'
+    * files are never rewritten, so the write is O(batch)). The
+    * standard IVF trade is stated, not hidden: the quantizer drifts
+    * as the corpus distribution shifts, so production retrains on a
+    * cadence; with the codebook frozen, an index grown by appends is
+    * BYTE-EQUIVALENT in content to a fresh build under that codebook
+    * (IvfSpec asserts search equality).
+    * `newVecs`: (vec_id, label, embedding: array<float>). */
+  def append(s: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    val cb = s.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2.toArray)
+    newVecs
+      .withColumn("cid", GraftFunctions.argMaxCosine(
+        expr("transform(embedding, x -> cast(x as double))"), cb))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/postings")
+  }
+
   /** Probe-pruned top-k search for the corpus query vector vec_id=0
     * (the s03 contract): loads the codebook, ranks probes on the
     * driver, and reads ONLY the probed cid partitions. */
