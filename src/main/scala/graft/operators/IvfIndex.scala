@@ -91,6 +91,22 @@ object IvfIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/postings")
   }
 
+  /** Streaming ingest into the index: every micro-batch of new
+    * vectors is assigned and appended via [[append]] — the
+    * vectors-arrive/index-stays-fresh loop of a live similarity
+    * service. Parquet appends are idempotent per batch only via the
+    * checkpoint (foreachBatch re-runs a failed batch whole); searches
+    * see a batch's vectors once its files land. */
+  def appendStream(indexDir: String, newVecs: DataFrame,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.sparkSession, indexDir, batch)
+      }
+      .start()
+
   /** Probe-pruned top-k search for the corpus query vector vec_id=0
     * (the s03 contract): loads the codebook, ranks probes on the
     * driver, and reads ONLY the probed cid partitions. */

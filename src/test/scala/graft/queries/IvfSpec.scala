@@ -138,4 +138,37 @@ class IvfSpec extends AnyFunSuite {
     assert(postings.listFiles().count(_.getName.startsWith("cid=")) ==
       new java.io.File(s"$ref/postings").listFiles().count(_.getName.startsWith("cid=")))
   }
+
+  test("streaming vector ingest keeps the index fresh (appendStream == one-shot build)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = java.nio.file.Files.createTempDirectory("graft_ivf_sref").toString
+    graft.operators.IvfIndex.build(spark, sf, ref)
+    val live = java.nio.file.Files.createTempDirectory("graft_ivf_live").toString
+    spark.read.parquet(s"$ref/codebook").coalesce(1).write.parquet(s"$live/codebook")
+
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .withColumn("label", col("label").cast("long"))
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ck").toString
+    val q = graft.operators.IvfIndex.appendStream(live,
+      input.toDS().toDF("vec_id", "label", "embedding"), ckpt)
+    try {
+      // three micro-batches of arriving vectors
+      vecs.grouped(math.max(1, vecs.size / 3 + 1)).foreach { g =>
+        input.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val a = graft.operators.IvfIndex.search(spark, sf, ref, nprobe = 2, k = 10)
+      .collect().toSeq.map(_.toSeq)
+    val b = graft.operators.IvfIndex.search(spark, sf, live, nprobe = 2, k = 10)
+      .collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
 }
