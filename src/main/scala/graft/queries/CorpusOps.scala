@@ -158,14 +158,19 @@ object CorpusOps extends QueryModule {
   // exact and order-independent. Scale: two explode→hash-agg passes
   // keyed by (doc, token) then one per-source agg, all linear with
   // map-side partial aggregation; the doc_id join is doc-count sized.
-  private def t11(s: SparkSession, d: String): DataFrame = {
-    val perWord = docs(s, d)
+  /** Per-doc word stats (total, distinct, top count) — shared by the
+    * t11 profile and the c02 assembly filter. */
+  private def wordStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("source"), col("word"))
       .agg(count(lit(1)).as("c"))
-    val perDocW = perWord.groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("c")).as("w"), count(lit(1)).as("dw"), max(col("c")).as("topw"))
+
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val perDocW = wordStats(s, d)
     val words = split(col("text"), " ")
     // same bigram construction as t05's profile (and its SQL twin)
     val bigrams = zip_with(slice(words, lit(1), size(words) - 1),
@@ -253,15 +258,62 @@ object CorpusOps extends QueryModule {
       |FROM r JOIN q ON r.source = q.source
       |WHERE rn <= quota ORDER BY 1, 2""".stripMargin
 
+  // c02: corpus ASSEMBLY — the composition every pipeline actually
+  // runs: drop documents failing the t11 repetition gates (top word
+  // > 10% of words, duplicate words > 50%), then take c01's exact
+  // ceil(10%) stratified sample OF THE SURVIVORS per source. Same
+  // building blocks, one declarative plan: Catalyst fuses the filter
+  // into the sampling scan's upstream; quotas adapt to post-filter
+  // stratum sizes by construction.
+  private def c02(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = wordStats(s, d)
+      .filter(col("topw") * 10 <= col("w") &&
+        (col("w") - col("dw")) * 2 <= col("w"))
+      .select(col("doc_id"), col("source"))
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val quota = clean.groupBy(col("source"))
+      .agg(ceil(count(lit(1)) / 10.0).cast(LongType).as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    clean.withColumn("skey", skey)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("rn"), col("doc_id"), col("skey"))
+      .orderBy("source", "rn")
+  }
+
+  private val c02Sql =
+    """WITH wc AS (SELECT doc_id, source, word, COUNT(*) AS c
+      |            FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS word
+      |                  FROM documents) x
+      |            WHERE word <> '' GROUP BY 1, 2, 3),
+      |pw AS (SELECT doc_id, source, SUM(c) AS w, COUNT(*) AS dw, MAX(c) AS topw
+      |       FROM wc GROUP BY 1, 2),
+      |clean AS (SELECT doc_id, source FROM pw
+      |          WHERE topw * 10 <= w AND (w - dw) * 2 <= w),
+      |q AS (SELECT source, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS quota
+      |      FROM clean GROUP BY 1),
+      |r AS (SELECT source, doc_id,
+      |        CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
+      |      FROM clean)
+      |SELECT r.source, rn, doc_id, skey
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE rn <= quota ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_decontamination" -> t08,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
-    "c01_stratified_sample" -> c01)
+    "c01_stratified_sample" -> c01,
+    "c02_clean_sample" -> c02)
 
   override def oracle: Map[String, String] = Map(
     "t08_decontamination" -> t08Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,
-    "c01_stratified_sample" -> c01Sql)
+    "c01_stratified_sample" -> c01Sql,
+    "c02_clean_sample" -> c02Sql)
 }
