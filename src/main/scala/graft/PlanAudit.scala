@@ -188,6 +188,24 @@ object PlanAudit {
       }
     }
 
+    // round-5 operators: the blocked all-pairs sweep must run as an
+    // equi-join/kernel plan (no cartesian or nested-loop stage — the
+    // exact walls the grid blocking removes), the DF-cap dedup keeps
+    // its cap as a semi join, and the stratified sampler broadcasts
+    // its per-stratum quotas
+    audit("d05_embedding_neardup")(
+      "no cartesian/nested-loop stage" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }))
+    audit("d08_minhash_dfcap")(
+      "DF cap as semi join" -> (_.contains("LeftSemi")),
+      "no cartesian stage" -> (s =>
+        !s.split("== Initial Plan ==").head.contains("CartesianProduct")))
+    audit("c01_stratified_sample")(
+      "per-stratum quotas broadcast" -> (_.contains("BroadcastHashJoin")))
+
     // AQE skew-join: the w02/q02-shape hot key (one join key holding
     // 80% of the fact) must trigger the sort-merge skew split — the
     // runtime mitigation for skew the static planner can't see. The
