@@ -205,6 +205,23 @@ object PlanAudit {
         !s.split("== Initial Plan ==").head.contains("CartesianProduct")))
     audit("c01_stratified_sample")(
       "per-stratum quotas broadcast" -> (_.contains("BroadcastHashJoin")))
+    // the range join must run as an equi join on the time bin — the
+    // whole point of the binning is that Spark would otherwise plan
+    // the BETWEEN predicate as a nested-loop/cartesian stage
+    audit("r01_range_join")(
+      "binned equi join (no nested loop)" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }))
+    // packing's prefix scan must run as keyed windows, never a
+    // single-partition window
+    audit("c03_token_packing")(
+      "no single-partition window" -> (s =>
+        !s.split("\n").sliding(6).exists(w =>
+          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))),
+      "window keyed by (source, shard)" -> (s =>
+        !s.contains("Window [") || s.contains("windowspecdefinition(source")))
 
     // AQE skew-join: the w02/q02-shape hot key (one join key holding
     // 80% of the fact) must trigger the sort-merge skew split — the

@@ -303,17 +303,79 @@ object CorpusOps extends QueryModule {
       |FROM r JOIN q ON r.source = q.source
       |WHERE rn <= quota ORDER BY 1, 2""".stripMargin
 
+  // c03: token-budget sequence packing — the batch-assembly operator
+  // of LLM training (docs concatenated into fixed token-budget
+  // sequences; a doc belongs to the sequence its first token falls
+  // in, so a straddling doc overflows its bin — the "concat then
+  // split at budget boundaries" contract). Packing is inherently a
+  // prefix scan, so the contract keys it by (source, shard =
+  // doc_id % 8): each (source, shard) stream packs independently and
+  // the scan distributes across 40 independent window partitions —
+  // at 100 TB the shard count is raised so no partition's stream
+  // exceeds a task (packing quality is unaffected: bins are ~budget
+  // sized regardless of which shard a doc lands in). No
+  // single-partition window anywhere (PlanAudit-style keyed window).
+  // Output: per-source integer bin statistics — exact and
+  // order-independent.
+  private val PackBudget = 512L
+
+  private def c03(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d).select(
+      col("doc_id"), col("source"), pmod(col("doc_id"), lit(8L)).as("shard"),
+      size(filter(split(col("text"), " "),
+        (w: Column) => w =!= "")).cast(LongType).as("tok"))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val binned = toks
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / PackBudget).cast(LongType))
+    binned
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        min(col("bin_tokens")).as("min_bin_tokens"),
+        sum(when(col("bin_tokens") >= PackBudget, 1L).otherwise(0L)).as("n_full_bins"))
+      .orderBy("source")
+  }
+
+  private val c03Sql =
+    s"""WITH t AS (SELECT doc_id, source, doc_id % 8 AS shard,
+       |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok
+       |      FROM documents),
+       |cb AS (SELECT source, shard, tok,
+       |         COALESCE(SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |       FROM t),
+       |b AS (SELECT source, shard, CAST(FLOOR(cum_before / $PackBudget) AS BIGINT) AS bin,
+       |        COUNT(*) AS n_docs, SUM(tok) AS bin_tokens
+       |      FROM cb GROUP BY 1, 2, 3)
+       |SELECT source, COUNT(*) AS n_bins,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+       |  CAST(MIN(bin_tokens) AS BIGINT) AS min_bin_tokens,
+       |  CAST(SUM(CASE WHEN bin_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_full_bins
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_decontamination" -> t08,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
     "c01_stratified_sample" -> c01,
-    "c02_clean_sample" -> c02)
+    "c02_clean_sample" -> c02,
+    "c03_token_packing" -> c03)
 
   override def oracle: Map[String, String] = Map(
     "t08_decontamination" -> t08Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,
     "c01_stratified_sample" -> c01Sql,
-    "c02_clean_sample" -> c02Sql)
+    "c02_clean_sample" -> c02Sql,
+    "c03_token_packing" -> c03Sql)
 }

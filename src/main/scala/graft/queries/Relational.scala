@@ -528,7 +528,47 @@ object Relational extends QueryModule {
        |FROM orders GROUP BY CUBE(1, 2)
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // r01: range (interval containment) join — each error event's ±60 s
+  // neighborhood over ALL events, executed as a binned equi join
+  // (graft.operators.RangeJoin: one shuffle on a 120 s time bin,
+  // exactly-once pair semantics, no BroadcastNestedLoopJoin /
+  // cartesian — RangeJoinSpec asserts the plan). Integer micros end
+  // to end: counts and the Σ|Δt| are exact on both engines (DuckDB's
+  // µs timestamps equal Spark's ns-div-1000 load — verified 0 rows
+  // differ at the gate SFs). The oracle states the textbook non-equi
+  // form; DuckDB plans it natively as an IEJoin.
+  private def r01(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val W = 60000000L // ±60 s in epoch micros; bin = interval length
+    val pts = ev.select(col("event_id").as("p_id"),
+      col("event_type").as("nbr_type"), expr("unix_micros(ts)").as("p_us"))
+    val anchors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), expr("unix_micros(ts)").as("a_us"),
+        (expr("unix_micros(ts)") - W).as("lo"), (expr("unix_micros(ts)") + W).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(anchors, pts, "lo", "hi", "p_us", 2 * W)
+      .filter(col("p_id") =!= col("a_id"))
+      .groupBy(col("nbr_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_anchors"),
+        countDistinct(col("p_id")).as("n_points"),
+        sum(abs(col("p_us") - col("a_us"))).as("sum_abs_dt_us"))
+      .orderBy("nbr_type")
+  }
+
+  private val r01Sql =
+    """SELECT p.event_type AS nbr_type, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT a.event_id) AS n_anchors,
+      |  COUNT(DISTINCT p.event_id) AS n_points,
+      |  CAST(SUM(ABS(epoch_us(p.ts) - epoch_us(a.ts))) AS BIGINT) AS sum_abs_dt_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') a
+      |JOIN events p
+      |  ON epoch_us(p.ts) BETWEEN epoch_us(a.ts) - 60000000
+      |                        AND epoch_us(a.ts) + 60000000
+      | AND p.event_id <> a.event_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_range_join" -> r01,
     "a03_approx_sketches" -> a03,
     "a04_anti_join" -> a04,
     "a05_asof_join" -> a05,
@@ -552,6 +592,7 @@ object Relational extends QueryModule {
     "w05_topk_per_group" -> w05)
 
   override def oracle: Map[String, String] = Map(
+    "r01_range_join" -> r01Sql,
     "w05_topk_per_group" -> w05Sql,
     "a04_anti_join" -> a04Sql,
     "a05_asof_join" -> a05Sql,

@@ -220,6 +220,94 @@ object TextAnalysis extends QueryModule {
        |  ${rhuSql("SUM(q)", "COUNT(*)", 1L)} AS avg_prob_e6
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t12: BM25 retrieval — the quality-retrieval / nearest-document
+  // operator of a text corpus store (rank documents against a query
+  // term set by tf·idf with the BM25 saturation curve, k1=1.2,
+  // b=0.75). Three corpus documents act as queries (their distinct
+  // words are the term set); every other document is scored and the
+  // top 5 per query are returned via the rank-window idiom (which
+  // plans.TopKRewrite turns into the bounded map-side aggregate).
+  //
+  // Determinism: the standard BM25 idf is a log — a libm call whose
+  // last bits differ across engines — so this uses the RATIONAL idf
+  // (N − df + ½)/(df + ½) (the un-logged Robertson–Sparck Jones
+  // weight; same ordering intent, no transcendentals). Each term's
+  // contribution is a ratio of two EXACT BIGINT products:
+  //   num = (2N − 2df + 1) · 22 · tf · Σdl
+  //   den = (2df + 1) · (10·tf·Σdl + 3·Σdl + 9·dl·N)
+  // (k1/b folded in: ×10 clears 1.2/0.75/0.3, ×2 clears the ½s, 22 =
+  // 10·(k1+1)). Both sides compute the SAME int64→double casts, one
+  // IEEE divide, ×1e6, floor — bit-identical across engines — then
+  // sum the floored longs (order-free) and divide back at scale 6.
+  // Overflow bound: num < 2⁶³ up to ~5 M docs at ~60 words/doc; past
+  // that the factors get a common-divisor reduction at ingest.
+  //
+  // Scale shape: postings (tf), doc lengths (dl), and df are one
+  // explode + hash-aggs; scoring joins the 3-query term set to the
+  // postings list on the term key (shuffle or AQE-broadcast — df and
+  // dl stay UNHINTED: vocabulary and doc count grow with the corpus
+  // and must not be force-broadcast at 100 TB); the 1-row corpus
+  // stats broadcast. Top-k is per-query bounded. Everything linear.
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qIds = Seq(7L, 113L, 311L)
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val qt = tf.filter(col("doc_id").isin(qIds: _*))
+      .select(col("doc_id").as("q_id"), col("word"))
+    val num = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
+      lit(22) * col("tf") * col("sumdl")
+    val den = (lit(2) * col("df") + lit(1)) *
+      (lit(10) * col("tf") * col("sumdl") + lit(3) * col("sumdl") +
+        lit(9) * col("dl") * col("n_docs"))
+    val scored = qt
+      .join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfw, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        floor(num.cast(DoubleType) / den.cast(DoubleType) * lit(1000000.0d)))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("sc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sc"), col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("doc_id"), fixedDec(col("sc"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private val t12Sql =
+    s"""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf
+       |            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+       |                  FROM documents) x
+       |            WHERE word <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM dl),
+       |dfw AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT doc_id AS q_id, word FROM tf WHERE doc_id IN (7, 113, 311)),
+       |sc AS (SELECT q.q_id, t.doc_id,
+       |         SUM(CAST(FLOOR(
+       |           CAST((2*st.n_docs - 2*f.df + 1) * 22 * t.tf * st.sumdl AS DOUBLE)
+       |           / CAST((2*f.df + 1) * (10*t.tf*st.sumdl + 3*st.sumdl + 9*d.dl*st.n_docs) AS DOUBLE)
+       |           * 1000000.0) AS BIGINT)) AS sc
+       |       FROM qt q
+       |       JOIN tf t ON t.word = q.word AND t.doc_id <> q.q_id
+       |       JOIN dfw f ON f.word = q.word
+       |       JOIN dl d ON d.doc_id = t.doc_id, st
+       |       GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, sc,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY sc DESC, doc_id) AS BIGINT) AS rnk
+       |      FROM sc)
+       |SELECT q_id, rnk, doc_id, ${fixedDecSql("sc", 6)} AS score
+       |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -228,9 +316,11 @@ object TextAnalysis extends QueryModule {
     "t05_bigram_profile" -> t05,
     "t06_doc_fingerprints" -> t06,
     "t07_bpe_token_stats" -> t07,
-    "t10_char_lm_quality" -> t10)
+    "t10_char_lm_quality" -> t10,
+    "t12_bm25_topk" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t12_bm25_topk" -> t12Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_scores" -> t02Sql,
     "t03_lang_id_accuracy" -> t03Sql,
