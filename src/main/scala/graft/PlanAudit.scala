@@ -214,6 +214,14 @@ object PlanAudit {
         !finalPlan.contains("CartesianProduct") &&
           !finalPlan.contains("BroadcastNestedLoopJoin")
       }))
+    // interval×interval overlap must likewise stay an equi join on
+    // the bin — a non-equi session self-join would nested-loop
+    audit("r02_interval_overlap")(
+      "binned equi join (no nested loop)" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }))
     // packing's prefix scan must run as keyed windows, never a
     // single-partition window
     audit("c03_token_packing")(

@@ -61,4 +61,36 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__rj_bin")
   }
+
+  /** Join `left` to `right` on interval overlap:
+    * `left.[lo1, hi1] ∩ right.[lo2, hi2] ≠ ∅` (inclusive ends, i.e.
+    * `lo1 <= hi2 AND lo2 <= hi1`), as a binned equi join.
+    *
+    * Both sides replicate to every bin they cover. An overlapping
+    * pair shares EVERY bin of the overlap region, so naive bin-join
+    * would emit it once per shared bin; the ownership rule keeps
+    * exactly one copy: a pair is counted only in the bin holding the
+    * overlap's START, `max(lo1, lo2)`. That instant lies inside BOTH
+    * intervals (it is ≥ each lo, and ≤ each hi because the overlap is
+    * non-empty), so both sides replicated into its bin exactly once —
+    * every qualifying pair survives in exactly one bin, no dedup
+    * shuffle needed.
+    *
+    * Cost: one shuffle on the bin key; replication ⌈len/w⌉+1 per row
+    * on each side. Pick `w ≈` the typical interval length.
+    * Column names must be distinct across the two sides.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lo1: String, hi1: String, lo2: String, hi2: String,
+                      w: Long): DataFrame = {
+    require(w > 0, s"bin width must be positive, got $w")
+    val lx = left.withColumn("__rj_bin",
+      explode(sequence(floorDivExpr(lo1, w), floorDivExpr(hi1, w))))
+    val rx = right.withColumn("__rj_bin",
+      explode(sequence(floorDivExpr(lo2, w), floorDivExpr(hi2, w))))
+    lx.join(rx, "__rj_bin")
+      .where(col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
+        floorDivExpr(s"greatest($lo1, $lo2)", w) === col("__rj_bin"))
+      .drop("__rj_bin")
+  }
 }

@@ -567,8 +567,74 @@ object Relational extends QueryModule {
       | AND p.event_id <> a.event_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // r02: interval-OVERLAP join (the interval×interval sibling of r01)
+  // — which users were co-active? Sessionize each user's events by
+  // the w03 30-min-gap rule into [first, last]-event intervals, then
+  // pair sessions of DIFFERENT users whose intervals overlap, via
+  // RangeJoin.intervalOverlap: both session sets replicate to 1-hour
+  // bins, equi-join on the bin, and the ownership rule (pair counted
+  // only in the bin of the overlap start) keeps exactly-once
+  // semantics with no dedup shuffle. The naive form is a non-equi
+  // self-join the optimizer can only nested-loop. Aggregated per
+  // lower user id; overlap durations are exact integer micros
+  // (inclusive instants, hence the +1-free min−max form both sides
+  // share). Oracle states the textbook non-equi self-join; DuckDB
+  // plans it as an IEJoin.
+  private def r02(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = expr("unix_micros(ts)")
+    val flagged = t(s, d, "events")
+      .withColumn("us", us)
+      .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = flagged.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val a = sessions.select(col("user_id").as("a_user"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = sessions.select(col("user_id").as("b_user"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    graft.operators.RangeJoin.intervalOverlap(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3600L * 1000000L)
+      .filter(col("a_user") < col("b_user"))
+      .groupBy(col("a_user").as("user_id"))
+      .agg(countDistinct(col("b_user")).as("n_partners"),
+        count(lit(1)).as("n_sess_pairs"),
+        sum(least(col("a_hi"), col("b_hi")) -
+          greatest(col("a_lo"), col("b_lo"))).as("sum_overlap_us"))
+      .orderBy("user_id")
+  }
+
+  private val r02Sql =
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |         LAG(epoch_us(ts), 1) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |       FROM events),
+      |f AS (SELECT user_id, event_id, ts, us,
+      |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |g AS (SELECT user_id, us,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM f),
+      |s AS (SELECT user_id, sid, MIN(us) AS lo, MAX(us) AS hi
+      |      FROM g GROUP BY 1, 2)
+      |SELECT a.user_id AS user_id,
+      |  COUNT(DISTINCT b.user_id) AS n_partners,
+      |  COUNT(*) AS n_sess_pairs,
+      |  CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS BIGINT) AS sum_overlap_us
+      |FROM s a JOIN s b
+      |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_range_join" -> r01,
+    "r02_interval_overlap" -> r02,
     "a03_approx_sketches" -> a03,
     "a04_anti_join" -> a04,
     "a05_asof_join" -> a05,
@@ -593,6 +659,7 @@ object Relational extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "r01_range_join" -> r01Sql,
+    "r02_interval_overlap" -> r02Sql,
     "w05_topk_per_group" -> w05Sql,
     "a04_anti_join" -> a04Sql,
     "a05_asof_join" -> a05Sql,

@@ -66,6 +66,44 @@ class RangeJoinSpec extends AnyFunSuite {
       == Set((1L, 1L)))
   }
 
+  private def ovPairs(as: Seq[(Long, Long, Long)], bs: Seq[(Long, Long, Long)],
+                      w: Long): Seq[(Long, Long)] = {
+    import spark.implicits._
+    RangeJoin.intervalOverlap(
+      as.toDF("aid", "alo", "ahi"), bs.toDF("bid", "blo", "bhi"),
+      "alo", "ahi", "blo", "bhi", w)
+      .select(col("aid"), col("bid"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("interval overlap matches the naive quadratic join, each pair exactly once") {
+    val as = (0L until 50L).map { i =>
+      val lo = (i * 2654435761L) % 900 - 450
+      (i, lo, lo + (i * 40503L) % 120)
+    }
+    val bs = (0L until 70L).map { j =>
+      val lo = (j * 40503L) % 1000 - 500
+      (j, lo, lo + (j * 2654435761L) % 90)
+    }
+    val want = (for ((aid, alo, ahi) <- as; (bid, blo, bhi) <- bs
+                     if alo <= bhi && blo <= ahi) yield (aid, bid)).toSet
+    for (w <- Seq(1L, 13L, 100L, 2000L)) {
+      val got = ovPairs(as, bs, w)
+      assert(got.length == got.toSet.size, s"duplicate overlap pairs at w=$w")
+      assert(got.toSet == want, s"overlap pair-set mismatch at w=$w")
+    }
+  }
+
+  test("interval overlap: touching endpoints count, disjoint do not") {
+    // [0,10] and [10,20] share the instant 10 → overlap (inclusive);
+    // [0,10] and [11,20] do not
+    assert(ovPairs(Seq((1L, 0L, 10L)), Seq((1L, 10L, 20L), (2L, 11L, 20L)), 7L)
+      == Seq((1L, 1L)))
+    // containment and negative-range overlap
+    assert(ovPairs(Seq((1L, -100L, 100L)), Seq((1L, -5L, 5L), (2L, -300L, -101L)), 64L)
+      == Seq((1L, 1L)))
+  }
+
   test("plans as an equi join on the bin, not a nested loop") {
     import spark.implicits._
     val intervals = (0L until 100L).map(i => (i, i * 10, i * 10 + 30)).toDF("iid", "lo", "hi")
