@@ -231,6 +231,22 @@ object PlanAudit {
       "window keyed by (source, shard)" -> (s =>
         !s.contains("Window [") || s.contains("windowspecdefinition(source")))
 
+    // mixture fill must broadcast the 1-row corpus total and key its
+    // prefix scan by source (never a single-partition window)
+    audit("c04_mixture_budget")(
+      "corpus total broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
+      "no single-partition window" -> (s =>
+        !s.split("\n").sliding(6).exists(w =>
+          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))))
+    // PageRank's per-iteration joins must stay equi joins over the
+    // cached degreed edge list — no cartesian anywhere in 5 rounds
+    audit("g02_pagerank")(
+      "no cartesian in the iteration chain" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct")
+      }),
+      "edge list served from cache" -> (_.contains("InMemoryTableScan")))
+
     // AQE skew-join: the w02/q02-shape hot key (one join key holding
     // 80% of the fact) must trigger the sort-merge skew split — the
     // runtime mitigation for skew the static planner can't see. The

@@ -363,13 +363,66 @@ object CorpusOps extends QueryModule {
        |  CAST(SUM(CASE WHEN bin_tokens >= $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_full_bins
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // c04: mixture assembly under per-source token budgets — the "data
+  // mixture" operator of LLM training (each source gets a token
+  // budget proportional to its mixture weight; docs stream in
+  // deterministic hash order and a doc is taken iff the tokens
+  // accumulated BEFORE it are still under budget — greedy fill with
+  // boundary overshoot, the standard contract). Weights derive from
+  // the source name (index % 4 + 1), budgets from ONE corpus-total
+  // aggregate (broadcast 1-row); selection is a per-source keyed
+  // window prefix scan (same scale shape as c03 — at 100 TB a source
+  // whose stream exceeds a task gets the shard-key treatment; here
+  // sources are the natural partitions). Output: per-source budget /
+  // taken-doc / taken-token accounting — exact integers.
+  private def c04(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val toks = docs(s, d).select(
+      col("source"), col("doc_id"), skey.as("skey"),
+      size(filter(split(col("text"), " "),
+        (w: Column) => w =!= "")).cast(LongType).as("tok"),
+      (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(4L)) + 1L).as("wgt"))
+    val total = toks.agg(sum(col("tok")).as("t_total"))
+    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    toks.crossJoin(broadcast(total))
+      .withColumn("budget", col("wgt") * expr("t_total div 100"))
+      .withColumn("cum_before",
+        coalesce(sum(col("tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("take", col("cum_before") < col("budget"))
+      .groupBy(col("source"))
+      .agg(max(col("budget")).as("budget"),
+        sum(when(col("take"), 1L).otherwise(0L)).as("n_taken"),
+        sum(when(col("take"), col("tok")).otherwise(0L)).as("tok_taken"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  private val c04Sql =
+    """WITH t AS (SELECT source, doc_id,
+      |        CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
+      |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok,
+      |        CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt
+      |      FROM documents),
+      |tt AS (SELECT SUM(tok) AS t_total FROM t),
+      |c AS (SELECT source, tok, wgt * (tt.t_total // 100) AS budget,
+      |        COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY skey, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM t, tt)
+      |SELECT source, CAST(MAX(budget) AS BIGINT) AS budget,
+      |  CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+      |  CAST(SUM(CASE WHEN cum_before < budget THEN tok ELSE 0 END) AS BIGINT) AS tok_taken,
+      |  COUNT(*) AS n_docs
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_decontamination" -> t08,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
     "c01_stratified_sample" -> c01,
     "c02_clean_sample" -> c02,
-    "c03_token_packing" -> c03)
+    "c03_token_packing" -> c03,
+    "c04_mixture_budget" -> c04)
 
   override def oracle: Map[String, String] = Map(
     "t08_decontamination" -> t08Sql,
@@ -377,5 +430,6 @@ object CorpusOps extends QueryModule {
     "t11_repetition_profile" -> t11Sql,
     "c01_stratified_sample" -> c01Sql,
     "c02_clean_sample" -> c02Sql,
-    "c03_token_packing" -> c03Sql)
+    "c03_token_packing" -> c03Sql,
+    "c04_mixture_budget" -> c04Sql)
 }

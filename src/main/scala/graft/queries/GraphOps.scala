@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph analytics over relations (the iterative-computation family;
+  * the other member is the connected-components clustering inside
+  * d07 — graft.operators.ConnectedComponents).
+  */
+object GraphOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // g02: PageRank centrality on the customer–supplier trade graph —
+  // nodes are customers and suppliers (disambiguated as 2·custkey /
+  // 2·suppkey+1), one undirected edge per distinct trading pair from
+  // orders⋈lineitem, symmetrized so every node has outdegree ≥ 1 (no
+  // dangling-mass term). graft.operators.PageRank runs 5 exact
+  // integer iterations (scaled-long ranks, floor division — see the
+  // operator scaladoc for why exactness makes an iterative
+  // fixed-point oracle-comparable at all); output is the top 10 nodes
+  // per node type. The oracle unrolls the same 5 iterations as CTEs —
+  // DuckDB's `//` and Spark's `div` are the same floor division on
+  // these all-positive longs.
+  //
+  // Scale shape: the pair-distinct is one shuffle; PageRank caches
+  // the degreed edge list partitioned on src and pays one
+  // contribution shuffle per iteration (the Pregel pattern); top-10
+  // per type is the rank-window idiom, rewritten to a bounded
+  // map-side aggregate by plans.TopKRewrite.
+  private def g02(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+    val ranks = graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
+    val typed = ranks.select(
+      when(pmod(col("node"), lit(2)) === 0, "customer").otherwise("supplier")
+        .as("node_type"),
+      (col("node") / 2).cast(LongType).as("key"),
+      col("r"))
+    val w = Window.partitionBy(col("node_type")).orderBy(desc("r"), col("key"))
+    typed.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select(col("node_type"), col("rnk"), col("key"), col("r"))
+      .orderBy("node_type", "rnk")
+  }
+
+  private val g02Sql =
+    """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+      |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT c AS src, p AS dst FROM pairs
+      |          UNION ALL SELECT p, c FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+      |st AS (SELECT COUNT(DISTINCT src) AS n,
+      |         1000000000000 // COUNT(DISTINCT src) AS r_init,
+      |         (15 * 1000000000000) // (100 * COUNT(DISTINCT src)) AS b
+      |       FROM edges),
+      |r0 AS (SELECT DISTINCT src AS node, st.r_init AS r FROM edges, st),
+      |r1 AS (SELECT ed.dst AS node, st.b + SUM((r.r * 85) // (100 * ed.deg)) AS r
+      |       FROM ed JOIN r0 r ON ed.src = r.node, st GROUP BY 1, st.b),
+      |r2 AS (SELECT ed.dst AS node, st.b + SUM((r.r * 85) // (100 * ed.deg)) AS r
+      |       FROM ed JOIN r1 r ON ed.src = r.node, st GROUP BY 1, st.b),
+      |r3 AS (SELECT ed.dst AS node, st.b + SUM((r.r * 85) // (100 * ed.deg)) AS r
+      |       FROM ed JOIN r2 r ON ed.src = r.node, st GROUP BY 1, st.b),
+      |r4 AS (SELECT ed.dst AS node, st.b + SUM((r.r * 85) // (100 * ed.deg)) AS r
+      |       FROM ed JOIN r3 r ON ed.src = r.node, st GROUP BY 1, st.b),
+      |r5 AS (SELECT ed.dst AS node, st.b + SUM((r.r * 85) // (100 * ed.deg)) AS r
+      |       FROM ed JOIN r4 r ON ed.src = r.node, st GROUP BY 1, st.b),
+      |typed AS (SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+      |            node // 2 AS key, r,
+      |            CAST(ROW_NUMBER() OVER (PARTITION BY CASE WHEN node % 2 = 0
+      |                THEN 'customer' ELSE 'supplier' END
+      |              ORDER BY r DESC, node // 2) AS BIGINT) AS rnk
+      |          FROM r5)
+      |SELECT node_type, rnk, key, CAST(r AS BIGINT) AS r
+      |FROM typed WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g02_pagerank" -> g02)
+
+  override def oracle: Map[String, String] = Map(
+    "g02_pagerank" -> g02Sql)
+}
