@@ -46,16 +46,30 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val deg = edges.groupBy(col(srcCol).as("src")).agg(count(lit(1)).as("deg"))
+    // the deg join's own shuffle leaves the output hash-partitioned on
+    // src — cache THAT layout (an explicit repartition(src) here would
+    // be a second, redundant exchange)
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(deg, "src")
-      .repartition(col("src"))
       .cache()
-    val n = ed.select("src").distinct().count()
+    // node set materialized ONCE (it seeds r₀ and supplies N); without
+    // the cache the distinct's shuffle re-runs inside the final plan
+    val nodes = ed.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
     val base = (15L * Scale) / (100L * n)
-    var ranks = ed.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(Scale / n))
+    var ranks = nodes.withColumn("r", lit(Scale / n))
+    // ranks is one (long, long) row per node — orders of magnitude
+    // smaller than the edge list, so ship ranks to the edges, never
+    // the reverse. n is EXACT (just counted), so the broadcast choice
+    // is data-driven, not a blind hint: under ~1M nodes (≈16 MB
+    // hashed) broadcast-join each iteration against the cached edge
+    // list — one stage per iteration, no sort; beyond that fall back
+    // to the shuffle join, where ed's cached src partitioning lines
+    // up with ranks' groupBy output and neither side re-shuffles.
+    val small = n < 1000000L
     for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, ed("src") === ranks("node"))
+      val rhs = if (small) broadcast(ranks) else ranks
+      ranks = ed.join(rhs, ed("src") === rhs("node"))
         .select(col("dst"), expr("(r * 85) div (100 * deg)").as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg((lit(base) + sum(col("contrib"))).as("r"))
