@@ -541,10 +541,10 @@ object Relational extends QueryModule {
     val ev = t(s, d, "events")
     val W = 60000000L // ±60 s in epoch micros; bin = interval length
     val pts = ev.select(col("event_id").as("p_id"),
-      col("event_type").as("nbr_type"), expr("unix_micros(ts)").as("p_us"))
+      col("event_type").as("nbr_type"), expr("unix_micros(cast(ts as timestamp))").as("p_us"))
     val anchors = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("a_id"), expr("unix_micros(ts)").as("a_us"),
-        (expr("unix_micros(ts)") - W).as("lo"), (expr("unix_micros(ts)") + W).as("hi"))
+      .select(col("event_id").as("a_id"), expr("unix_micros(cast(ts as timestamp))").as("a_us"),
+        (expr("unix_micros(cast(ts as timestamp))") - W).as("lo"), (expr("unix_micros(cast(ts as timestamp))") + W).as("hi"))
     graft.operators.RangeJoin.pointInInterval(anchors, pts, "lo", "hi", "p_us", 2 * W)
       .filter(col("p_id") =!= col("a_id"))
       .groupBy(col("nbr_type"))
@@ -583,7 +583,7 @@ object Relational extends QueryModule {
   private def r02(s: SparkSession, d: String): DataFrame = {
     val gapUs = 1800L * 1000000L
     val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val us = expr("unix_micros(ts)")
+    val us = expr("unix_micros(cast(ts as timestamp))")
     val flagged = t(s, d, "events")
       .withColumn("us", us)
       .withColumn("prev_us", lag(col("us"), 1).over(byTs))
