@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout verbatim: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks
+// machine parsing of Bench's one-line JSON metric (a JSON parser
+// sees "[info] {...}" and gives up). StdoutOutput inherits the
+// parent's stdout/stderr instead — no prefix, no re-buffering.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -81,24 +81,55 @@ object Bench {
         name -> (if (warm) once() else first)
       }
     val results = (s06Build ++ timed).sortBy(_._1)
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Baseline comparison column: scripts/bench_duck.py records the
     // DuckDB oracle-side per-query seconds for an SF dir into
-    // DUCK_<sfname>.json (committed); embed it verbatim so the round
-    // artifact carries BOTH engines' numbers, not just ours. (DuckDB
-    // is a driver-side python tool — the library itself has no such
+    // DUCK_<sfname>.json (committed); embed it so the round artifact
+    // carries BOTH engines' numbers, not just ours. (DuckDB is a
+    // driver-side python tool — the library itself has no such
     // dependency, so the record rides in as data.)
-    val duck = {
+    val duckRaw: Option[String] = {
       val f = new java.io.File(s"DUCK_${new java.io.File(sfDir).getName}.json")
       if (f.exists) {
         val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-        if (s.startsWith("{")) s""","duckdb":$s""" else ""
-      } else ""
+        if (s.startsWith("{")) Some(s) else None
+      } else None
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skipped,"sf":"$sfDir"$duck}""")
+    // Full artifact — every query, engine + DuckDB — goes to a file
+    // (and one stdout line): the consumer that wants per-query depth
+    // reads BENCH_DETAIL.json from the repo.
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    println(detail)
+    // The FINAL stdout line is the driver's machine-readable metric. It
+    // is parsed from a bounded tail window of the run log, so it must
+    // stay well under 2 kB: headline = the 16 reference dashboard
+    // queries (BASELINE.md's BENCH plan compares exactly these vs
+    // DuckDB at the same SF), plus both engines' totals. Printed after
+    // spark.stop() so no executor log line can interleave with it.
+    val dash = results.filter(_._1.matches("q\\d.*"))
+    val duckDash: String = duckRaw.flatMap { s =>
+      // minimal extraction: DUCK json is flat {"queries":{...}} written
+      // by our own script — pull the dashboard keys + total without a
+      // JSON library (none on the unmanaged classpath).
+      val qre = """"(q\d[^"]*)":\s*([0-9.eE+-]+)""".r
+      val pairs = qre.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      val tre = """"value":\s*([0-9.eE+-]+)""".r
+      val tot = tre.findFirstMatchIn(s).map(_.group(1).toDouble)
+      if (pairs.isEmpty) None
+      else Some(f"""{"value":${tot.getOrElse(0.0)}%.3f,"queries":${jmap(pairs)}}""")
+    }.getOrElse("null")
     spark.stop()
+    System.out.flush()
+    // Driver's tail window is 2000 bytes: keep this line ≤ ~1.6 kB even
+    // with the DuckDB column embedded (skipped list lives in the detail
+    // file; only its size rides here).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${jmap(dash)},"dashboard_sec":${dash.map(_._2).sum}%.3f,"duckdb":$duckDash,"n_skipped":${skip.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
