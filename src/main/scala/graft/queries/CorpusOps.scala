@@ -415,7 +415,86 @@ object CorpusOps extends QueryModule {
       |  COUNT(*) AS n_docs
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // d09: duplicated-span REMOVAL — the operator t09 only profiles.
+  // Exact-substring deduplication in the Lee-et-al "Deduplicating
+  // Training Data" sense, re-expressed as distributed gram ownership
+  // instead of a monolithic suffix array: every 5-gram OCCURRENCE
+  // (doc, position) is emitted; a gram with ≥2 occurrences corpus-wide
+  // is a duplicated span; its single OWNER occurrence (lexicographic
+  // min (doc_id, pos)) keeps its tokens, every other occurrence marks
+  // its 5 covered positions for removal; a token is removed iff any
+  // removable occurrence covers it. Per-source accounting of the
+  // surviving corpus. Scale: occurrences are linear in corpus tokens
+  // and partition freely; ownership is one gram-hash aggregate
+  // (map-side partial min/count); the removable join shuffles on the
+  // gram key; coverage is a ×5 position explode + doc-keyed distinct.
+  // Every stage is linear — no suffix array, no single-node sort, no
+  // window. (A suffix array finds variable-length spans; fixed-k gram
+  // ownership finds every span ≥ k at 1/k the positions — the standard
+  // distributed approximation, exact for the k chosen.)
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    val toksAll = docs(s, d).select(
+      col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+    // occurrences: 1-based position p, gram = words p..p+4 (docs with
+    // <5 words emit none; sequence(1, size-4) would DESCEND for them,
+    // so the slice-total guard pattern from gramExpr applies)
+    val occ = toksAll.select(
+      col("doc_id"),
+      explode(expr(
+        "transform(slice(sequence(1, size(ws)), 1, greatest(size(ws) - 4, 0)), " +
+          "p -> struct(p as p, concat_ws(' ', ws[p-1], ws[p], ws[p+1], ws[p+2], ws[p+3]) as gram))"))
+        .as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.gram").as("gram"))
+    val gstat = occ.groupBy(col("gram")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("p"))).as("owner"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"), col("owner.doc_id").as("o_doc"), col("owner.p").as("o_p"))
+    val removable = occ.join(gstat, Seq("gram"))
+      .filter(!(col("doc_id") === col("o_doc") && col("p") === col("o_p")))
+    val removed = removable
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("q"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    toksAll.select(col("doc_id"), col("source"),
+      size(col("ws")).cast(LongType).as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_removed"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_removed")).as("removed_tokens"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_affected"),
+        max(col("n_removed")).as("max_removed"))
+      .orderBy("source")
+  }
+
+  private val d09Sql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |occ AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+      |          array_to_string(ws[p:p+4], ' ') AS gram
+      |        FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(p)),
+      |own AS (SELECT gram, COUNT(*) AS cnt, MIN(doc_id) AS o_doc
+      |        FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
+      |own2 AS (SELECT o.gram, own.o_doc, MIN(o.p) AS o_p
+      |         FROM occ o JOIN own ON o.gram = own.gram AND o.doc_id = own.o_doc
+      |         GROUP BY 1, 2),
+      |rm AS (SELECT o.doc_id, o.p FROM occ o JOIN own2 g ON o.gram = g.gram
+      |       WHERE NOT (o.doc_id = g.o_doc AND o.p = g.o_p)),
+      |cov AS (SELECT DISTINCT doc_id, p + i AS q
+      |        FROM rm, UNNEST(range(0, 5)) AS t(i)),
+      |rd AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(COALESCE(n_removed, 0)) AS BIGINT) AS removed_tokens,
+      |  CAST(SUM(CASE WHEN COALESCE(n_removed, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+      |  CAST(MAX(COALESCE(n_removed, 0)) AS BIGINT) AS max_removed
+      |FROM w LEFT JOIN rd ON w.doc_id = rd.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_span_removal" -> d09,
     "t08_decontamination" -> t08,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
@@ -425,6 +504,7 @@ object CorpusOps extends QueryModule {
     "c04_mixture_budget" -> c04)
 
   override def oracle: Map[String, String] = Map(
+    "d09_span_removal" -> d09Sql,
     "t08_decontamination" -> t08Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 analytics additions:
+  *
+  *  - a07: EXACT distributed quantiles (k-th smallest, no
+  *    interpolation, no approximation) via the two-level histogram
+  *    plan — the scalable alternative to Spark's built-in
+  *    `percentile`, whose aggregation buffer collects every value of
+  *    a group into memory and therefore cannot run on a 20-billion-row
+  *    group. Semantics: for percentile p over n rows the answer is the
+  *    k-th smallest value with k = ceil(p·n/100) (type-1/discrete
+  *    quantile — an actual element, engine-independent; interpolated
+  *    variants differ across engines in tie and rounding behavior).
+  *
+  *  - w06: retention cohorts over the events stream — the canonical
+  *    event-analytics query (reference dashboards are exactly this
+  *    kind of per-time-bucket monitoring surface; cf.
+  *    /root/reference/grafana/provisioning/dashboards/RTCM monitor.json
+  *    time-bucketed panels): cohort = a user's first active day,
+  *    retention = distinct users active again at fixed day offsets.
+  */
+object MoreAnalytics extends QueryModule {
+
+  // a07 plan, stage by stage (all linear, every partition bounded):
+  //   1. per-(group, value) counts — one shuffle keyed on (g, v) with
+  //      map-side combine; output is the distinct-value histogram.
+  //   2. coarse bins (floor(v/100)): per-(group, bin) counts, then a
+  //      cumulative window over bins — the window partition is a
+  //      group's BIN LIST (~1e3 rows for TPC-H price domains), not its
+  //      row count, so it stays driver-of-scale-free at 100 TB.
+  //   3. k = ceil(p·n/100) per (group, percentile) from the group
+  //      totals (6-row × group-count broadcast).
+  //   4. locate the target bin: min bin whose cumulative count ≥ k.
+  //   5. resolve inside the bin only: the candidate set is one bin's
+  //      distinct values (≤ bin-width many); a cumulative window over
+  //      that bounded set finds the k-th value exactly.
+  // DuckDB oracle states the SEMANTICS (row_number = k), not the plan.
+  private def a07(s: SparkSession, d: String): DataFrame = {
+    val pcts = Seq(1, 25, 50, 75, 95, 99)
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val h = li.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val hb = h.withColumn("bin", floor(col("v") / 100.0d).cast(LongType))
+    val bcum = hb.groupBy(col("g"), col("bin")).agg(sum(col("c")).as("bc"))
+      .withColumn("bincum",
+        sum(col("bc")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
+    val n = h.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val ks = n.crossJoin(
+      broadcast(s.createDataFrame(pcts.map(Tuple1(_))).toDF("pct")))
+      .select(col("g"), col("pct").cast(LongType).as("pct"),
+        expr("(pct * n + 99) div 100").as("k"))
+    val tb = bcum.join(ks, Seq("g"))
+      .filter(col("bincum") >= col("k"))
+      .groupBy(col("g"), col("pct"), col("k"))
+      .agg(min(struct(col("bin"), col("bincum"), col("bc"))).as("m"))
+      .select(col("g"), col("pct"), col("k"),
+        col("m.bin").as("tbin"), (col("m.bincum") - col("m.bc")).as("base"))
+    hb.join(tb, hb("g") === tb("g") && hb("bin") === tb("tbin"))
+      .drop(tb("g"))
+      .withColumn("cw", sum(col("c")).over(
+        Window.partitionBy(col("g"), col("pct"), col("bin")).orderBy(col("v"))))
+      .filter(col("base") + col("cw") >= col("k"))
+      .groupBy(col("g"), col("pct"))
+      .agg(min(col("v")).cast(DoubleType).as("val"))
+      .select(col("g").as("l_returnflag"), col("pct"), col("val"))
+      .orderBy("l_returnflag", "pct")
+  }
+
+  private val a07Sql =
+    """WITH n AS (SELECT l_returnflag AS g, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |p AS (SELECT UNNEST([1, 25, 50, 75, 95, 99]) AS pct),
+      |k AS (SELECT g, pct, (pct * n + 99) // 100 AS k FROM n, p),
+      |r AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+      |      FROM lineitem)
+      |SELECT k.g AS l_returnflag, CAST(pct AS BIGINT) AS pct, CAST(r.v AS DOUBLE) AS val
+      |FROM k JOIN r ON k.g = r.g AND r.rn = k.k
+      |ORDER BY 1, 2""".stripMargin
+
+  // w06: cohort_day = a user's first active day (epoch days); a user
+  // counts toward (cohort_day, offset) when active cohort_day+offset.
+  // The (user, day) distinct, the per-user min and the join all key on
+  // user_id — one exchange serves all three stages (Catalyst reuses
+  // the partitioning); the final (cohort, offset) aggregate is
+  // day-cardinality sized. countDistinct is avoided: (user, day) rows
+  // are already distinct, so count(*) IS the distinct-user count.
+  private def w06(s: SparkSession, d: String): DataFrame = {
+    val dd = Tables.load(s, d, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val cohort = dd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    dd.join(cohort, Seq("user_id"))
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset").isin(0L, 1L, 3L, 7L, 14L))
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val w06Sql =
+    """WITH dd AS (SELECT DISTINCT user_id,
+      |              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |            FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM dd GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS "offset", COUNT(*) AS n_users
+      |FROM dd JOIN c USING (user_id)
+      |WHERE day - cohort_day IN (0, 1, 3, 7, 14)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a07_exact_quantiles" -> a07,
+    "w06_retention_cohorts" -> w06)
+
+  override def oracle: Map[String, String] = Map(
+    "a07_exact_quantiles" -> a07Sql,
+    "w06_retention_cohorts" -> w06Sql)
+}

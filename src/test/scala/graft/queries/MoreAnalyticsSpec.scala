@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.etl.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the round-8 additions: d09's gram
+  * ownership (including the within-doc duplicate case), a07's k-th
+  * smallest semantics across coarse-bin boundaries and ties, w06's
+  * cohort/offset accounting.
+  */
+class MoreAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("d09: owner occurrence keeps its tokens; every other occurrence's cover is removed") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_d09").toString
+    Seq(
+      // docs 0/1 share both 5-grams; doc 0 owns them (min doc_id)
+      (0L, "a b c d e f", "en", "s0", 11L),
+      (1L, "a b c d e f", "en", "s1", 11L),
+      // doc 2 repeats one gram WITHIN itself: "z z z z z" occurs at
+      // p=1 (owner) and p=2 → positions 2..6 removed
+      (2L, "z z z z z z", "en", "s0", 11L),
+      // doc 3: under 5 tokens — no grams, still counted in the summary
+      (3L, "p q r s", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("d09_span_removal")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      // s0: docs 0,2 — doc 0 owns its grams (0 removed), doc 2 loses 2..6
+      ("s0", 2L, 12L, 5L, 1L, 5L),
+      // s1: docs 1,3 — doc 1 loses all 6 (covered by both non-owner
+      // occurrences), doc 3 has no grams
+      ("s1", 2L, 10L, 6L, 1L, 6L)))
+  }
+
+  test("a07: k-th smallest = ceil(p*n/100), exact across bins and ties") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_a07").toString
+    // A: 4 values in one coarse bin; B: spans three 100-wide bins;
+    // C: duplicate values (the histogram's c>1 path)
+    (Seq.empty[(String, Double)]
+      ++ Seq("A" -> 10.0, "A" -> 20.0, "A" -> 30.0, "A" -> 40.0)
+      ++ Seq("B" -> 50.0, "B" -> 150.0, "B" -> 250.0)
+      ++ Seq("C" -> 5.0, "C" -> 5.0, "C" -> 7.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$d/lineitem.parquet")
+    val rows = graft.SparkEntry.queries("a07_exact_quantiles")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // n=4: k(1,25,50,75,95,99) = 1,1,2,3,4,4 ; n=3: k = 1,1,2,3,3,3
+    assert(rows.toSeq == Seq(
+      ("A", 1L, 10.0), ("A", 25L, 10.0), ("A", 50L, 20.0),
+      ("A", 75L, 30.0), ("A", 95L, 40.0), ("A", 99L, 40.0),
+      ("B", 1L, 50.0), ("B", 25L, 50.0), ("B", 50L, 150.0),
+      ("B", 75L, 250.0), ("B", 95L, 250.0), ("B", 99L, 250.0),
+      ("C", 1L, 5.0), ("C", 25L, 5.0), ("C", 50L, 5.0),
+      ("C", 75L, 7.0), ("C", 95L, 7.0), ("C", 99L, 7.0)))
+  }
+
+  test("w06: cohort = first active day; offsets count distinct returning users") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_w06").toString
+    def ts(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400L + sec) * 1000L)
+    Seq(
+      // user 1: cohort day 0; active 0 (twice — still one row), 1, 7
+      (1L, ts(0, 10)), (1L, ts(0, 20)), (1L, ts(1, 5)), (1L, ts(7, 0)),
+      // user 2: cohort day 0; day-2 activity is not a tracked offset
+      (2L, ts(0, 30)), (2L, ts(2, 0)),
+      // user 3: cohort day 1; offsets 0, 1, 14
+      (3L, ts(1, 0)), (3L, ts(2, 0)), (3L, ts(15, 0)))
+      .toDF("user_id", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val rows = graft.SparkEntry.queries("w06_retention_cohorts")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 7L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 14L, 1L)))
+  }
+}
