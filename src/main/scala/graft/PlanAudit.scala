@@ -238,6 +238,35 @@ object PlanAudit {
       "no single-partition window" -> (s =>
         !s.split("\n").sliding(6).exists(w =>
           w.head.contains("Window") && w.exists(_.contains("SinglePartition")))))
+    // span removal: every stage is an equi join / hash aggregate over
+    // gram or doc keys — a cartesian anywhere means the ownership
+    // formulation degenerated to all-pairs
+    audit("d09_span_removal")(
+      "no cartesian / nested-loop stage" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }),
+      "whole-stage codegen" -> codegenCheck)
+    // exact quantiles: the percentile table and group totals are
+    // broadcast-sized by construction; the in-bin resolution window
+    // must stay keyed (g, pct, bin), never a global sort
+    audit("a07_exact_quantiles")(
+      "pct x group-total cross is broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
+      "no single-partition window" -> (s =>
+        !s.split("\n").sliding(6).exists(w =>
+          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))))
+    // retention: one user-keyed exchange must serve the distinct, the
+    // per-user min and the self-join — the repartition(user_id) exists
+    // precisely so the (user, day) distinct doesn't force its own
+    // wider-keyed shuffle, so exactly two hash exchanges total (the
+    // user repartition + the small final (cohort, offset) aggregate)
+    audit("w06_retention_cohorts")(
+      "single user-keyed exchange + final agg only" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        "Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 2
+      }))
+
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds
     audit("g02_pagerank")(

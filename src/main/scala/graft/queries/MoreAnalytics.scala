@@ -85,15 +85,20 @@ object MoreAnalytics extends QueryModule {
 
   // w06: cohort_day = a user's first active day (epoch days); a user
   // counts toward (cohort_day, offset) when active cohort_day+offset.
-  // The (user, day) distinct, the per-user min and the join all key on
-  // user_id — one exchange serves all three stages (Catalyst reuses
-  // the partitioning); the final (cohort, offset) aggregate is
+  // ONE user-keyed exchange serves every per-user stage: hash
+  // partitioning on user_id satisfies the clustering the (user, day)
+  // distinct needs (a user's rows are co-located, so its (user, day)
+  // pairs are too), the per-user min, and the self-join — left to the
+  // default plan, the distinct would shuffle on (user, day) and the
+  // min/join would re-shuffle on user_id, three corpus-sized
+  // exchanges instead of one. The final (cohort, offset) aggregate is
   // day-cardinality sized. countDistinct is avoided: (user, day) rows
   // are already distinct, so count(*) IS the distinct-user count.
   private def w06(s: SparkSession, d: String): DataFrame = {
     val dd = Tables.load(s, d, "events")
       .select(col("user_id"),
         expr("unix_timestamp(ts) div 86400").as("day"))
+      .repartition(col("user_id"))
       .distinct()
     val cohort = dd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     dd.join(cohort, Seq("user_id"))
