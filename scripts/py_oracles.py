@@ -1021,8 +1021,62 @@ def m01_media_features(sf_dir):
     })
 
 
+def g03_connected_components(sf_dir):
+    # Repeat-trade graph: edge (2*custkey, 2*suppkey+1) when the pair
+    # shares >= 2 distinct orders. Components via a REAL union-find —
+    # an iterative fixed-point needs no unrolled-SQL trick here; the
+    # independence from the engine's pointer-jumping implementation is
+    # the point.
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey"])
+    cust_of = dict(zip(orders.column("o_orderkey").to_pylist(),
+                       orders.column("o_custkey").to_pylist()))
+    pair_orders = {}
+    for ok, sk in zip(li.column("l_orderkey").to_pylist(),
+                      li.column("l_suppkey").to_pylist()):
+        c = cust_of.get(ok)
+        if c is not None:
+            pair_orders.setdefault((c, sk), set()).add(ok)
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    for (c, sk), oks in pair_orders.items():
+        if len(oks) >= 2:
+            union(2 * c, 2 * sk + 1)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    rows = sorted(
+        (min(ms), len(ms),
+         sum(1 for m in ms if m % 2 == 0),
+         sum(1 for m in ms if m % 2 == 1))
+        for ms in comps.values())
+    return pa.table({
+        "comp_rep": pa.array([r[0] for r in rows], pa.int64()),
+        "n_nodes": pa.array([r[1] for r in rows], pa.int64()),
+        "n_customers": pa.array([r[2] for r in rows], pa.int64()),
+        "n_suppliers": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d04_simhash_pairs": d04_simhash_pairs,
+    "g03_connected_components": g03_connected_components,
     "m01_media_features": m01_media_features,
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,

@@ -83,8 +83,48 @@ object GraphOps extends QueryModule {
       |SELECT node_type, rnk, key, CAST(r AS BIGINT) AS r
       |FROM typed WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin
 
+  // g03: connected components as a first-class gate-checked query
+  // (the operator — graft.operators.ConnectedComponents, pointer-
+  // jumping min-label propagation — previously ran only inside d07's
+  // keeper-set clustering and its specs). Graph: the REPEAT-trade
+  // relation — an edge links customer 2c and supplier 2s+1 when the
+  // pair shares ≥2 distinct orders (the one-off pairs that would
+  // collapse everything into a trivial clique are excluded by the
+  // threshold, matching how entity-resolution graphs are sparsified
+  // in practice). Output is one row per component: representative
+  // (= min node id, the operator's keeper contract), size, and the
+  // per-type split. Oracle: independent Python union-find over the
+  // same pair extraction (scripts/py_oracles.py) — an iterative
+  // fixed-point needs no unrolled-SQL trick when the checker can run
+  // a real disjoint-set structure.
+  //
+  // Scale shape: pair aggregation is one (cust, supp)-keyed shuffle
+  // with partial count-distinct; each CC round is two node-keyed
+  // joins + one aggregate, O(log diameter) rounds (operator scaladoc);
+  // the component summary is a keeper-keyed hash aggregate.
+  private def g03(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+    val edges = pairs.select((col("o_custkey") * 2).as("a"),
+      (col("l_suppkey") * 2 + 1).as("b"))
+    graft.operators.ConnectedComponents.components(edges)
+      .groupBy(col("keeper"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(pmod(col("node"), lit(2)) === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(pmod(col("node"), lit(2)) === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .select(col("keeper").as("comp_rep"), col("n_nodes"),
+        col("n_customers"), col("n_suppliers"))
+      .orderBy("comp_rep")
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g02_pagerank" -> g02)
+    "g02_pagerank" -> g02,
+    "g03_connected_components" -> g03)
 
   override def oracle: Map[String, String] = Map(
     "g02_pagerank" -> g02Sql)

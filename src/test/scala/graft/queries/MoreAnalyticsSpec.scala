@@ -59,6 +59,24 @@ class MoreAnalyticsSpec extends AnyFunSuite {
       ("C", 75L, 7.0), ("C", 95L, 7.0), ("C", 99L, 7.0)))
   }
 
+  test("g03: repeat-trade threshold sparsifies; components summarize per type") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_g03").toString
+    // custs 1,2 both trade supp 1 twice → one component {2,3,4};
+    // cust 1 × supp 2 is a one-off order → NOT an edge;
+    // cust 3 × supp 5 twice → component {6,11};
+    // cust 4 × supp 6 once → excluded entirely (no singleton rows)
+    Seq((101L, 1L), (102L, 1L), (103L, 2L), (104L, 2L), (105L, 3L),
+      (106L, 3L), (107L, 4L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((101L, 1L), (102L, 1L), (101L, 2L), (103L, 1L), (104L, 1L),
+      (105L, 5L), (106L, 5L), (107L, 6L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val rows = graft.SparkEntry.queries("g03_connected_components")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((2L, 3L, 2L, 1L), (6L, 2L, 1L, 1L)))
+  }
+
   test("w06: cohort = first active day; offsets count distinct returning users") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_w06").toString
