@@ -266,6 +266,14 @@ object PlanAudit {
         val finalPlan = s.split("== Initial Plan ==").head
         "Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 2
       }))
+    // funnel: every stage join/aggregate rides the one up-front
+    // user_id repartition; only the day-cardinality final aggregate
+    // may add a hash exchange
+    audit("w07_conversion_funnel")(
+      "stage pipeline exchange-free after user repartition" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        "Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 2
+      }))
 
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds

@@ -445,6 +445,9 @@ object CorpusOps extends QueryModule {
           "p -> struct(p as p, concat_ws(' ', ws[p-1], ws[p], ws[p+1], ws[p+2], ws[p+3]) as gram))"))
         .as("o"))
       .select(col("doc_id"), col("o.p").as("p"), col("o.gram").as("gram"))
+      // consumed twice (ownership stats, removable join) — same
+      // pre-materialization rationale as the t08/t09 gram cache
+      .cache()
     val gstat = occ.groupBy(col("gram")).agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("p"))).as("owner"))

@@ -50,7 +50,9 @@ object MoreAnalytics extends QueryModule {
     val bcum = hb.groupBy(col("g"), col("bin")).agg(sum(col("c")).as("bc"))
       .withColumn("bincum",
         sum(col("bc")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
-    val n = h.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    // group totals fall out of the bin cumulative (n = last bincum) —
+    // a separate sum over h would re-scan and re-shuffle the histogram
+    val n = bcum.groupBy(col("g")).agg(max(col("bincum")).as("n"))
     val ks = n.crossJoin(
       broadcast(s.createDataFrame(pcts.map(Tuple1(_))).toDF("pct")))
       .select(col("g"), col("pct").cast(LongType).as("pct"),
@@ -119,11 +121,73 @@ object MoreAnalytics extends QueryModule {
       |WHERE day - cohort_day IN (0, 1, 3, 7, 14)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // w07: ordered conversion funnel — view → click → purchase with
+  // STRICTLY increasing event times (a click before the first view
+  // doesn't count; micro-second epoch longs make the ordering exact).
+  // Stage times are per-user minima over the qualifying events, so
+  // the funnel is the standard "first qualifying sequence" contract.
+  // Grouped by the user's cohort day (first activity). Scale: every
+  // stage joins and aggregates on user_id — the same single-exchange
+  // discipline as w06 (the up-front repartition makes the stage
+  // pipeline exchange-free); the final aggregate is day-cardinality.
+  private def w07(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        // events.ts arrives TIMESTAMP_NTZ from the nanos conversion;
+        // unix_micros wants TIMESTAMP (same cast as the range joins —
+        // session TZ is UTC, so the reinterpretation is exact)
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .repartition(col("user_id"))
+    val cohort = base.groupBy(col("user_id"))
+      .agg(expr("min(us) div 86400000000").as("cohort_day"))
+    val v = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val c = base.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("us") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+    cohort
+      .join(v, Seq("user_id"), "left_outer")
+      .join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .groupBy(col("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click"),
+        count(col("tp")).as("n_purchase"))
+      .orderBy("cohort_day")
+  }
+
+  private val w07Sql =
+    """WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |coh AS (SELECT user_id, MIN(us) // 86400000000 AS cohort_day
+      |        FROM base GROUP BY 1),
+      |v AS (SELECT user_id, MIN(us) AS tv FROM base
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT b.user_id, MIN(b.us) AS tc FROM base b
+      |      JOIN v ON b.user_id = v.user_id
+      |      WHERE b.event_type = 'click' AND b.us > v.tv GROUP BY 1),
+      |p AS (SELECT b.user_id, MIN(b.us) AS tp FROM base b
+      |      JOIN c ON b.user_id = c.user_id
+      |      WHERE b.event_type = 'purchase' AND b.us > c.tc GROUP BY 1)
+      |SELECT cohort_day, COUNT(*) AS n_users,
+      |  COUNT(tv) AS n_view, COUNT(tc) AS n_click, COUNT(tp) AS n_purchase
+      |FROM coh
+      |LEFT JOIN v USING (user_id)
+      |LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a07_exact_quantiles" -> a07,
-    "w06_retention_cohorts" -> w06)
+    "w06_retention_cohorts" -> w06,
+    "w07_conversion_funnel" -> w07)
 
   override def oracle: Map[String, String] = Map(
     "a07_exact_quantiles" -> a07Sql,
-    "w06_retention_cohorts" -> w06Sql)
+    "w06_retention_cohorts" -> w06Sql,
+    "w07_conversion_funnel" -> w07Sql)
 }

@@ -96,4 +96,25 @@ class MoreAnalyticsSpec extends AnyFunSuite {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 7L, 1L),
       (1L, 0L, 1L), (1L, 1L, 1L), (1L, 14L, 1L)))
   }
+
+  test("w07: funnel stages require strictly increasing event times") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_w07").toString
+    def ts(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400L + sec) * 1000L)
+    Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(0, 10)), (1L, "click", ts(0, 20)), (1L, "purchase", ts(0, 30)),
+      // user 2: click BEFORE the first view doesn't count; the
+      // purchase can't count without a qualifying click
+      (2L, "click", ts(0, 8)), (2L, "view", ts(0, 10)), (2L, "purchase", ts(0, 50)),
+      // user 3: no view at all; separate cohort day
+      (3L, "signup", ts(1, 0)),
+      // user 4: click at the SAME instant as the view — strict > fails
+      (4L, "view", ts(0, 10)), (4L, "click", ts(0, 10)), (4L, "purchase", ts(0, 30)))
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val rows = graft.SparkEntry.queries("w07_conversion_funnel")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((0L, 3L, 3L, 1L, 1L), (1L, 1L, 0L, 0L, 0L)))
+  }
 }
