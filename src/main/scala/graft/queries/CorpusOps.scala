@@ -496,7 +496,86 @@ object CorpusOps extends QueryModule {
       |FROM w LEFT JOIN rd ON w.doc_id = rd.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // c05: decontaminated mixture assembly — the composition a real
+  // pretraining pipeline runs end-to-end: drop the eval split and
+  // every train doc t08 flags as contaminated (≥10% of its distinct
+  // 5-grams appear in the eval split), then run c04's per-source
+  // token-budget greedy fill over the SURVIVORS (weights from the
+  // source name, budgets from one broadcast corpus total of surviving
+  // tokens). One declarative plan: the contamination gate is a
+  // doc-keyed anti-condition feeding the same keyed-window prefix
+  // scan as c04 — no new shuffle shapes, so the c04 scale notes apply
+  // unchanged.
+  private def c05(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = grammed(s, d, 5, gram5Expr).cache()
+    val evalGrams = g.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = g.filter(col("doc_id") % 37 =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val clean = train
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .filter(col("n_hits") * 10 < col("n_grams"))
+      .select(col("doc_id"))
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val toks = docs(s, d)
+      .join(clean, Seq("doc_id"), "left_semi")
+      .select(
+        col("source"), col("doc_id"), skey.as("skey"),
+        size(filter(split(col("text"), " "),
+          (w: Column) => w =!= "")).cast(LongType).as("tok"),
+        (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(4L)) + 1L).as("wgt"))
+    val total = toks.agg(sum(col("tok")).as("t_total"))
+    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    toks.crossJoin(broadcast(total))
+      .withColumn("budget", col("wgt") * expr("t_total div 100"))
+      .withColumn("cum_before",
+        coalesce(sum(col("tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("take", col("cum_before") < col("budget"))
+      .groupBy(col("source"))
+      .agg(max(col("budget")).as("budget"),
+        sum(when(col("take"), 1L).otherwise(0L)).as("n_taken"),
+        sum(when(col("take"), col("tok")).otherwise(0L)).as("tok_taken"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  private val c05Sql =
+    """WITH w5 AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |            FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(range(1, len(ws) - 3),
+      |          i -> array_to_string(ws[i:i+4], ' '))) AS grams
+      |      FROM w5),
+      |ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 37 = 0),
+      |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 37 <> 0),
+      |hit AS (SELECT doc_id, COUNT(*) AS n_hits
+      |        FROM (SELECT doc_id, UNNEST(grams) AS gram FROM tr) x
+      |        WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
+      |clean AS (SELECT tr.doc_id FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+      |          WHERE COALESCE(n_hits, 0) * 10 < len(grams)),
+      |t AS (SELECT source, d.doc_id,
+      |        CAST((d.doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
+      |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok,
+      |        CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt
+      |      FROM documents d JOIN clean ON d.doc_id = clean.doc_id),
+      |tt AS (SELECT SUM(tok) AS t_total FROM t),
+      |c AS (SELECT source, tok, wgt * (tt.t_total // 100) AS budget,
+      |        COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY skey, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM t, tt)
+      |SELECT source, CAST(MAX(budget) AS BIGINT) AS budget,
+      |  CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+      |  CAST(SUM(CASE WHEN cum_before < budget THEN tok ELSE 0 END) AS BIGINT) AS tok_taken,
+      |  COUNT(*) AS n_docs
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c05_decontaminated_mixture" -> c05,
     "d09_span_removal" -> d09,
     "t08_decontamination" -> t08,
     "t09_dupspan_profile" -> t09,
@@ -507,6 +586,7 @@ object CorpusOps extends QueryModule {
     "c04_mixture_budget" -> c04)
 
   override def oracle: Map[String, String] = Map(
+    "c05_decontaminated_mixture" -> c05Sql,
     "d09_span_removal" -> d09Sql,
     "t08_decontamination" -> t08Sql,
     "t09_dupspan_profile" -> t09Sql,

@@ -72,4 +72,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
     assert(rows.toSeq == Seq(("sA", 0L, 0L)))
   }
+
+  test("c05: eval split, contaminated and unverifiable docs never reach the fill") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_c05").toString
+    val words40 = (1 to 40).map(i => s"a$i").mkString(" ")
+    val words70 = (1 to 70).map(i => s"b$i").mkString(" ")
+    Seq(
+      // doc 0: the eval split itself — excluded from assembly
+      (0L, "a b c d e f", "en", "src0", 11L),
+      // doc 1: 2 of 3 train grams hit the eval set → contaminated
+      (1L, "a b c d e f g", "en", "src1", 13L),
+      // docs 2/4: clean survivors in src2 (wgt = 2%4+1 = 3); their
+      // 110 surviving tokens → budget 3·(110 div 100) = 3; hash order
+      // puts doc 2 first, so exactly it is taken
+      (2L, words40, "en", "src2", 200L),
+      (4L, words70, "en", "src2", 350L),
+      // doc 3: under 5 words — can't be checked, never cleared
+      (3L, "p q r s", "en", "src3", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("c05_decontaminated_mixture")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(("src2", 3L, 1L, 40L, 2L)))
+  }
 }
