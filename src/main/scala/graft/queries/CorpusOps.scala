@@ -432,7 +432,10 @@ object CorpusOps extends QueryModule {
   // window. (A suffix array finds variable-length spans; fixed-k gram
   // ownership finds every span ≥ k at 1/k the positions — the standard
   // distributed approximation, exact for the k chosen.)
-  private def d09(s: SparkSession, d: String): DataFrame = {
+  /** Shared by d09/d10: (tokenized docs, distinct removed positions).
+    * covered = (doc_id, q) pairs owned by a non-owner occurrence of a
+    * duplicated 5-gram. */
+  private def spanRemoval(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toksAll = docs(s, d).select(
       col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
     // occurrences: 1-based position p, gram = words p..p+4 (docs with
@@ -455,9 +458,15 @@ object CorpusOps extends QueryModule {
       .select(col("gram"), col("owner.doc_id").as("o_doc"), col("owner.p").as("o_p"))
     val removable = occ.join(gstat, Seq("gram"))
       .filter(!(col("doc_id") === col("o_doc") && col("p") === col("o_p")))
-    val removed = removable
+    val covered = removable
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("q"))
       .distinct()
+    (toksAll, covered)
+  }
+
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    val (toksAll, covered) = spanRemoval(s, d)
+    val removed = covered
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
     toksAll.select(col("doc_id"), col("source"),
       size(col("ws")).cast(LongType).as("n_tokens"))
@@ -574,9 +583,63 @@ object CorpusOps extends QueryModule {
       |  COUNT(*) AS n_docs
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // d10: the removal operator's ACTUAL output — the cleaned corpus.
+  // Same ownership semantics as d09; per doc the kept-token count and
+  // the cleaned text (kept tokens joined in position order; a doc
+  // whose every token is covered comes back empty, not missing).
+  // Reassembly is sort_array over (pos, token) structs inside a
+  // doc-keyed aggregate — deterministic, bounded by document length,
+  // no window. Scale: adds one doc-keyed anti join (tokens vs covered
+  // positions) and one doc-keyed aggregate to d09's linear stages.
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val (toksAll, covered) = spanRemoval(s, d)
+    val toks = toksAll.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.join(covered,
+      toks("doc_id") === covered("doc_id") && toks("p") === covered("q"),
+      "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", expr("transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)"))
+        .as("text_clean"))
+    toksAll.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  private val d10Sql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |occ AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+      |          array_to_string(ws[p:p+4], ' ') AS gram
+      |        FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(p)),
+      |own AS (SELECT gram, COUNT(*) AS cnt, MIN(doc_id) AS o_doc
+      |        FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
+      |own2 AS (SELECT o.gram, own.o_doc, MIN(o.p) AS o_p
+      |         FROM occ o JOIN own ON o.gram = own.gram AND o.doc_id = own.o_doc
+      |         GROUP BY 1, 2),
+      |rm AS (SELECT o.doc_id, o.p FROM occ o JOIN own2 g ON o.gram = g.gram
+      |       WHERE NOT (o.doc_id = g.o_doc AND o.p = g.o_p)),
+      |cov AS (SELECT DISTINCT doc_id, p + i AS q
+      |        FROM rm, UNNEST(range(0, 5)) AS t(i)),
+      |toks AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ws[p] AS tok
+      |         FROM w, UNNEST(range(1, len(ws) + 1)) AS t(p)),
+      |kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+      |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.q
+      |         WHERE c.doc_id IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |          string_agg(tok, ' ' ORDER BY p) AS text_clean
+      |        FROM kept GROUP BY 1)
+      |SELECT w.doc_id, source, COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(text_clean, '') AS text_clean
+      |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+      |ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_decontaminated_mixture" -> c05,
     "d09_span_removal" -> d09,
+    "d10_span_removal_text" -> d10,
     "t08_decontamination" -> t08,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
@@ -588,6 +651,7 @@ object CorpusOps extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "c05_decontaminated_mixture" -> c05Sql,
     "d09_span_removal" -> d09Sql,
+    "d10_span_removal_text" -> d10Sql,
     "t08_decontamination" -> t08Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,

@@ -36,6 +36,25 @@ class MoreAnalyticsSpec extends AnyFunSuite {
       ("s1", 2L, 10L, 6L, 1L, 6L)))
   }
 
+  test("d10: cleaned text keeps owner tokens in order; fully-covered docs come back empty") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_d10").toString
+    Seq(
+      (0L, "a b c d e f", "en", "s0", 11L),
+      (1L, "a b c d e f", "en", "s1", 11L),
+      (2L, "z z z z z z", "en", "s0", 11L),
+      (3L, "p q r s", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("d10_span_removal_text")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (0L, "s0", 6L, "a b c d e f"), // owner doc untouched
+      (1L, "s1", 0L, ""),            // every position covered
+      (2L, "s0", 1L, "z"),           // within-doc dup: only p=1 kept
+      (3L, "s1", 4L, "p q r s")))    // too short for grams: untouched
+  }
+
   test("a07: k-th smallest = ceil(p*n/100), exact across bins and ties") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_a07").toString
