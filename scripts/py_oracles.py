@@ -1021,6 +1021,139 @@ def m01_media_features(sf_dir):
     })
 
 
+M32 = 0xFFFFFFFF
+
+
+def _rotl32(x, r):
+    x &= M32
+    return ((x << r) | (x >> (32 - r))) & M32
+
+
+def _murmur3_32(data: bytes, seed: int) -> int:
+    """Spark Murmur3_x86_32.hashUnsafeBytes: 4-byte LE words, then the
+    TAIL bytes one at a time, each sign-extended and fully mixed (NOT
+    the standard murmur3 tail). Returns SIGNED 32-bit."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+
+    def mix_k1(k1):
+        k1 = (k1 * c1) & M32
+        k1 = _rotl32(k1, 15)
+        return (k1 * c2) & M32
+
+    def mix_h1(h1, k1):
+        h1 ^= k1
+        h1 = _rotl32(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M32
+
+    h1 = seed & M32
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        word = int.from_bytes(data[i:i + 4], "little")
+        h1 = mix_h1(h1, mix_k1(word))
+    for i in range(aligned, n):
+        b = data[i]
+        half = b - 256 if b >= 128 else b  # sign-extended java byte
+        h1 = mix_h1(h1, mix_k1(half & M32))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _xxh64_fmix(h):
+    h &= MASK
+    h ^= h >> 33
+    h = (h * P2) & MASK
+    h ^= h >> 29
+    h = (h * P3) & MASK
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int(i, seed):
+    # Spark XXH64.hashInt: the 4-byte single-chunk path
+    h = (seed + P5 + 4) & MASK
+    h ^= ((i & M32) * P1) & MASK
+    h = (_rotl(h, 23) * P2 + P3) & MASK
+    return _xxh64_fmix(h)
+
+
+def _xxh64_long(v, seed):
+    # Spark XXH64.hashLong: the 8-byte single-chunk path
+    h = (seed + P5 + 8) & MASK
+    h ^= (_rotl((v * P2) & MASK, 31) * P1) & MASK
+    h = (_rotl(h, 27) * P1 + P4) & MASK
+    return _xxh64_fmix(h)
+
+
+def _splitmix(seed):
+    z = (seed + 0x9E3779B97F4A7C15) & MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+    return z ^ (z >> 31)
+
+
+_MH_A = [_splitmix(2 * i) | 1 for i in range(64)]
+_MH_B = [_splitmix(2 * i + 1) for i in range(64)]
+
+
+def d03_lsh_candidates(sf_dir):
+    """MinHash-LSH candidate pairs: faithful recompute of the engine's
+    MinHash64 expression (murmur3-derived base hash + 64 affine
+    permutations over Z/2^64, unsigned min) and the 16x4 band hash
+    (Spark xxhash64 seed chaining: int arg then four longs)."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    buckets = {}
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        ws = text.split(" ")
+        if len(ws) < 3:
+            continue
+        shingles = []
+        seen = set()
+        for i in range(len(ws) - 2):
+            sh = " ".join(ws[i:i + 3])
+            if sh not in seen:
+                seen.add(sh)
+                shingles.append(sh)
+        # engine compares UNSIGNED with mins initialized to SIGNED
+        # Long.MaxValue (0x7FFF...), which unsigned is mid-range: a
+        # permuted hash above 2^63 never beats an "empty" slot.
+        # Replicate exactly.
+        mins = [0x7FFFFFFFFFFFFFFF] * 64
+        for sh in shingles:
+            data = sh.encode("utf-8")
+            m1 = _murmur3_32(data, 42)
+            m2 = _murmur3_32(data, 1337)
+            h = ((m1 * 0x9E3779B97F4A7C15) ^ (m2 & MASK)) & MASK
+            for p in range(64):
+                v = (_MH_A[p] * h + _MH_B[p]) & MASK
+                if v < mins[p]:
+                    mins[p] = v
+        for b in range(16):
+            hb = _xxh64_int(b, 42)
+            for j in range(4):
+                hb = _xxh64_long(mins[4 * b + j], hb)
+            buckets.setdefault((b, hb), []).append(doc_id)
+    pairs = {}
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs[(ids[x], ids[y])] = pairs.get((ids[x], ids[y]), 0) + 1
+    rows = sorted((a, b, c) for (a, b), c in pairs.items())
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "shared_bands": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def g03_connected_components(sf_dir):
     # Repeat-trade graph: edge (2*custkey, 2*suppkey+1) when the pair
     # shares >= 2 distinct orders. Components via a REAL union-find —
@@ -1075,6 +1208,7 @@ def g03_connected_components(sf_dir):
 
 
 PY_ORACLES = {
+    "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,
     "g03_connected_components": g03_connected_components,
     "m01_media_features": m01_media_features,
