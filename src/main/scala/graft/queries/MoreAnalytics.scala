@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -96,11 +96,19 @@ object MoreAnalytics extends QueryModule {
   // exchanges instead of one. The final (cohort, offset) aggregate is
   // day-cardinality sized. countDistinct is avoided: (user, day) rows
   // are already distinct, so count(*) IS the distinct-user count.
+  /** user_id-clustered events: from the bucketed layout the scan
+    * itself carries HashPartitioning(user_id) and the explicit
+    * repartition would ADD an exchange, so it's applied only on the
+    * plain-parquet path. */
+  private def userClustered(s: SparkSession, d: String, cols: Column*): DataFrame = {
+    val base = Tables.load(s, d, "events").select(cols: _*)
+    if (graft.etl.BucketedLayout.servesBucketed(s, d, "events")) base
+    else base.repartition(col("user_id"))
+  }
+
   private def w06(s: SparkSession, d: String): DataFrame = {
-    val dd = Tables.load(s, d, "events")
-      .select(col("user_id"),
-        expr("unix_timestamp(ts) div 86400").as("day"))
-      .repartition(col("user_id"))
+    val dd = userClustered(s, d,
+      col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
       .distinct()
     val cohort = dd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     dd.join(cohort, Seq("user_id"))
@@ -131,13 +139,12 @@ object MoreAnalytics extends QueryModule {
   // discipline as w06 (the up-front repartition makes the stage
   // pipeline exchange-free); the final aggregate is day-cardinality.
   private def w07(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.load(s, d, "events")
-      .select(col("user_id"), col("event_type"),
-        // events.ts arrives TIMESTAMP_NTZ from the nanos conversion;
-        // unix_micros wants TIMESTAMP (same cast as the range joins —
-        // session TZ is UTC, so the reinterpretation is exact)
-        expr("unix_micros(cast(ts as timestamp))").as("us"))
-      .repartition(col("user_id"))
+    val base = userClustered(s, d,
+      col("user_id"), col("event_type"),
+      // events.ts arrives TIMESTAMP_NTZ from the nanos conversion;
+      // unix_micros wants TIMESTAMP (same cast as the range joins —
+      // session TZ is UTC, so the reinterpretation is exact)
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
     val cohort = base.groupBy(col("user_id"))
       .agg(expr("min(us) div 86400000000").as("cohort_day"))
     val v = base.filter(col("event_type") === "view")
