@@ -121,8 +121,10 @@ object Bench {
       val pairs = qre.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
       val tre = """"value":\s*([0-9.eE+-]+)""".r
       val tot = tre.findFirstMatchIn(s).map(_.group(1).toDouble)
-      if (pairs.isEmpty) None
-      else Some(f"""{"value":${tot.getOrElse(0.0)}%.3f,"queries":${jmap(pairs)}}""")
+      // a missing total is a malformed record — report null rather
+      // than a fabricated 0.000 s DuckDB suite time
+      if (pairs.isEmpty || tot.isEmpty) None
+      else Some(f"""{"value":${tot.get}%.3f,"queries":${jmap(pairs)}}""")
     }.getOrElse("null")
     spark.stop()
     System.out.flush()

@@ -25,6 +25,25 @@ object PlanAudit {
     // mode and as "*(n)" markers in the simple plan string
     val codegenCheck: String => Boolean =
       s => s.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(s).isDefined
+    // Negative/counting checks (no exchange beyond k, no
+    // single-partition window) are only meaningful on the SIMPLE plan
+    // string: formatted explain prints node names and their arguments
+    // on separate lines, so markers like "Exchange hashpartitioning"
+    // never co-occur there and a not-exists/count predicate would be
+    // VACUOUSLY true through the p(formatted) || p(plan) OR. These
+    // helpers reject the formatted representation (identified by its
+    // header) so the OR falls through to the simple string.
+    val simpleOnly: (String => Boolean) => String => Boolean = p => s =>
+      !s.contains("== Physical Plan ==") && p(s)
+    // a ReusedExchange line repeats its referent's description text,
+    // so count only lines that EXECUTE an exchange
+    def maxHashExchanges(k: Int): String => Boolean = simpleOnly(s =>
+      s.split("== Initial Plan ==").head.split("\n")
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange")) <= k)
+    val noSinglePartitionWindow: String => Boolean = simpleOnly(s =>
+      !s.split("\n").sliding(6).exists(w =>
+        w.head.contains("Window") && w.exists(_.contains("SinglePartition"))))
     def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute THIS QueryExecution first (collect, not a write —
@@ -85,9 +104,7 @@ object PlanAudit {
     // range-partitions and ranks per range, so every Window keeps a
     // partition key.
     audit("w04_ntile_deciles")(
-      "no single-partition window" -> (s =>
-        !s.split("\n").sliding(6).exists(w =>
-          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))),
+      "no single-partition window" -> noSinglePartitionWindow,
       "windows are partitioned (pid)" -> (s =>
         !s.contains("Window [") || s.contains("windowspecdefinition(pid")))
 
@@ -225,9 +242,7 @@ object PlanAudit {
     // packing's prefix scan must run as keyed windows, never a
     // single-partition window
     audit("c03_token_packing")(
-      "no single-partition window" -> (s =>
-        !s.split("\n").sliding(6).exists(w =>
-          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))),
+      "no single-partition window" -> noSinglePartitionWindow,
       "window keyed by (source, shard)" -> (s =>
         !s.contains("Window [") || s.contains("windowspecdefinition(source")))
 
@@ -235,9 +250,7 @@ object PlanAudit {
     // prefix scan by source (never a single-partition window)
     audit("c04_mixture_budget")(
       "corpus total broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
-      "no single-partition window" -> (s =>
-        !s.split("\n").sliding(6).exists(w =>
-          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))))
+      "no single-partition window" -> noSinglePartitionWindow)
     // span removal: every stage is an equi join / hash aggregate over
     // gram or doc keys — a cartesian anywhere means the ownership
     // formulation degenerated to all-pairs
@@ -253,27 +266,19 @@ object PlanAudit {
     // must stay keyed (g, pct, bin), never a global sort
     audit("a07_exact_quantiles")(
       "pct x group-total cross is broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
-      "no single-partition window" -> (s =>
-        !s.split("\n").sliding(6).exists(w =>
-          w.head.contains("Window") && w.exists(_.contains("SinglePartition")))))
+      "no single-partition window" -> noSinglePartitionWindow)
     // retention: one user-keyed exchange must serve the distinct, the
     // per-user min and the self-join — the repartition(user_id) exists
     // precisely so the (user, day) distinct doesn't force its own
     // wider-keyed shuffle, so exactly two hash exchanges total (the
     // user repartition + the small final (cohort, offset) aggregate)
     audit("w06_retention_cohorts")(
-      "single user-keyed exchange + final agg only" -> (s => {
-        val finalPlan = s.split("== Initial Plan ==").head
-        "Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 2
-      }))
+      "single user-keyed exchange + final agg only" -> maxHashExchanges(2))
     // funnel: every stage join/aggregate rides the one up-front
     // user_id repartition; only the day-cardinality final aggregate
     // may add a hash exchange
     audit("w07_conversion_funnel")(
-      "stage pipeline exchange-free after user repartition" -> (s => {
-        val finalPlan = s.split("== Initial Plan ==").head
-        "Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 2
-      }))
+      "stage pipeline exchange-free after user repartition" -> maxHashExchanges(2))
 
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds

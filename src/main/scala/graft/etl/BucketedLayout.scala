@@ -137,13 +137,6 @@ object BucketedLayout {
 
   /** The bucketed table for (dir, name) if the layout is enabled and
     * materialized — [[graft.Tables.load]]'s first stop. */
-  /** Whether `load` will serve this table from the bucketed layout —
-    * queries that otherwise pre-repartition on the bucket key (w06/
-    * w07's user_id pipelines) skip their explicit exchange when the
-    * scan itself already provides the hash partitioning. */
-  def servesBucketed(spark: SparkSession, dir: String, name: String): Boolean =
-    loadIfBucketed(spark, dir, name).isDefined
-
   def loadIfBucketed(spark: SparkSession, dir: String, name: String): Option[DataFrame] =
     if (enabled(spark) && facts.contains(name)) {
       val tbl = tableName(dir, name)

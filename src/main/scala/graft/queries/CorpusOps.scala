@@ -60,7 +60,11 @@ object CorpusOps extends QueryModule {
   // deterministic stand-in for a held-out benchmark); a train doc is
   // "contaminated" when ≥10% of its distinct 5-grams appear anywhere
   // in the eval split. Per-source integer summary.
-  private def t08(s: SparkSession, d: String): DataFrame = {
+
+  /** Per-TRAIN-doc contamination profile (doc_id, source, n_grams,
+    * n_hits) — the shared core of t08's summary and c05's gate, so
+    * the eval-split predicate and hit definition live once. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
     // both the eval and train branches consume the gram table; cache
     // it so the parquet scan + split + gram build run once (same
     // pattern as Dedup's shingled cache)
@@ -75,6 +79,10 @@ object CorpusOps extends QueryModule {
       .select(col("doc_id"), col("source"), size(col("grams")).cast(LongType).as("n_grams"))
       .join(hits, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("n_hits"))
+  }
+
+  private def t08(s: SparkSession, d: String): DataFrame =
+    contamination(s, d)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -82,10 +90,12 @@ object CorpusOps extends QueryModule {
         sum(col("n_hits")).as("total_hits"),
         sum(when(col("n_hits") * 10 >= col("n_grams"), 1L).otherwise(0L)).as("n_contaminated"))
       .orderBy("source")
-  }
 
-  private val t08Sql =
-    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+  /** Oracle twin of `contamination`: CTE chain ending in `pd`
+    * (doc_id, source, n_grams, n_hits) — interpolated into t08Sql and
+    * c05Sql so the eval-split predicate and hit rule live once. */
+  private val contaminationCtesSql =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
       |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
       |g AS (SELECT doc_id, source,
       |        list_distinct(list_transform(range(1, len(ws) - 3),
@@ -98,7 +108,10 @@ object CorpusOps extends QueryModule {
       |        WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
       |pd AS (SELECT tr.doc_id, tr.source, len(grams) AS n_grams,
       |         COALESCE(n_hits, 0) AS n_hits
-      |       FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id)
+      |       FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id)""".stripMargin
+
+  private val t08Sql =
+    s"""WITH $contaminationCtesSql
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
       |  CAST(SUM(n_hits) AS BIGINT) AS total_hits,
@@ -375,14 +388,23 @@ object CorpusOps extends QueryModule {
   // whose stream exceeds a task gets the shard-key treatment; here
   // sources are the natural partitions). Output: per-source budget /
   // taken-doc / taken-token accounting — exact integers.
-  private def c04(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (source, doc_id, skey, tok, wgt) mixture stream for a document
+    * set — the skey constant, token definition and weight rule live
+    * once for c04 and c05. */
+  private def mixTokens(docSet: DataFrame): DataFrame = {
     val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val toks = docs(s, d).select(
+    docSet.select(
       col("source"), col("doc_id"), skey.as("skey"),
       size(filter(split(col("text"), " "),
         (w: Column) => w =!= "")).cast(LongType).as("tok"),
       (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(4L)) + 1L).as("wgt"))
+  }
+
+  /** The greedy per-source token-budget fill over a mixTokens stream
+    * — shared by c04 (whole corpus) and c05 (decontaminated
+    * survivors). */
+  private def budgetFill(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val total = toks.agg(sum(col("tok")).as("t_total"))
     val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
     toks.crossJoin(broadcast(total))
@@ -398,13 +420,20 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
-  private val c04Sql =
-    """WITH t AS (SELECT source, doc_id,
-      |        CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
-      |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok,
-      |        CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt
-      |      FROM documents),
-      |tt AS (SELECT SUM(tok) AS t_total FROM t),
+  private def c04(s: SparkSession, d: String): DataFrame =
+    budgetFill(mixTokens(docs(s, d)))
+
+  /** Oracle twin of `mixTokens`, parameterized by the document set. */
+  private def mixTokensCteSql(fromClause: String, idRef: String) =
+    s"""t AS (SELECT source, $idRef AS doc_id,
+       |        CAST(($idRef * 2654435761) % 4294967296 AS BIGINT) AS skey,
+       |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok,
+       |        CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt
+       |      FROM $fromClause)""".stripMargin
+
+  /** Oracle twin of `budgetFill` over the CTE `t`. */
+  private val budgetFillTailSql =
+    """tt AS (SELECT SUM(tok) AS t_total FROM t),
       |c AS (SELECT source, tok, wgt * (tt.t_total // 100) AS budget,
       |        COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY skey, doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
@@ -414,6 +443,10 @@ object CorpusOps extends QueryModule {
       |  CAST(SUM(CASE WHEN cum_before < budget THEN tok ELSE 0 END) AS BIGINT) AS tok_taken,
       |  COUNT(*) AS n_docs
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val c04Sql =
+    s"""WITH ${mixTokensCteSql("documents", "doc_id")},
+       |$budgetFillTailSql""".stripMargin
 
   // d09: duplicated-span REMOVAL — the operator t09 only profiles.
   // Exact-substring deduplication in the Lee-et-al "Deduplicating
@@ -482,8 +515,11 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
-  private val d09Sql =
-    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+  /** Oracle twin of `spanRemoval`: the ownership CTE chain ending in
+    * `cov` (doc_id, q) — interpolated into d09Sql and d10Sql so the
+    * gram width, owner tie-break and cover rule live once. */
+  private val spanRemovalCtesSql =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
       |occ AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
       |          array_to_string(ws[p:p+4], ' ') AS gram
       |        FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(p)),
@@ -495,7 +531,10 @@ object CorpusOps extends QueryModule {
       |rm AS (SELECT o.doc_id, o.p FROM occ o JOIN own2 g ON o.gram = g.gram
       |       WHERE NOT (o.doc_id = g.o_doc AND o.p = g.o_p)),
       |cov AS (SELECT DISTINCT doc_id, p + i AS q
-      |        FROM rm, UNNEST(range(0, 5)) AS t(i)),
+      |        FROM rm, UNNEST(range(0, 5)) AS t(i))""".stripMargin
+
+  private val d09Sql =
+    s"""WITH $spanRemovalCtesSql,
       |rd AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
@@ -516,72 +555,17 @@ object CorpusOps extends QueryModule {
   // scan as c04 — no new shuffle shapes, so the c04 scale notes apply
   // unchanged.
   private def c05(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = grammed(s, d, 5, gram5Expr).cache()
-    val evalGrams = g.filter(col("doc_id") % 37 === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
-    val train = g.filter(col("doc_id") % 37 =!= 0)
-    val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(evalGrams, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    val clean = train
-      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left_outer")
-      .na.fill(0L, Seq("n_hits"))
+    val clean = contamination(s, d)
       .filter(col("n_hits") * 10 < col("n_grams"))
       .select(col("doc_id"))
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val toks = docs(s, d)
-      .join(clean, Seq("doc_id"), "left_semi")
-      .select(
-        col("source"), col("doc_id"), skey.as("skey"),
-        size(filter(split(col("text"), " "),
-          (w: Column) => w =!= "")).cast(LongType).as("tok"),
-        (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(4L)) + 1L).as("wgt"))
-    val total = toks.agg(sum(col("tok")).as("t_total"))
-    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
-    toks.crossJoin(broadcast(total))
-      .withColumn("budget", col("wgt") * expr("t_total div 100"))
-      .withColumn("cum_before",
-        coalesce(sum(col("tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("take", col("cum_before") < col("budget"))
-      .groupBy(col("source"))
-      .agg(max(col("budget")).as("budget"),
-        sum(when(col("take"), 1L).otherwise(0L)).as("n_taken"),
-        sum(when(col("take"), col("tok")).otherwise(0L)).as("tok_taken"),
-        count(lit(1)).as("n_docs"))
-      .orderBy("source")
+    budgetFill(mixTokens(docs(s, d).join(clean, Seq("doc_id"), "left_semi")))
   }
 
   private val c05Sql =
-    """WITH w5 AS (SELECT doc_id, source, string_split(text, ' ') AS ws
-      |            FROM documents WHERE len(string_split(text, ' ')) >= 5),
-      |g AS (SELECT doc_id, source,
-      |        list_distinct(list_transform(range(1, len(ws) - 3),
-      |          i -> array_to_string(ws[i:i+4], ' '))) AS grams
-      |      FROM w5),
-      |ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 37 = 0),
-      |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 37 <> 0),
-      |hit AS (SELECT doc_id, COUNT(*) AS n_hits
-      |        FROM (SELECT doc_id, UNNEST(grams) AS gram FROM tr) x
-      |        WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
-      |clean AS (SELECT tr.doc_id FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
-      |          WHERE COALESCE(n_hits, 0) * 10 < len(grams)),
-      |t AS (SELECT source, d.doc_id,
-      |        CAST((d.doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
-      |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok,
-      |        CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt
-      |      FROM documents d JOIN clean ON d.doc_id = clean.doc_id),
-      |tt AS (SELECT SUM(tok) AS t_total FROM t),
-      |c AS (SELECT source, tok, wgt * (tt.t_total // 100) AS budget,
-      |        COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY skey, doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      |      FROM t, tt)
-      |SELECT source, CAST(MAX(budget) AS BIGINT) AS budget,
-      |  CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
-      |  CAST(SUM(CASE WHEN cum_before < budget THEN tok ELSE 0 END) AS BIGINT) AS tok_taken,
-      |  COUNT(*) AS n_docs
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH $contaminationCtesSql,
+       |clean AS (SELECT doc_id FROM pd WHERE n_hits * 10 < n_grams),
+       |${mixTokensCteSql("documents d JOIN clean ON d.doc_id = clean.doc_id", "d.doc_id")},
+       |$budgetFillTailSql""".stripMargin
 
   // d10: the removal operator's ACTUAL output — the cleaned corpus.
   // Same ownership semantics as d09; per doc the kept-token count and
@@ -610,19 +594,7 @@ object CorpusOps extends QueryModule {
   }
 
   private val d10Sql =
-    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-      |occ AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
-      |          array_to_string(ws[p:p+4], ' ') AS gram
-      |        FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(p)),
-      |own AS (SELECT gram, COUNT(*) AS cnt, MIN(doc_id) AS o_doc
-      |        FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
-      |own2 AS (SELECT o.gram, own.o_doc, MIN(o.p) AS o_p
-      |         FROM occ o JOIN own ON o.gram = own.gram AND o.doc_id = own.o_doc
-      |         GROUP BY 1, 2),
-      |rm AS (SELECT o.doc_id, o.p FROM occ o JOIN own2 g ON o.gram = g.gram
-      |       WHERE NOT (o.doc_id = g.o_doc AND o.p = g.o_p)),
-      |cov AS (SELECT DISTINCT doc_id, p + i AS q
-      |        FROM rm, UNNEST(range(0, 5)) AS t(i)),
+    s"""WITH $spanRemovalCtesSql,
       |toks AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ws[p] AS tok
       |         FROM w, UNNEST(range(1, len(ws) + 1)) AS t(p)),
       |kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t

@@ -99,12 +99,14 @@ object MoreAnalytics extends QueryModule {
   /** user_id-clustered events: from the bucketed layout the scan
     * itself carries HashPartitioning(user_id) and the explicit
     * repartition would ADD an exchange, so it's applied only on the
-    * plain-parquet path. */
-  private def userClustered(s: SparkSession, d: String, cols: Column*): DataFrame = {
-    val base = Tables.load(s, d, "events").select(cols: _*)
-    if (graft.etl.BucketedLayout.servesBucketed(s, d, "events")) base
-    else base.repartition(col("user_id"))
-  }
+    * plain-parquet path. One layout resolution serves both the
+    * DataFrame and the decision. */
+  private def userClustered(s: SparkSession, d: String, cols: Column*): DataFrame =
+    graft.etl.BucketedLayout.loadIfBucketed(s, d, "events") match {
+      case Some(bucketed) => bucketed.select(cols: _*)
+      case None => Tables.load(s, d, "events").select(cols: _*)
+        .repartition(col("user_id"))
+    }
 
   private def w06(s: SparkSession, d: String): DataFrame = {
     val dd = userClustered(s, d,
@@ -145,6 +147,13 @@ object MoreAnalytics extends QueryModule {
       // unix_micros wants TIMESTAMP (same cast as the range joins —
       // session TZ is UTC, so the reinterpretation is exact)
       expr("unix_micros(cast(ts as timestamp))").as("us"))
+      // four consumers (cohort + three stage branches) with DIFFERENT
+      // pushed filters: uncached, each branch re-scans and re-shuffles
+      // its filtered subset (per-branch REPARTITION exchanges defeat
+      // reuse). The cache pins ONE scan + ONE user exchange; the
+      // cached partitioning serves every branch (plan-audited ≤2 hash
+      // exchanges total).
+      .cache()
     val cohort = base.groupBy(col("user_id"))
       .agg(expr("min(us) div 86400000000").as("cohort_day"))
     val v = base.filter(col("event_type") === "view")

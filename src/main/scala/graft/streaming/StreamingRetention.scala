@@ -25,7 +25,10 @@ object StreamingRetention {
 
   private[streaming] def step(uid: Long, m: Machine, t: Long,
                               tag: String): (Machine, List[RetentionHit]) = {
-    val day = Math.floorDiv(t, DayUs)
+    // truncating division, NOT floorDiv: the batch w06 (`div`) and its
+    // DuckDB oracle (`//`) both truncate toward zero, and the
+    // batch==streaming contract must hold for pre-epoch times too
+    val day = t / DayUs
     if (m.cohortDay == Unset)
       (Machine(day, List(0L)), List(RetentionHit(uid, day, 0L)))
     else {
