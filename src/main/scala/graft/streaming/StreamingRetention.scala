@@ -21,14 +21,13 @@ object StreamingRetention {
 
   private val Unset = Long.MinValue
   private val Tracked = Set(0L, 1L, 3L, 7L, 14L)
-  private val DayUs = 86400000000L
 
   private[streaming] def step(uid: Long, m: Machine, t: Long,
                               tag: String): (Machine, List[RetentionHit]) = {
-    // truncating division, NOT floorDiv: the batch w06 (`div`) and its
-    // DuckDB oracle (`//`) both truncate toward zero, and the
-    // batch==streaming contract must hold for pre-epoch times too
-    val day = t / DayUs
+    // match batch w06 exactly, including pre-epoch: unix_timestamp
+    // FLOORS micros to seconds, then `div` (like the oracle's `//`)
+    // TRUNCATES seconds to days
+    val day = Math.floorDiv(t, 1000000L) / 86400L
     if (m.cohortDay == Unset)
       (Machine(day, List(0L)), List(RetentionHit(uid, day, 0L)))
     else {

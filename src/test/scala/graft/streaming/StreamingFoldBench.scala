@@ -33,6 +33,7 @@ object StreamingFoldBench {
       .selectExpr("cast(ts as timestamp) as ts", "user_id", "event_type")
       .as[(Timestamp, Long, String)].collect().sortBy(_._1.getTime)
     println(s"[foldbench] corpus: ${events.length} events from $sfDir")
+    if (events.isEmpty) { println("[foldbench] empty corpus — nothing to drive"); spark.stop(); return }
 
     def drive(name: String,
               run: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
@@ -41,7 +42,10 @@ object StreamingFoldBench {
       val q = run(input.toDF().toDF("ts", "user_id", "event_type"))
         .writeStream.outputMode("append")
         .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
-          hits.addAndGet(b.count()); ()
+          // the flush sentinel (user -1) emits retention hits of its
+          // own (step ignores the tag) — keep it out of the count
+          hits.addAndGet(b.toDF()
+            .filter(org.apache.spark.sql.functions.col("user_id") =!= -1L).count()); ()
         }.start()
       val t0 = System.nanoTime()
       try {
