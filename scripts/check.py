@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from py_oracles import PY_ORACLES  # noqa: E402
+from py_oracles import PY_ORACLES, PY_VALIDATORS  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -105,6 +105,24 @@ def main():
                 record[name] = {"status": "skipped_oracle_cost",
                                 "spark_rows": got.num_rows}
             continue
+        if name in PY_VALIDATORS and name not in oracle:
+            # documented-error-contract check against an exact Python
+            # recompute (sketches: outputs engine-specific, bounds not)
+            try:
+                ok, msg = PY_VALIDATORS[name](SF_DIR, got)
+            except Exception as e:
+                ok, msg = False, f"validator error: {e}"
+            if ok:
+                n_pass += 1
+                print(f"  ✓ {name} (bounds: {msg})")
+                record[name] = {"status": "pass", "oracle": "python-bounds",
+                                "rows": got.num_rows, "detail": msg}
+            else:
+                n_fail += 1
+                print(f"  ✗ {name}: BOUNDS: {msg}")
+                record[name] = {"status": "fail", "oracle": "python-bounds",
+                                "err": msg}
+            continue
         if name not in oracle and name not in PY_ORACLES:
             print(f"  ~ {name}: rows-only ({got.num_rows} rows)")
             record[name] = {"status": "rows_only", "spark_rows": got.num_rows}
@@ -153,7 +171,7 @@ def main():
             n_pass += 1
             print(f"  ✓ {name} ({len(gr)} rows)")
             record[name] = {"status": "pass", "oracle": kind, "rows": len(gr)}
-    missing = (set(oracle) | set(PY_ORACLES)) - {n for n in names
+    missing = (set(oracle) | set(PY_ORACLES) | set(PY_VALIDATORS)) - {n for n in names
                              if os.path.isdir(os.path.join(OUT_DIR, n))}
     for m in sorted(missing):
         print(f"  ✗ {m}: no spark output written")
@@ -169,6 +187,9 @@ def main():
                                       if r.get("oracle") == "sql" and r["status"] == "pass"),
                    "python_checked": sum(1 for r in record.values()
                                          if r.get("oracle") == "python" and r["status"] == "pass"),
+                   "bounds_checked": sum(1 for r in record.values()
+                                         if r.get("oracle") == "python-bounds"
+                                         and r["status"] == "pass"),
                    "queries": record}
         with open(JSON_OUT, "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)

@@ -13,22 +13,36 @@ data-bound behavior being measured.
 Usage: python3 scripts/gen_sf.py <srcDir> <dstDir> <reps> [salt] [onlyTablesCsv]
 
 Plain replication makes every document/embedding an exact N-fold
-duplicate cluster, so pair-reporting near-dup queries (d02/d06) see
-output quadratic in the replication factor — an artifact of the
-synthetic scaling, not of the engine. `salt` mode keeps those corpora
-near-dup-honest while scaling:
-  - documents: each replica i > 0 appends 8 distinct replica-specific
-    salt tokens, so cross-replica copies of the same text fall to
-    3-shingle Jaccard ≈ |S|/(|S|+12) < 0.9 while planted within-replica
-    near-dup pairs share the salt shingles and stay ≥ 0.9 — cluster
-    sizes stay constant as N grows;
+duplicate cluster and stacks N x the users into the SAME time
+windows, so pair-reporting near-dup queries (d02/d06), exact-span
+removal (d09/d10), LSH candidates (d03) and interval co-activity
+(r02) see output quadratic in the replication factor — an artifact
+of the synthetic scaling, not of the engine. `salt` mode keeps those
+honest while scaling:
+  - documents: replica i > 0 gets a per-replica injective TOKEN
+    RENAMING (every whitespace token w -> "w~i"). Within a replica
+    the corpus structure — shingle sets, Jaccard, duplicated 5-gram
+    spans, minhash clusters — is preserved EXACTLY (renaming is
+    consistent across the replica's docs), while cross-replica
+    copies share ZERO tokens, hence zero shingles and zero 5-grams:
+    cluster sizes, candidate counts and removable-span mass stay
+    constant per replica as N grows. n_chars tracks the renamed
+    text, keeping the n_chars == length(text) invariant.
   - embeddings: each replica i applies a deterministic ±1 sign pattern
     (bit (d-1) mod 10 of i flips dimension d) — an orthogonal diagonal
     map, so within-replica geometry (and the planted cos ≥ 0.99 pairs)
     is preserved EXACTLY while cross-replica copies decorrelate to
     cos ≈ 0.8 ≪ 0.99.
+  - events: replica i's timestamps shift by i x (span + 1 h), so
+    per-window event density and session co-activity stay constant —
+    N x the data covers N x the time, the way a real system scales.
 `onlyTablesCsv` regenerates a subset (link the rest from an unsalted
 dir to avoid rewriting the 18 GB lineitem).
+
+Output parquet is written with a bounded ROW_GROUP_SIZE so every
+file has many row groups: Spark assigns scan tasks by byte-range
+splits that can't subdivide a row group, so a one-row-group file is
+a one-task scan no matter the split size (the round-8 t02 artifact).
 """
 import os
 import sys
@@ -83,16 +97,26 @@ if SALT and reps > 1024:
     sys.exit("salt mode supports at most 1024 reps (10-bit sign patterns)")
 
 
+EVENT_SPAN_US = None
+if SALT:
+    lo, hi = con.sql(
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) "
+        f"FROM read_parquet('{src}/events.parquet')").fetchone()
+    EVENT_SPAN_US = (hi - lo) + 3600_000_000  # span + 1 h guard gap
+
+
 def salted_plan(table, i):
     """Replica-i column list for the salted near-dup-honest corpora."""
     if table == "documents":
         if i == 0:
             return PLANS["documents"].format(i=i)
-        toks = " ".join(f"zqs{i}t{j}" for j in range(8))
-        # n_chars tracks the appended salt, keeping the
-        # n_chars == length(text) invariant in the scaled corpus
-        return (f"doc_id + {i}*{D} AS doc_id, text || ' {toks}' AS text, "
-                f"lang, source, n_chars + {1 + len(toks)} AS n_chars")
+        renamed = f"regexp_replace(text, '(\\S+)', '\\1~{i}', 'g')"
+        return (f"doc_id + {i}*{D} AS doc_id, {renamed} AS text, "
+                f"lang, source, length({renamed}) AS n_chars")
+    if table == "events":
+        return (f"event_id + {i}*{E} AS event_id, "
+                f"ts + to_microseconds({i} * {EVENT_SPAN_US}) AS ts, "
+                f"user_id + {i}*{C} AS user_id, event_type, value, props")
     if table == "embeddings":
         if i == 0:
             return PLANS["embeddings"].format(i=i)
@@ -109,12 +133,20 @@ for table, plan in PLANS.items():
     srcp = f"read_parquet('{src}/{table}.parquet')"
     if plan is None:
         sql = f"SELECT * FROM {srcp}"
-    elif SALT and table in ("documents", "embeddings"):
+    elif SALT and table in ("documents", "embeddings", "events"):
         sql = " UNION ALL ".join(
             f"SELECT {salted_plan(table, i)} FROM {srcp}" for i in range(reps))
     else:
         sql = " UNION ALL ".join(
             f"SELECT {plan.format(i=i)} FROM {srcp}" for i in range(reps))
-    con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    # Many row groups per file (≥ ~64 when the table is big enough):
+    # Spark's scan parallelism is bounded by row-group count, and
+    # DuckDB's default (122 880 rows) leaves a 50 k-doc table as ONE
+    # single-task row group.
+    est = con.sql(f"SELECT count(*) FROM {srcp}").fetchone()[0] * \
+        (1 if plan is None else reps)
+    rg = max(2048, min(122880, est // 64))
+    con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
     n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n} rows")

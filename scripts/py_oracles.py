@@ -1207,6 +1207,72 @@ def g03_connected_components(sf_dir):
     })
 
 
+def a03_approx_sketches(sf_dir, got):
+    """Error-bound validator for the sketch query (HLL++ count-distinct
+    + GK percentile_approx): sketch OUTPUTS are engine-specific, but
+    their documented error contracts are checkable against an
+    independent exact recompute of the events table. Checks, per
+    event_type row of the SPARK output:
+      - exact_users equals the exact recomputed distinct count
+        (hard equality — this column is not a sketch);
+      - approx_users within 3x the requested relative standard
+        deviation (rsd=0.05 -> |a-e|/e <= 0.15) of the exact count;
+      - p50/p99 are ACTUAL data values whose rank window overlaps the
+        requested quantile's rank +/- eps*n (GK accuracy=100 ->
+        eps=0.01), +/-1 rank slack for interpolation conventions.
+    Returns (ok: bool, msg: str) — a bounds validator, not a
+    value-equality oracle (see PY_VALIDATORS)."""
+    tab = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id", "value"])
+    by = {}
+    for et, uid, val in zip(tab["event_type"].to_pylist(),
+                            tab["user_id"].to_pylist(),
+                            tab["value"].to_pylist()):
+        u, v = by.setdefault(et, (set(), []))
+        u.add(uid)
+        if val is not None:
+            v.append(val)
+    rows = {r["event_type"]: r for r in got.to_pylist()}
+    if set(rows) != set(by):
+        return False, f"event_type sets differ: {sorted(rows)} vs {sorted(by)}"
+    eps = 1.0 / 100  # GK rank error at accuracy=100
+    msgs = []
+    for et, (users, vals) in sorted(by.items()):
+        r = rows[et]
+        exact = len(users)
+        if r["exact_users"] != exact:
+            return False, f"{et}: exact_users {r['exact_users']} != {exact}"
+        rel = abs(r["approx_users"] - exact) / max(exact, 1)
+        if rel > 0.15:
+            return False, (f"{et}: approx_users {r['approx_users']} vs "
+                           f"exact {exact} (rel err {rel:.3f} > 0.15)")
+        vs = sorted(vals)
+        n = len(vs)
+        for q, cname in ((0.5, "p50_value"), (0.99, "p99_value")):
+            p = r[cname]
+            # rank window of the returned value in the exact sorted data
+            import bisect
+            first = bisect.bisect_left(vs, p)
+            last = bisect.bisect_right(vs, p) - 1
+            if first > last:
+                return False, f"{et}: {cname}={p} is not a data value"
+            lo = (q - eps) * (n - 1) - 1
+            hi = (q + eps) * (n - 1) + 1
+            if last < lo or first > hi:
+                return False, (f"{et}: {cname}={p} rank [{first},{last}] "
+                               f"outside [{lo:.1f},{hi:.1f}] of n={n}")
+        msgs.append(f"{et}: approx rel err {rel:.3f}")
+    return True, "; ".join(msgs)
+
+
+# Bounds validators: name -> fn(sf_dir, spark_output_arrow_table) ->
+# (ok, msg). Unlike PY_ORACLES (exact value-equality recomputes),
+# these check a documented error contract — the right shape for
+# sketches whose exact output is engine-specific by construction.
+PY_VALIDATORS = {
+    "a03_approx_sketches": a03_approx_sketches,
+}
+
 PY_ORACLES = {
     "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,

@@ -81,6 +81,51 @@ object Bench {
         name -> (if (warm) once() else first)
       }
     val results = (s06Build ++ timed).sortBy(_._1)
+    // Streaming-fold throughput (verdict r8 item 8): replay the events
+    // table in event-time order through StreamingFunnel and
+    // StreamingRetention (the WatermarkOrderedFold twins) and record
+    // sustained events/s in the detail artifact — NOT in the seconds
+    // totals (different unit; regressions are caught by the committed
+    // per-round BENCH_DETAIL diff). Bounded replay: ≤200k events
+    // driver-side, the same memory-sink harness the specs use.
+    val foldMetrics: Option[String] =
+      if (skip("streaming_fold") || only.nonEmpty) None
+      else try {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val events = Tables.load(spark, sfDir, "events")
+          .selectExpr("cast(ts as timestamp) as ts", "user_id", "event_type")
+          .orderBy("ts").limit(200000)
+          .as[(java.sql.Timestamp, Long, String)].collect()
+        if (events.isEmpty) None else {
+          def drive(run: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.Dataset[_]): Double = {
+            val input = org.apache.spark.sql.execution.streaming.runtime
+              .MemoryStream[(java.sql.Timestamp, Long, String)]
+            val q = run(input.toDF().toDF("ts", "user_id", "event_type"))
+              .writeStream.outputMode("append").format("noop").start()
+            val t0 = System.nanoTime()
+            try {
+              events.grouped(50000).foreach { chunk =>
+                input.addData(chunk.toSeq)
+                q.processAllAvailable()
+              }
+              val last = events.last._1.getTime
+              input.addData((new java.sql.Timestamp(last + 86400000L), -1L, "flush"))
+              q.processAllAvailable()
+            } finally q.stop()
+            events.length / ((System.nanoTime() - t0) / 1e9)
+          }
+          val f = drive(df => graft.streaming.StreamingFunnel.run(
+            df, "ts", "10 minutes", 3600000L))
+          val r = drive(df => graft.streaming.StreamingRetention.run(
+            df, "ts", "10 minutes", 3600000L))
+          Some(f"""{"funnel_events_per_sec":$f%.0f,"retention_events_per_sec":$r%.0f,"n_events":${events.length}}""")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming_fold failed: ${e.getMessage}")
+        None
+      }
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -102,15 +147,16 @@ object Bench {
     // (and one stdout line): the consumer that wants per-query depth
     // reads BENCH_DETAIL.json from the repo.
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(detail)
     // The FINAL stdout line is the driver's machine-readable metric. It
     // is parsed from a bounded tail window of the run log, so it must
-    // stay well under 2 kB: headline = the 16 reference dashboard
-    // queries (BASELINE.md's BENCH plan compares exactly these vs
-    // DuckDB at the same SF), plus both engines' totals. Printed after
+    // stay well under 2 kB: headline = the 17 reference dashboard
+    // queries (Q1-Q16 with Q16 split a/b; BASELINE.md's BENCH plan
+    // compares exactly these vs DuckDB at the same SF), plus both
+    // engines' totals. Printed after
     // spark.stop() so no executor log line can interleave with it.
     val dash = results.filter(_._1.matches("q\\d.*"))
     val duckDash: String = duckRaw.flatMap { s =>
@@ -119,8 +165,14 @@ object Bench {
       // JSON library (none on the unmanaged classpath).
       val qre = """"(q\d[^"]*)":\s*([0-9.eE+-]+)""".r
       val pairs = qre.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      // the suite total must be the TOP-LEVEL "value", not some
+      // per-query key: only search the prefix before the "queries" map
+      val prefix = s.indexOf("\"queries\"") match {
+        case -1 => s
+        case i => s.substring(0, i)
+      }
       val tre = """"value":\s*([0-9.eE+-]+)""".r
-      val tot = tre.findFirstMatchIn(s).map(_.group(1).toDouble)
+      val tot = tre.findFirstMatchIn(prefix).map(_.group(1).toDouble)
       // a missing total is a malformed record — report null rather
       // than a fabricated 0.000 s DuckDB suite time
       if (pairs.isEmpty || tot.isEmpty) None

@@ -472,8 +472,24 @@ object Multimodal {
 
   /** Per-frame REAL pixel statistics: demux via the sample tables,
     * decode each sample with the baseline JPEG decoder — the video
-    * path loses its last stub for MJPEG content (inter-frame codecs
-    * would still need a codec lib). Integer sums, order-independent. */
+    * path loses its last stub for MJPEG content. Integer sums,
+    * order-independent.
+    *
+    * Video codec boundary (DECIDED, round 9): intra-frame content —
+    * MJPEG samples located by real stsd/stts/stsz/stco tables —
+    * decodes to pixels in pure JVM here; inter-frame codecs (H.264/
+    * H.265/VP9/AV1) are PERMANENTLY out of scope for this library,
+    * including keyframe-only I-frame decode. Rationale: even a
+    * single H.264 I-frame needs CABAC/CAVLC entropy decode, intra
+    * prediction across 9+ modes and the deblocking filter to be
+    * bit-correct — thousands of lines of codec, none of it Spark —
+    * while the Spark-side contract this module exists to prove
+    * (binary column → demux → per-sample batch decode → typed
+    * feature rows, partition-parallel over media ids) is identical
+    * for every codec. A production deployment plugs a JNI/ffmpeg
+    * decoder into the same [[FramePixels]] shape; rows from
+    * non-MJPEG samples surface honestly as `pixels_real = false`
+    * (container metadata still real), never as fabricated pixels. */
   final case class FramePixels(
       media_id: Long, source: String, frame_idx: Long, ts_ms: Long,
       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long, sum_luma: Long,

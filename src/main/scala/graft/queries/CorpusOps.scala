@@ -547,7 +547,11 @@ object CorpusOps extends QueryModule {
   // c05: decontaminated mixture assembly — the composition a real
   // pretraining pipeline runs end-to-end: drop the eval split and
   // every train doc t08 flags as contaminated (≥10% of its distinct
-  // 5-grams appear in the eval split), then run c04's per-source
+  // 5-grams appear in the eval split). Train docs with <5 words have
+  // no 5-grams, CANNOT be gram-checked, and are EXCLUDED from the
+  // mixture (not presumed clean) — `contamination` only emits docs
+  // that pass the ≥5-word gram filter, and the survivors are its
+  // low-hit subset. Then run c04's per-source
   // token-budget greedy fill over the SURVIVORS (weights from the
   // source name, budgets from one broadcast corpus total of surviving
   // tokens). One declarative plan: the contamination gate is a

@@ -82,7 +82,16 @@ object WatermarkOrderedFold {
           val buf = st.buffer ++ fresh
           val lastMs = (st.lastMs :: fresh.map(_._1 / 1000L)).max
           val wmMs = state.getCurrentWatermarkMs()
-          val (ready, pending) = buf.partition(_._1 <= wmMs * 1000L)
+          // wmMs == 0 also means "no watermark computed yet" (first
+          // micro-batch): buffer everything rather than fold events
+          // with time <= epoch immediately and possibly out of
+          // event-time order. Consequence: a stream whose event times
+          // never exceed the epoch never advances the watermark past 0
+          // and never emits — the ordering guarantee is scoped to
+          // post-1970 event time.
+          val (ready, pending) =
+            if (wmMs == 0L) (Nil, buf)
+            else buf.partition(_._1 <= wmMs * 1000L)
           val (m, out) = foldReady(k, st.machine, ready)
           if (pending.isEmpty && state.hasTimedOut && wmMs >= lastMs + idleEvictMs) {
             state.remove()
