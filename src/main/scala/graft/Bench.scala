@@ -65,28 +65,14 @@ object Bench {
           graft.operators.IvfIndex.indexDirFor(sfDir))
         Seq("s06_ivf_index_build" -> (System.nanoTime() - t0) / 1e9)
       }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_(name)) }
-      .filterNot { case (name, _) => skip(name) }
-      .map { case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }
-        val first = once()
-        name -> (if (warm) once() else first)
-      }
-    val results = (s06Build ++ timed).sortBy(_._1)
     // Streaming-fold throughput (verdict r8 item 8): replay the events
     // table in event-time order through StreamingFunnel and
     // StreamingRetention (the WatermarkOrderedFold twins) and record
     // sustained events/s in the detail artifact — NOT in the seconds
     // totals (different unit; regressions are caught by the committed
-    // per-round BENCH_DETAIL diff). Bounded replay: ≤200k events
+    // per-round BENCH_DETAIL diff). Runs BEFORE the query loop so the
+    // state-store/session is fresh, matching the dedicated
+    // StreamingFoldBench protocol. Bounded replay: ≤200k events
     // driver-side, the same memory-sink harness the specs use.
     val foldMetrics: Option[String] =
       if (skip("streaming_fold") || only.nonEmpty) None
@@ -126,6 +112,22 @@ object Bench {
         System.err.println(s"[bench] streaming_fold failed: ${e.getMessage}")
         None
       }
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
+      .filterNot { case (name, _) => skip(name) }
+      .map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val first = once()
+        name -> (if (warm) once() else first)
+      }
+    val results = (s06Build ++ timed).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
