@@ -10,8 +10,10 @@ Exclusions (reported, not silent):
     banded/linear path, so timing DuckDB on the quadratic form measures
     the contract's asymptotics, not engine efficiency.
 
-Usage: python3 scripts/bench_duck.py <sfDir> <oracle_sql.json> [threads] [only]
-  only: optional comma-separated allowlist of query names
+Usage: python3 scripts/bench_duck.py <sfDir> <oracle_sql.json> [threads] [only] [runs]
+  only: optional comma-separated allowlist of query names ('-' = all)
+  runs: run each query N times and report the MINIMUM (warm best-of-N,
+        the symmetric sf10 protocol; default 1 = cold single-shot)
 """
 import json
 import sys
@@ -22,7 +24,9 @@ import duckdb
 SF_DIR = sys.argv[1]
 ORACLE = sys.argv[2]
 THREADS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+ONLY = (set(sys.argv[4].split(","))
+        if len(sys.argv) > 4 and sys.argv[4] != "-" else None)
+RUNS = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 EXCLUDE_PREFIX = ("rtcm_",)
@@ -45,12 +49,17 @@ for name in sorted(oracle):
             or (ONLY is not None and name not in ONLY):
         skipped.append(name)
         continue
-    t0 = time.time()
-    # .arrow() fetch — fetchall() would charge DuckDB for Python row
-    # conversion (round-4 protocol correction; the engine side pays a
-    # comparable columnar materialization in its noop sink)
-    con.sql(oracle[name]).arrow()
-    times[name] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(RUNS):
+        t0 = time.time()
+        # .arrow() fetch — fetchall() would charge DuckDB for Python row
+        # conversion (round-4 protocol correction; the engine side pays a
+        # comparable columnar materialization in its noop sink)
+        con.sql(oracle[name]).arrow()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    times[name] = round(best, 3)
+    print(f"[duck] {name} {best:.3f}s", file=sys.stderr, flush=True)
 
 print(json.dumps({"metric": "duckdb_total",
                   "value": round(sum(times.values()), 3),

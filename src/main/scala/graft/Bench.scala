@@ -52,6 +52,11 @@ object Bench {
     // scan-cache/JIT effects when analyzing data-bound SFs. Default
     // (driver runs) stays single-shot.
     val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
+    // SPARK_GRAFT_BEST=N: run each query N times, report the MINIMUM —
+    // the warm best-of-N protocol the sf10 symmetric tables use (both
+    // engines warm, best-of-3, ratios being the statistic that
+    // transfers on this noisy VM). Overrides SPARK_GRAFT_WARM.
+    val best = sys.env.get("SPARK_GRAFT_BEST").map(_.trim.toInt).filter(_ > 1)
     // s06's operating mode is build-once/search-many: charge the index
     // BUILD to its own metric here (a forced fresh build into the
     // keyed dir), so the s06 query line below measures SEARCH over the
@@ -125,7 +130,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val first = once()
-        name -> (if (warm) once() else first)
+        name -> (best match {
+          case Some(n) => (first +: Seq.fill(n - 1)(once())).min
+          case None => if (warm) once() else first
+        })
       }
     val results = (s06Build ++ timed).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
