@@ -216,6 +216,14 @@ object PlanAudit {
         !finalPlan.contains("CartesianProduct") &&
           !finalPlan.contains("BroadcastNestedLoopJoin")
       }))
+    // semantic dedup's pair stage is a cid-keyed equi self-join —
+    // within-cluster pairs only, never a corpus cross product
+    audit("d11_semantic_dedup")(
+      "pair stage is a cid equi join (no cartesian)" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }))
     audit("d08_minhash_dfcap")(
       "DF cap as semi join" -> (_.contains("LeftSemi")),
       "no cartesian stage" -> (s =>

@@ -211,6 +211,108 @@ object Dedup extends QueryModule {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
       |ORDER BY 1, 2""".stripMargin
 
+  // d11: SemDeDup-style SEMANTIC dedup over the embeddings table
+  // (Abbas et al. 2023, arXiv:2303.09540 — the published recipe for
+  // semantic near-dup pruning of web-scale pretraining corpora):
+  // k-means-cluster the embedding space, then compare pairs ONLY
+  // within a cluster and drop every vector that has a sufficiently
+  // cosine-similar cluster-mate. The clustering reuses s03's
+  // deterministic fixed-point Lloyd's training (Similarity
+  // .trainCodebook — the same procedure that builds the ANN index),
+  // and the oracle restates the identical training via
+  // Similarity.kmeansAssignCtes, so both engines derive the same cid
+  // per vector. Like d06, the query plants a perturbed copy of every
+  // vector (+0.02 on dim 1, cos ≈ 0.9997 to its source) so the
+  // operator demonstrably separates planted semantic duplicates from
+  // the isotropic background at every SF.
+  //
+  // Deterministic removal contract (id-ordered, order-independent to
+  // compute): vec i is REMOVED iff some cluster-mate j < i has
+  // cos(i, j) >= 0.8; the reported keeper is the SMALLEST such j and
+  // cos_sim is the similarity to that keeper. Keepers of a dup chain
+  // are exactly the vecs never appearing in the output's vec_id
+  // column. (The paper keeps one arbitrary member per dup group;
+  // min-id is the deterministic choice, same rule as d01/d07.)
+  //
+  // 100 TB shape: one training (KMeansIters corpus scans with a
+  // broadcast codebook + one <=k-row shuffle per round), one
+  // assignment map, then ONE cid-keyed equi-join shuffle — never a
+  // cartesian. Pair work is sum over clusters of |c|^2: with
+  // k = ceil(sqrt N) the expected cluster is sqrt(N) and total pair
+  // work O(N^1.5) vs the O(N^2) all-pairs sweep (d05's regime); at
+  // production scale k is sized N/target_cluster so per-cluster work
+  // stays constant and the join is an ordinary keyed shuffle. The
+  // known failure mode is a mega-cluster (embedding-space skew) going
+  // quadratic — the mitigation is raising k or sub-clustering the hot
+  // cluster, the same skew story as LSH hot buckets. Recall bound:
+  // pairs split across cluster boundaries are MISSED by design
+  // (that's the paper's trade — the near-identical planted pairs
+  // land in the same cell because their centroid similarities are
+  // near-identical too); d05/d06 remain the exhaustive and sign-LSH
+  // sweeps.
+  private val SemDedupTau = 0.8
+
+  /** The planted-near-dup training corpus: base ∪ perturbed copy,
+    * all-double `v`, ids offset by NDupOffset (d06's construction,
+    * with label carried for the chain's column contract). */
+  private[queries] def semCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "embeddings")
+      .select(col("vec_id").cast(LongType).as("vec_id"),
+        col("label").cast(LongType).as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pert = base.select((col("vec_id") + NDupOffset).as("vec_id"), col("label"),
+      concat(array(element_at(col("v"), 1) + lit(0.02d)),
+        slice(col("v"), 2, 63)).as("v"))
+    base.unionByName(pert).repartition(col("vec_id")).cache()
+  }
+
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val e = semCorpus(s, d)
+    val cents = Similarity.trainCodebook(e)
+    val assigned = e.withColumn("cid",
+        graft.functions.GraftFunctions.argMaxCosine(col("v"), cents.map(_.toArray)))
+      .select(col("cid"), col("vec_id"), col("v"))
+    val mate = assigned.select(col("cid").as("cid_r"), col("vec_id").as("j"),
+      col("v").as("vj"))
+    assigned.join(mate, col("cid") === col("cid_r") && col("j") < col("vec_id"))
+      .select(col("vec_id"), col("cid"), col("j"),
+        graft.functions.GraftFunctions.cosineSimilarity(col("v"), col("vj")).as("cos"))
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(min(col("j")).as("keeper_id"), min_by(col("cos"), col("j")).as("kcos"))
+      .select(col("vec_id"), col("cid"), col("keeper_id"),
+        round(col("kcos"), 6).cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  private def d11Sql: String = {
+    // same planted corpus as the Spark side; `v AS embedding`
+    // satisfies the chain's column contract (the double view is the
+    // only one the chain computes with after the v-based update)
+    val veBody =
+      """SELECT vec_id, label, v AS embedding, v FROM (
+        |    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |           CAST(label AS BIGINT) AS label,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    FROM embeddings
+        |    UNION ALL
+        |    SELECT CAST(vec_id AS BIGINT) + 1099511627776,
+        |           CAST(label AS BIGINT),
+        |           [CAST(embedding[1] AS DOUBLE) + 0.02] ||
+        |             list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+        |    FROM embeddings) t""".stripMargin
+    s"""${Similarity.kmeansAssignCtes(veBody)},
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, a.cid AS cid, b.vec_id AS j,
+       |    ${Similarity.cosSql("a.v", "b.v")} AS cos
+       |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND b.vec_id < a.vec_id)
+       |SELECT vec_id, cid, MIN(j) AS keeper_id,
+       |  CAST(CAST(ROUND(arg_min(cos, j), 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+       |FROM pairs WHERE cos >= $SemDedupTau
+       |GROUP BY 1, 2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // d03: the LSH candidate set itself (pre-verification), with shared-
   // band counts — the intermediate a pipeline monitors for bucket
   // skew. Not SQL-expressible (xxhash64) → rows-only.
@@ -583,7 +685,8 @@ object Dedup extends QueryModule {
     "d05_embedding_neardup" -> d05,
     "d06_signlsh_neardup" -> d06,
     "d07_neardup_keeper_sets" -> d07,
-    "d08_minhash_dfcap" -> d08)
+    "d08_minhash_dfcap" -> d08,
+    "d11_semantic_dedup" -> d11)
 
   // Quadratic by definition — the oracle states the all-pairs
   // semantics; see d05's scaladoc for why sub-quadratic banding cannot
@@ -607,5 +710,6 @@ object Dedup extends QueryModule {
     "d05_embedding_neardup" -> d05Sql,
     "d06_signlsh_neardup" -> d06Sql,
     "d07_neardup_keeper_sets" -> d07Sql,
-    "d08_minhash_dfcap" -> d08Sql)
+    "d08_minhash_dfcap" -> d08Sql,
+    "d11_semantic_dedup" -> d11Sql)
 }

@@ -141,10 +141,15 @@ object Similarity extends QueryModule {
     var cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     for (_ <- 1 to KMeansIters) {
+      // the update aggregates the DOUBLE view `v`: round(v_i·1e9) is
+      // identical to round(cast(float_i as double)·1e9), so this is
+      // value-identical to aggregating the float column — and it lets
+      // corpora WITHOUT a float column (d11's planted near-dup corpus)
+      // train through the same code path
       val grouped = e.withColumn("cid",
         graft.functions.GraftFunctions.argMaxCosine(col("v"), cents.map(_.toArray)))
         .groupBy(col("cid"))
-        .agg(graft.functions.GraftFunctions.vectorScaledSum(col("embedding"), Dims, 9)
+        .agg(graft.functions.GraftFunctions.vectorScaledSum(col("v"), Dims, 9)
           .as("sums"), count(lit(1)).as("nc"))
         .orderBy("cid")
         .collect()
@@ -199,11 +204,20 @@ object Similarity extends QueryModule {
   // round count is fixed, so no recursion): c0 = first-k init, then
   // (assign aᵢ, update cᵢ) × KMeansIters, posting lists a_final under
   // the final codebook, 2 probes, exact rescore.
-  private val s03Sql: String = {
-    def cosSql(v: String, c: String) =
-      s"list_sum(list_transform(range(1, 65), i -> $v[i] * $c[i])) / " +
-        s"(sqrt(list_sum(list_transform($v, x -> x * x))) * " +
-        s"sqrt(list_sum(list_transform($c, x -> x * x))))"
+  private[queries] def cosSql(v: String, c: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $v[i] * $c[i])) / " +
+      s"(sqrt(list_sum(list_transform($v, x -> x * x))) * " +
+      s"sqrt(list_sum(list_transform($c, x -> x * x))))"
+
+  /** The WITH-chain restating [[trainCodebook]]'s fixed training in
+    * SQL, ending with `afinal` = (vec_id, label, embedding, v, cid)
+    * under the final codebook `c<KMeansIters>`. Shared by s03's
+    * oracle and d11's (semantic dedup) so both check the SAME
+    * training contract. `veBody` is the training-corpus SELECT —
+    * must yield (vec_id, label BIGINT, embedding, v DOUBLE[]); the
+    * update step aggregates `v` (identical values to the float
+    * column under the 1e9 scaled-long rounding, see trainCodebook). */
+  private[queries] def kmeansAssignCtes(veBody: String = defaultVeBody): String = {
     def assignCte(a: String, c: String) =
       s"""$a AS (
          |  SELECT vec_id, label, embedding, v, cid FROM (
@@ -216,21 +230,27 @@ object Similarity extends QueryModule {
          |  SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cid, cv FROM (
          |    SELECT cid, list((CAST(sl AS DOUBLE) / 1e9) / n ORDER BY i) AS cv FROM (
          |      SELECT cid, i,
-         |        SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS sl,
+         |        SUM(CAST(ROUND(v[i] * 1e9, 0) AS BIGINT)) AS sl,
          |        COUNT(*) AS n
          |      FROM $a, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY cid))""".stripMargin
     val iterCtes = (1 to KMeansIters).map(t =>
       assignCte(s"a$t", s"c${t - 1}") + ",\n" + updateCte(s"c$t", s"a$t")).mkString(",\n")
-    s"""WITH ve AS (
-       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |kk AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM embeddings),
+    s"""WITH ve AS ($veBody),
+       |kk AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM ve),
        |c0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM ve
        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
        |$iterCtes,
-       |${assignCte("afinal", s"c$KMeansIters")},
+       |${assignCte("afinal", s"c$KMeansIters")}""".stripMargin
+  }
+
+  private[queries] val defaultVeBody: String =
+    """SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings""".stripMargin
+
+  private val s03Sql: String = {
+    s"""${kmeansAssignCtes()},
        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
        |             embedding AS qe
        |      FROM embeddings WHERE vec_id = 0),
