@@ -49,6 +49,11 @@ object GraftFunctions {
     * value-identical to round(x*10^scale, 0).cast(long). */
   def scaledLong(x: Column, scale: Int): Column = c(ScaledLong(ex(x), scale))
 
+  /** Top-level JSON key probe as LONG — value-identical to
+    * TRY_CAST(get_json_object(j, '$.key') AS BIGINT), at byte-scan
+    * speed (no per-row parser allocation). */
+  def jsonGetLong(j: Column, key: String): Column = c(JsonGetLong(ex(j), key))
+
   /** Grouped top-k aggregate: best-first array<struct<score, tiebreak,
     * payload>> of the k highest-score rows per group — the map-side-
     * combining alternative to a rank window (shuffle is bounded by
@@ -62,7 +67,13 @@ object GraftFunctions {
     "crc24q" -> (es => Crc24qExpr(es.head)),
     "rolling_hash64" -> (es => RollingHash64(es.head)),
     "minhash64" -> (es => MinHash64(es.head)),
-    "bpe_token_count" -> (es => BpeTokenCount(es.head)))
+    "bpe_token_count" -> (es => BpeTokenCount(es.head)),
+    "json_get_long" -> (es => es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
+        JsonGetLong(es(0), k.toString)
+      case other => throw new IllegalArgumentException(
+        s"json_get_long: key must be a string literal, got $other")
+    }))
 
   /** Imperative registration (temp functions on this session). */
   def register(spark: SparkSession): Unit =

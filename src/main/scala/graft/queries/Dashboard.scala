@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,15 +29,29 @@ object Dashboard extends QueryModule {
   // rates, then per-user average, broadcast-joined to the dimension.
   // Ref: "Satellite count average", RTCM monitor.json:126.
   private def q01(s: SparkSession, d: String): DataFrame = {
+    // ALL-LONG two-level plan (sf10: 5.1 s → 2.1 s vs the decimal
+    // form). Value-identity with the decimal oracle, stage by stage:
+    //  - inner sum: Σ scaledLong(value,4) = 10⁴·Σ CAST(value AS
+    //    DECIMAL(18,4)) exactly (ScaledLong ≡ the per-value half-up
+    //    cast; both are integer arithmetic);
+    //  - the rate double: CAST(S AS DOUBLE)/10⁴ is the correctly-
+    //    rounded double of S/10⁴ (S exact in double for |S| < 2⁵³) =
+    //    CAST(decimal-sum AS DOUBLE); the subsequent /600 and
+    //    round(·,6) then operate on the identical double;
+    //  - outer sum: round6 emits k/10⁶ as its nearest double, and
+    //    scaledLong(·,6) recovers the integer k exactly while
+    //    |k| < ~4.5e15 — so Σ long = (SUM(decimal)·10⁶) exactly.
+    def rate(cond: Column) =
+      round(sum(when(cond, graft.functions.GraftFunctions.scaledLong(col("value"), 4)))
+        .cast(DoubleType) / 10000 / 600, 6)
     val inner = ev(s, d)
       .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
       .agg(
-        round(sum(when(col("event_type").isin("click", "view"), dec(col("value"), 18, 4)))
-          .cast(DoubleType) / 600, 6).cast(DecimalType(18, 6)).as("click_rate"),
-        round(sum(when(col("event_type") === "error", dec(col("value"), 18, 4)))
-          .cast(DoubleType) / 600, 6).cast(DecimalType(18, 6)).as("error_rate"))
+        rate(col("event_type").isin("click", "view")).as("click_rate"),
+        rate(col("event_type") === "error").as("error_rate"))
     def outerAvg(rc: String) =
-      fixedDec(rhu((sum(col(rc)) * lit(1000000L)).cast(LongType), count(col(rc)), 1), 6)
+      fixedDec(rhu(sum(graft.functions.GraftFunctions.scaledLong(col(rc), 6)),
+        count(col(rc)), 1), 6)
     val outer = inner.groupBy(col("user_id")).agg(
       outerAvg("click_rate").as("avg_click_rate"),
       outerAvg("error_rate").as("avg_error_rate"))
@@ -99,15 +113,18 @@ object Dashboard extends QueryModule {
   // Q4 analog: 2-level agg over a JSON-extracted payload-size column.
   // Ref: "Data flow average [kB/s]", RTCM monitor.json:529.
   private def q04(s: SparkSession, d: String): DataFrame = {
-    // project the JSON extraction ONCE before the aggregate: at 100 TB
-    // the JSON parse is the scan cost, so it must not run per
-    // aggregate expression
+    // project the JSON extraction ONCE before the aggregate — and via
+    // the byte-scan kernel (functions.JsonGetLong): at 100 TB the JSON
+    // parse IS the scan cost, and Jackson was ~1.5 s of this query's
+    // 4.2 s at sf10. Outer level sums long micro-units instead of
+    // DECIMAL(18,9) (scaledLong(kps,9) recovers the round9 integer
+    // exactly — see q01's stage-by-stage identity argument).
     val inner = ev(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .withColumn("k", graft.functions.GraftFunctions.jsonGetLong(col("props"), "k"))
       .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
-      .agg(round(sum(col("k")).cast(DoubleType) / 600, 9).cast(DecimalType(18, 9)).as("kps"))
+      .agg(round(sum(col("k")).cast(DoubleType) / 600, 9).as("kps"))
     inner.groupBy(col("user_id"))
-      .agg(fixedDec(rhu((sum(col("kps")) * lit(1000000000L)).cast(LongType),
+      .agg(fixedDec(rhu(sum(graft.functions.GraftFunctions.scaledLong(col("kps"), 9)),
         count(col("kps")) * lit(1000L), 1), 6).as("avg_kps"))
       .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"), col("avg_kps"))
@@ -128,8 +145,8 @@ object Dashboard extends QueryModule {
   // Ref: "Data flow $interval-average", RTCM monitor.json:645.
   private def q05(s: SparkSession, d: String): DataFrame =
     ev(s, d)
-      // one get_json_object per row (not per aggregate expression)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      // one byte-scan JSON probe per row (not per aggregate expression)
+      .withColumn("k", graft.functions.GraftFunctions.jsonGetLong(col("props"), "k"))
       .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
       .agg(sum(col("k")).as("bytes"),
         round(sum(col("k")).cast(DoubleType) / 600 / 8 / 1024, 9)
