@@ -312,4 +312,60 @@ object NeighborAgg {
       .select(col(typeCol), col("n_pairs"), col("n_anchors"),
         col("n_points"), col("sum_abs_dt_us"))
   }
+
+  /** The same contract by pair enumeration: RangeJoin.pointInInterval
+    * + one aggregate. Cheaper CONSTANTS than the sweep (3 jobs, one
+    * binned equi join) — the right plan while the expected pair count
+    * stays small; the sweep overtakes it when density × anchors makes
+    * the pair stream (and the multi-countDistinct Expand over it) the
+    * bottleneck. NeighborAggSpec holds the two exactly equal.
+    */
+  def pairStats(events: DataFrame, idCol: String, typeCol: String,
+                usCol: String, anchorType: String, w: Long): DataFrame = {
+    val pts = events.select(col(idCol).as("__p_id"),
+      col(typeCol).as(typeCol), col(usCol).cast(LongType).as("__p_us"))
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .select(col(idCol).as("__a_id"), col(usCol).cast(LongType).as("__a_us"),
+        (col(usCol).cast(LongType) - w).as("__lo"),
+        (col(usCol).cast(LongType) + w).as("__hi"))
+    RangeJoin.pointInInterval(anchors, pts, "__lo", "__hi", "__p_us", 2 * w)
+      .filter(col("__p_id") =!= col("__a_id"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("__a_id")).as("n_anchors"),
+        countDistinct(col("__p_id")).as("n_points"),
+        sum(abs(col("__p_us") - col("__a_us"))).as("sum_abs_dt_us"))
+      .select(col(typeCol), col("n_pairs"), col("n_anchors"),
+        col("n_points"), col("sum_abs_dt_us"))
+  }
+
+  /** Cost-based plan choice between `pairStats` and `neighborStats`
+    * (the data-driven-selection idiom this engine also uses for the
+    * PageRank broadcast): one cheap stats pass (count, anchor count,
+    * time span — a codegen aggregate, no shuffle) estimates the
+    * expected pair count under uniform density,
+    *   est_pairs = anchors × (n / span) × (2W+1),
+    * and the sweep takes over once est_pairs > 8 × n — below that the
+    * pair join's smaller fixed cost wins (measured at sf0.1: pairs
+    * 0.98 s vs sweep 3.1 s warm; at sf10: pairs 26.9 s vs sweep
+    * 12.2 s — crossover sits at pairs/input ≈ 5–10, and the estimate
+    * only mis-picks between two CORRECT plans when density is heavily
+    * non-uniform).
+    */
+  def neighborStatsAuto(events: DataFrame, idCol: String, typeCol: String,
+                        usCol: String, anchorType: String, w: Long,
+                        nRanges: Int = 32): DataFrame = {
+    val st = events.agg(count(lit(1)),
+      count(when(col(typeCol) === anchorType, lit(1))),
+      min(col(usCol).cast(LongType)), max(col(usCol).cast(LongType))).head()
+    val n = st.getLong(0)
+    val nA = st.getLong(1)
+    if (n == 0L || nA == 0L)
+      return pairStats(events, idCol, typeCol, usCol, anchorType, w)
+    val span = math.max(1L, st.getLong(3) - st.getLong(2) + 1)
+    val estPairs = nA.toDouble * (n.toDouble / span) * (2.0 * w + 1)
+    if (estPairs > 8.0 * n)
+      neighborStats(events, idCol, typeCol, usCol, anchorType, w, nRanges)
+    else pairStats(events, idCol, typeCol, usCol, anchorType, w)
+  }
 }

@@ -530,27 +530,29 @@ object Relational extends QueryModule {
 
   // r01: range (interval containment) aggregate — each error event's
   // ±60 s neighborhood over ALL events. The CONSUMER here is an
-  // aggregate, so the plan is graft.operators.NeighborAgg: exact
-  // per-type prefix sums F/S from a distributed timeline sweep,
-  // three evaluations per anchor — linear in the input, never
-  // materializing the |anchors|×density pair stream (1.1e9 rows at
-  // sf10; the RangeJoin pair plan + Spark's multi-countDistinct
-  // Expand over it measured 26.9 s at sf10 vs 10.3 s single-shot for
-  // this plan — DuckDB's native IEJoin runs 8.9 s — and the pair
-  // stream grows QUADRATICALLY with event density while this stays
-  // linear). RangeJoin.pointInInterval remains the operator when the
-  // pairs themselves are the output (r02, the streaming twin);
-  // NeighborAggSpec proves this plan pair-exact against it on
-  // randomized timelines. Integer micros end to end: counts and the
-  // Σ|Δt| are exact on both engines (DuckDB's µs timestamps equal
-  // Spark's ns-div-1000 load). The oracle states the textbook
-  // non-equi form; DuckDB plans it natively as an IEJoin.
+  // aggregate, so the plan comes from graft.operators.NeighborAgg's
+  // cost-based choice: pair enumeration (RangeJoin binned equi join —
+  // cheaper constants) while the estimated pair count stays small,
+  // the LINEAR distributed timeline sweep (exact per-type prefix sums
+  // F/S, three evaluations per anchor) once density × anchors makes
+  // the pair stream the bottleneck — at sf10 the pair plan + Spark's
+  // multi-countDistinct Expand over the 1.1e9-row stream measured
+  // 26.9 s vs 14.1 s warm for the sweep + selector (DuckDB's native
+  // IEJoin: 8.9 s), and pairs grow QUADRATICALLY with density while
+  // the sweep stays linear. RangeJoin.pointInInterval remains the
+  // operator when the pairs themselves are the output (r02, the
+  // streaming twin); NeighborAggSpec proves sweep, pair plan and the
+  // auto selector value-identical on randomized timelines. Integer
+  // micros end to end: counts and the Σ|Δt| are exact on both engines
+  // (DuckDB's µs timestamps equal Spark's ns-div-1000 load). The
+  // oracle states the textbook non-equi form; DuckDB plans it
+  // natively as an IEJoin.
   private def r01(s: SparkSession, d: String): DataFrame = {
     val W = 60000000L // ±60 s in epoch micros
     val ev = t(s, d, "events")
       .select(col("event_id"), col("event_type"),
         expr("unix_micros(cast(ts as timestamp))").as("us"))
-    graft.operators.NeighborAgg.neighborStats(
+    graft.operators.NeighborAgg.neighborStatsAuto(
       ev, "event_id", "event_type", "us", "error", W)
       .select(col("event_type").as("nbr_type"), col("n_pairs"),
         col("n_anchors"), col("n_points"), col("sum_abs_dt_us"))

@@ -80,6 +80,30 @@ class NeighborAggSpec extends AnyFunSuite with Matchers {
     check(Seq((1L, "click", 10L), (2L, "view", 20L)), "no anchors")
   }
 
+  test("pairStats and the auto selector match the sweep exactly") {
+    import spark.implicits._
+    val rnd = new Random(77)
+    val types = Array("click", "view", "error", "purchase")
+    val rows = (1L to 150L).map { id =>
+      (id, types(rnd.nextInt(types.length)),
+        rnd.nextInt(40 * W.toInt).toLong - 20 * W)
+    }
+    val ev = rows.toDF("id", "tpe", "us")
+    def norm(df: DataFrame) =
+      df.orderBy("tpe").collect().map(_.toSeq).toSeq
+    val sweep = norm(NeighborAgg.neighborStats(ev, "id", "tpe", "us", "error", W, R))
+    val pairs = norm(NeighborAgg.pairStats(ev, "id", "tpe", "us", "error", W))
+    val auto = norm(NeighborAgg.neighborStatsAuto(ev, "id", "tpe", "us", "error", W, R))
+    assert(pairs == sweep)
+    assert(auto == sweep)
+    // the dense fixture (150 events in a ±20W band, ±W windows) must
+    // put the selector on the sweep side; an empty input stays on the
+    // cheap pair side and yields the empty frame
+    assert(NeighborAgg.neighborStatsAuto(
+      ev.filter(col("tpe") === "none"), "id", "tpe", "us", "error", W, R)
+      .collect().isEmpty)
+  }
+
   test("r01 plan stays free of nested-loop joins") {
     import spark.implicits._
     val ev = (1L to 50L).map(i => (i, if (i % 5 == 0) "error" else "click", i * 37 % 3000))
