@@ -122,10 +122,87 @@ object GraphOps extends QueryModule {
       .orderBy("comp_rep")
   }
 
+  // g04: triangle census of the co-active user graph — nodes are
+  // users, an edge links two users with ≥1 overlapping 30-min-gap
+  // session (r02's sessionize + interval-overlap machinery; the
+  // binned RangeJoin keeps the pairing an equi join). The triangle
+  // count, wedge count and global clustering coefficient come from
+  // graft.operators.TriangleCount — degree-ordered orientation, so
+  // the wedge set is bounded by m^{3/2} regardless of hub skew (see
+  // the operator scaladoc for why the naive neighbor join is the
+  // Σdeg² trap). Everything BIGINT/floor-div exact; the oracle states
+  // the textbook three-way self-join over the same edge CTE, which
+  // DuckDB plans natively.
+  private def g04(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800L * 1000000L
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = t(s, d, "events")
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = flagged.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val a = sessions.select(col("user_id").as("a_user"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = sessions.select(col("user_id").as("b_user"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    val edges = graft.operators.RangeJoin.intervalOverlap(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3600L * 1000000L)
+      .filter(col("a_user") < col("b_user"))
+      .select(col("a_user").as("u"), col("b_user").as("v"))
+      .distinct()
+    graft.operators.TriangleCount.stats(edges, "u", "v")
+  }
+
+  private val g04Sql =
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |         LAG(epoch_us(ts), 1) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |       FROM events),
+      |f AS (SELECT user_id, event_id, ts, us,
+      |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |g AS (SELECT user_id, us,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM f),
+      |s AS (SELECT user_id, sid, MIN(us) AS lo, MAX(us) AS hi
+      |      FROM g GROUP BY 1, 2),
+      |edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |          FROM s a JOIN s b
+      |          ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS node FROM edges
+      |              UNION ALL SELECT v FROM edges)
+      |        GROUP BY 1),
+      |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM edges e1
+      |        JOIN edges e2 ON e1.v = e2.u
+      |        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |          COALESCE(CAST(SUM((d * (d - 1)) // 2) AS BIGINT), 0) AS n_wedges
+      |        FROM deg)
+      |SELECT agg.n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |  agg.n_wedges,
+      |  tri.t AS n_triangles,
+      |  CASE WHEN agg.n_wedges = 0 THEN NULL
+      |       ELSE CAST((3000000 * tri.t) // agg.n_wedges AS BIGINT)
+      |  END AS transitivity_x1e6
+      |FROM agg, tri""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g02_pagerank" -> g02,
-    "g03_connected_components" -> g03)
+    "g03_connected_components" -> g03,
+    "g04_triangle_census" -> g04)
 
   override def oracle: Map[String, String] = Map(
-    "g02_pagerank" -> g02Sql)
+    "g02_pagerank" -> g02Sql,
+    "g04_triangle_census" -> g04Sql)
 }

@@ -197,13 +197,54 @@ object MoreAnalytics extends QueryModule {
       |LEFT JOIN p USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // w08: sliding (hopping) window aggregates — the Grafana
+  // moving-panel shape: per event type, a 1-hour window hopping every
+  // 15 minutes. The window assignment is EXPLICIT integer arithmetic
+  // (each event lands in exactly the 4 hop-aligned windows covering
+  // it: starts floor(s/900)·900 − {0,1,2,3}·900), which is precisely
+  // the ×(window/slide) Expand Spark's own window(ts, '1 hour',
+  // '15 minutes') plans — stated as arithmetic so the oracle is the
+  // identical expression and the output key is a plain epoch-second
+  // BIGINT. Scale shape: one 4× row expansion (map-side, no shuffle)
+  // into one (window, type)-keyed aggregate; the single
+  // count-distinct rides Spark's two-level distinct aggregate, and
+  // the value sum is the exact scaled-long path (Q.dsum). Only
+  // windows with ≥1 event exist on either side.
+  private def w08(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_timestamp(ts)").as("sec"))
+      .withColumn("i", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
+      .withColumn("ws", expr("(sec div 900) * 900 - 900 * i"))
+      .groupBy(col("ws").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Q.dsum(col("value"), 18, 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  private val w08Sql =
+    s"""WITH e AS (SELECT user_id, event_type, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |       FROM events),
+      |w AS (SELECT user_id, event_type, value,
+      |        (sec // 900) * 900 - 900 * i.i AS window_start
+      |      FROM e CROSS JOIN (SELECT UNNEST(range(4)) AS i) i)
+      |SELECT window_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  ${Q.dsumSql("value", 18, 2)} AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a07_exact_quantiles" -> a07,
     "w06_retention_cohorts" -> w06,
-    "w07_conversion_funnel" -> w07)
+    "w07_conversion_funnel" -> w07,
+    "w08_sliding_windows" -> w08)
 
   override def oracle: Map[String, String] = Map(
     "a07_exact_quantiles" -> a07Sql,
     "w06_retention_cohorts" -> w06Sql,
-    "w07_conversion_funnel" -> w07Sql)
+    "w07_conversion_funnel" -> w07Sql,
+    "w08_sliding_windows" -> w08Sql)
 }

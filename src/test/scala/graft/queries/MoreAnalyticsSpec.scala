@@ -3,10 +3,11 @@ package graft.queries
 import graft.etl.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Hand-computed fixtures for the round-8 additions: d09's gram
+/** Hand-computed fixtures for the round-8/9 additions: d09's gram
   * ownership (including the within-doc duplicate case), a07's k-th
   * smallest semantics across coarse-bin boundaries and ties, w06's
-  * cohort/offset accounting.
+  * cohort/offset accounting, w08's hop-window membership and
+  * boundaries, g04's session-overlap edges + triangle census.
   */
 class MoreAnalyticsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -114,6 +115,53 @@ class MoreAnalyticsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 7L, 1L),
       (1L, 0L, 1L), (1L, 1L, 1L), (1L, 14L, 1L)))
+  }
+
+  test("w08: each event lands in exactly the 4 hop windows covering it") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_w08").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, "a", 1.25, ts(0)),    // windows -2700..0
+      (1L, "a", 2.50, ts(900)),  // windows -1800..900
+      (2L, "a", 0.25, ts(3599)), // windows 900..3599->2700; base 2700: windows 0..2700
+      (2L, "a", 4.00, ts(3600))) // windows 900..3600 — NOT window 0
+      .toDF("user_id", "event_type", "value", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val rows = graft.SparkEntry.queries("w08_sliding_windows")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // window 0 = [0, 3600): events at 0, 900, 3599; 3600 excluded
+    assert(rows(0L) == ((3L, 2L, 4.00)))
+    // window 900 = [900, 4500): events at 900, 3599, 3600
+    assert(rows(900L) == ((3L, 2L, 6.75)))
+    // window 3600 = [3600, 7200): only the 3600 event
+    assert(rows(3600L) == ((1L, 1L, 4.00)))
+    // window -2700 covers only the sec-0 event
+    assert(rows(-2700L) == ((1L, 1L, 1.25)))
+    // every event appears in exactly 4 windows
+    assert(rows.values.map(_._1).sum == 16L)
+  }
+
+  test("g04: co-active sessions form edges; triangle census is exact") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_g04").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // sessions: u1 [0,1000], u2 [100,600], u3 [500,800], u4 [950,960]
+    // overlaps: 1-2, 1-3, 1-4, 2-3 -> one triangle {1,2,3};
+    // deg = (3,2,2,1) -> wedges 3+1+1 = 5; transitivity 3e6*1//5
+    Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(1000)),
+      (3L, 2L, ts(100)), (4L, 2L, ts(600)),
+      (5L, 3L, ts(500)), (6L, 3L, ts(800)),
+      (7L, 4L, ts(950)), (8L, 4L, ts(960)))
+      .toDF("event_id", "user_id", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val r = graft.SparkEntry.queries("g04_triangle_census")(spark, d)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 4L, 5L, 1L, 600000L)))
   }
 
   test("w07: funnel stages require strictly increasing event times") {
