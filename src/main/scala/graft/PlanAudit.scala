@@ -288,6 +288,30 @@ object PlanAudit {
     audit("w07_conversion_funnel")(
       "stage pipeline exchange-free after user repartition" -> maxHashExchanges(2))
 
+    // triangle census: the wedge self-join and the closing-edge join
+    // must be equi joins (the degree orientation exists to avoid the
+    // neighborhood product); nested loops may appear ONLY as the
+    // final one-row scalar crosses of the three aggregate totals
+    audit("g04_triangle_census")(
+      "no cartesian stage" -> (s =>
+        !s.split("== Initial Plan ==").head.contains("CartesianProduct")),
+      "wedge + closing joins are hash equi joins" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        ("SortMergeJoin".r.findAllIn(finalPlan).size +
+          "BroadcastHashJoin".r.findAllIn(finalPlan).size +
+          "ShuffledHashJoin".r.findAllIn(finalPlan).size) >= 2
+      }))
+    // sliding windows: the x4 hop expansion is map-side (a Generate,
+    // no shuffle of its own); one distinct-rewrite aggregate pair +
+    // the final sort only — and never an Expand (the multi-distinct
+    // plan shape this query must not regress into)
+    audit("w08_sliding_windows")(
+      "no Expand (single-distinct two-level agg)" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(_.trim.startsWith("Expand"))),
+      "hop expansion + distinct within 3 hash exchanges" ->
+        maxHashExchanges(3))
+
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds
     audit("g02_pagerank")(
