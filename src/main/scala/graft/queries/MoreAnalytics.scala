@@ -236,15 +236,26 @@ object MoreAnalytics extends QueryModule {
       |  ${Q.dsumSql("value", 18, 2)} AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // w08's streaming twin: replay the events table through a
+  // MemoryStream (event-time sliding windows, Append close on the
+  // watermark, (window, type, user)-keyed streamed partials + batch
+  // distinct rollup — see streaming.StreamingSlidingWindows), flushed
+  // by a far-future sentinel; must hash-match the BATCH w08 oracle —
+  // streaming == batch end-to-end.
+  private def w08Stream(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingSlidingWindows.replayGate(s, d)
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a07_exact_quantiles" -> a07,
     "w06_retention_cohorts" -> w06,
     "w07_conversion_funnel" -> w07,
-    "w08_sliding_windows" -> w08)
+    "w08_sliding_windows" -> w08,
+    "w08_sliding_stream" -> w08Stream)
 
   override def oracle: Map[String, String] = Map(
     "a07_exact_quantiles" -> a07Sql,
     "w06_retention_cohorts" -> w06Sql,
     "w07_conversion_funnel" -> w07Sql,
-    "w08_sliding_windows" -> w08Sql)
+    "w08_sliding_windows" -> w08Sql,
+    "w08_sliding_stream" -> w08Sql)
 }
