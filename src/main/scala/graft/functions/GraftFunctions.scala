@@ -54,6 +54,11 @@ object GraftFunctions {
     * speed (no per-row parser allocation). */
   def jsonGetLong(j: Column, key: String): Column = c(JsonGetLong(ex(j), key))
 
+  /** Per-document repetition counters [w, dw, topw, b, db] in one
+    * scan-side pass — the kernel behind t11/c02 (value-identical to
+    * the exploded (doc, token) double-aggregate it replaces). */
+  def repetitionStats(text: Column): Column = c(RepetitionStats(ex(text)))
+
   /** Grouped top-k aggregate: best-first array<struct<score, tiebreak,
     * payload>> of the k highest-score rows per group — the map-side-
     * combining alternative to a rank window (shuffle is bounded by
@@ -68,6 +73,7 @@ object GraftFunctions {
     "rolling_hash64" -> (es => RollingHash64(es.head)),
     "minhash64" -> (es => MinHash64(es.head)),
     "bpe_token_count" -> (es => BpeTokenCount(es.head)),
+    "repetition_stats" -> (es => RepetitionStats(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
         JsonGetLong(es(0), k.toString)

@@ -168,34 +168,34 @@ object CorpusOps extends QueryModule {
   // their bigram analogues; per-source integer summary with flag
   // counts at stated thresholds (top word > 10% of words, duplicate
   // words > 50%, duplicate bigrams > 20%). All counts, no floats —
-  // exact and order-independent. Scale: two explode→hash-agg passes
-  // keyed by (doc, token) then one per-source agg, all linear with
-  // map-side partial aggregation; the doc_id join is doc-count sized.
+  // exact and order-independent. Scale (round-9 rewrite): the five
+  // per-doc counters are computed by the scan-side
+  // functions.RepetitionStats kernel — ZERO shuffle before the
+  // per-source aggregate, vs the original two explode→hash-agg
+  // passes over every word/bigram occurrence (~85 M exploded rows,
+  // 12.2 s of the 12.2 s sf10 runtime; RepetitionStatsSpec holds the
+  // kernel value-identical to the exploded form, and the oracle SQL
+  // still states that exploded form).
+  /** Per-doc counters [w, dw, topw, b, db] from the kernel; docs with
+    * no non-empty word are dropped (the exploded form's inner base). */
+  private def repStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("source"),
+        col("r").getItem(0).as("w"), col("r").getItem(1).as("dw"),
+        col("r").getItem(2).as("topw"), col("r").getItem(3).as("b"),
+        col("r").getItem(4).as("db"))
+      .where(col("w") > 0)
+
   /** Per-doc word stats (total, distinct, top count) — shared by the
     * t11 profile and the c02 assembly filter. */
   private def wordStats(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("doc_id"), col("source"), col("word"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("c")).as("w"), count(lit(1)).as("dw"), max(col("c")).as("topw"))
+    repStats(s, d).select(col("doc_id"), col("source"),
+      col("w"), col("dw"), col("topw"))
 
   private def t11(s: SparkSession, d: String): DataFrame = {
-    val perDocW = wordStats(s, d)
-    val words = split(col("text"), " ")
-    // same bigram construction as t05's profile (and its SQL twin)
-    val bigrams = zip_with(slice(words, lit(1), size(words) - 1),
-      slice(words, lit(2), size(words) - 1),
-      (a: Column, b: Column) => concat_ws(" ", a, b))
-    val perDocB = docs(s, d)
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("b"), count(lit(1)).as("db"))
-    perDocW.join(perDocB, Seq("doc_id"), "left_outer")
-      .na.fill(0L, Seq("b", "db"))
+    repStats(s, d)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
