@@ -59,6 +59,14 @@ object GraftFunctions {
     * the exploded (doc, token) double-aggregate it replaces). */
   def repetitionStats(text: Column): Column = c(RepetitionStats(ex(text)))
 
+  /** Per-doc term-frequency pairs array<struct<t,c>> (non-empty
+    * words) — the inverted-index scan kernel behind t12. */
+  def wordTfPairs(text: Column): Column = c(WordTfPairs(ex(text)))
+
+  /** Per-doc bigram-frequency pairs (adjacent raw-token pairs) — the
+    * scan kernel behind t05. */
+  def bigramTfPairs(text: Column): Column = c(BigramTfPairs(ex(text)))
+
   /** Grouped top-k aggregate: best-first array<struct<score, tiebreak,
     * payload>> of the k highest-score rows per group — the map-side-
     * combining alternative to a rank window (shuffle is bounded by
@@ -74,6 +82,8 @@ object GraftFunctions {
     "minhash64" -> (es => MinHash64(es.head)),
     "bpe_token_count" -> (es => BpeTokenCount(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
+    "word_tf_pairs" -> (es => WordTfPairs(es.head)),
+    "bigram_tf_pairs" -> (es => BigramTfPairs(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
         JsonGetLong(es(0), k.toString)

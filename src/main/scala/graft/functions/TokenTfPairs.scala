@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document token frequency vectors as scan-side kernels —
+  * `word_tf_pairs(text)` / `bigram_tf_pairs(text)` return
+  * array<struct<t: string, c: bigint>>: each distinct token (word, or
+  * adjacent-pair bigram) with its in-document count, in one pass with
+  * open-addressed byte-slice hashing (the [[RepetitionStats]]
+  * tokenizer: split on single spaces keeping empties; words drop the
+  * empties, bigrams keep empty components, pair identity == joined
+  * "a b" string identity because tokens never contain spaces).
+  *
+  * Why: tf construction by explode + GROUP BY (doc, token) shuffles
+  * every token OCCURRENCE (~85 M rows at sf10) to aggregate what is
+  * per-row-computable state. The kernel emits the already-aggregated
+  * per-doc pairs, so downstream either consumes them per row
+  * (document length = one `aggregate` over the array, no shuffle) or
+  * explodes DISTINCT-per-doc rows (~3× fewer) straight into
+  * map-side-combining aggregates. Exactly the inverted-index build
+  * every retrieval/BM25 pipeline runs — at 100 TB the difference is
+  * shuffling the tokenized corpus versus its per-doc term vectors.
+  *
+  * Value-identity with the exploded form is property-specced
+  * (TokenTfPairsSpec); pair ORDER within the array is first-occurrence
+  * order, which no consumer may rely on (aggregates are
+  * order-independent).
+  */
+abstract class TokenTfBase extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = TokenTfPairs.OutType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.sql}")
+  }
+}
+
+case class WordTfPairs(child: Expression) extends TokenTfBase {
+  override def nullSafeEval(v: Any): Any =
+    TokenTfPairs.compute(v.asInstanceOf[UTF8String], bigrams = false)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class BigramTfPairs(child: Expression) extends TokenTfBase {
+  override def nullSafeEval(v: Any): Any =
+    TokenTfPairs.compute(v.asInstanceOf[UTF8String], bigrams = true)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenTfPairs {
+
+  val OutType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  def compute(text: UTF8String, bigrams: Boolean): GenericArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val lens = new Array[Int](nTok)
+    val hashes = new Array[Int](nTok)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        starts(t) = s; lens(t) = i - s
+        var h = 0x811c9dc5
+        var j = s
+        while (j < i) { h = (h ^ (b(j) & 0xff)) * 0x01000193; j += 1 }
+        hashes(t) = h
+        t += 1; s = i + 1
+      }
+      i += 1
+    }
+
+    @inline def tokEq(a: Int, c: Int): Boolean = {
+      if (lens(a) != lens(c)) return false
+      var j = 0
+      while (j < lens(a)) {
+        if (b(starts(a) + j) != b(starts(c) + j)) return false
+        j += 1
+      }
+      true
+    }
+
+    val nKeys = if (bigrams) math.max(nTok - 1, 0) else nTok
+    var cap = 8
+    while (cap < nKeys * 2) cap <<= 1
+    val mask = cap - 1
+    val slot = new Array[Int](cap)
+    java.util.Arrays.fill(slot, -1)
+    val cnt = new Array[Long](cap)
+    // distinct slots in first-occurrence order
+    val order = new Array[Int](math.max(nKeys, 1))
+    var nDistinct = 0
+
+    @inline def keyHash(k: Int): Int =
+      if (bigrams) (hashes(k) * 0x9e3779b1) ^ hashes(k + 1) else hashes(k)
+    @inline def keyEq(a: Int, c: Int): Boolean =
+      if (bigrams) tokEq(a, c) && tokEq(a + 1, c + 1) else tokEq(a, c)
+
+    t = 0
+    while (t < nKeys) {
+      if (bigrams || lens(t) > 0) { // words drop empties; bigrams keep
+        var p = keyHash(t) & mask
+        var done = false
+        while (!done) {
+          val r = slot(p)
+          if (r == -1) {
+            slot(p) = t; cnt(p) = 1L
+            order(nDistinct) = p; nDistinct += 1
+            done = true
+          } else if (keyEq(r, t)) { cnt(p) += 1; done = true }
+          else p = (p + 1) & mask
+        }
+      }
+      t += 1
+    }
+
+    val out = new Array[Any](nDistinct)
+    var d = 0
+    while (d < nDistinct) {
+      val p = order(d)
+      val k = slot(p)
+      val str =
+        if (bigrams) {
+          // tokens are adjacent slices separated by one space byte in
+          // the source, so the joined bigram IS the contiguous slice
+          UTF8String.fromBytes(b, starts(k), starts(k + 1) + lens(k + 1) - starts(k))
+        } else UTF8String.fromBytes(b, starts(k), lens(k))
+      out(d) = new GenericInternalRow(Array[Any](str, cnt(p)))
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+}

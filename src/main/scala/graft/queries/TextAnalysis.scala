@@ -119,15 +119,18 @@ object TextAnalysis extends QueryModule {
   // t05: n-gram profile — word-bigram counts per language, top 20
   // (explode over zipped shifted arrays; the shingle primitive reused
   // by MinHash dedup).
+  // round-9 rewrite: bigrams come pre-counted per doc from the
+  // functions.BigramTfPairs scan kernel (one byte pass; the bigram
+  // string is the contiguous source slice, zero HOF allocation), so
+  // the explode emits DISTINCT-per-doc rows straight into the
+  // map-side-combining (lang, bigram) aggregate. Oracle unchanged.
   private def t05(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val bigrams = zip_with(slice(words, lit(1), size(words) - 1),
-      slice(words, lit(2), size(words) - 1),
-      (a: Column, b: Column) => concat_ws(" ", a, b))
     docs(s, d)
-      .select(col("lang"), explode(bigrams).as("bigram"))
-      .groupBy(col("lang"), col("bigram"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        explode(graft.functions.GraftFunctions.bigramTfPairs(col("text")))
+          .as("p"))
+      .groupBy(col("lang"), col("p.t").as("bigram"))
+      .agg(sum(col("p.c")).as("n"))
       .orderBy(desc("n"), col("lang"), col("bigram"))
       .limit(20)
   }
@@ -267,11 +270,20 @@ object TextAnalysis extends QueryModule {
   private def t12(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qIds = Seq(7L, 113L, 311L)
-    val tf = docs(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // round-9 rewrite: the (doc, word, tf) inverted index comes
+    // pre-aggregated from the functions.WordTfPairs scan kernel — the
+    // explode emits distinct-per-doc term rows (no (doc, word) GROUP
+    // BY shuffle of every occurrence), and the document length is a
+    // per-row array fold (no shuffle at all). Oracle unchanged.
+    val pairs = docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordTfPairs(col("text")).as("ps"))
+    val tf = pairs.select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.t").as("word"), col("p.c").as("tf"))
+    val dl = pairs
+      .select(col("doc_id"),
+        aggregate(col("ps"), lit(0L), (acc, p) => acc + p("c")).as("dl"))
+      .where(col("dl") > 0)
     val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
     val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val qt = tf.filter(col("doc_id").isin(qIds: _*))

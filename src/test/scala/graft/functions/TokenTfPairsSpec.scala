@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.etl.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The tf-pair kernels must be value-identical (as multisets) to the
+  * exploded split/filter/group forms they replace. */
+class TokenTfPairsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def refWords(text: String): Map[String, Long] =
+    text.split(" ", -1).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+
+  private def refBigrams(text: String): Map[String, Long] = {
+    val toks = text.split(" ", -1)
+    toks.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1))
+      .toSeq.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+  }
+
+  private def viaKernel(text: String, bigrams: Boolean): Map[String, Long] = {
+    val arr = TokenTfPairs.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), bigrams)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      r.getUTF8String(0).toString -> r.getLong(1)
+    }.toMap
+  }
+
+  test("hand cases") {
+    for (t <- Seq("", " ", "a", "a a b", "a  b", " x y x ", "é ü é",
+      "w w w w", "one two one two three")) {
+      assert(viaKernel(t, bigrams = false) == refWords(t), s"words <$t>")
+      assert(viaKernel(t, bigrams = true) == refBigrams(t), s"bigrams <$t>")
+    }
+  }
+
+  test("randomized sweep") {
+    val rnd = new Random(3)
+    val vocab = Array("a", "bb", "ccc", "é", "日本", "", "x")
+    for (_ <- 1 to 2000) {
+      val t = (1 to rnd.nextInt(25))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      assert(viaKernel(t, bigrams = false) == refWords(t), s"words <$t>")
+      assert(viaKernel(t, bigrams = true) == refBigrams(t), s"bigrams <$t>")
+    }
+  }
+
+  test("DataFrame explode of the kernel equals the exploded groupBy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(17)
+    val vocab = Array("key", "agg", "row", "scan", "", "fast")
+    val docsDf = (1L to 150L).map { id =>
+      (id, (1 to rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaK = docsDf.select(col("doc_id"),
+      explode(GraftFunctions.wordTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.t"), col("p.c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaE = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaK == viaE)
+  }
+}
