@@ -301,16 +301,24 @@ object PlanAudit {
           "BroadcastHashJoin".r.findAllIn(finalPlan).size +
           "ShuffledHashJoin".r.findAllIn(finalPlan).size) >= 2
       }))
-    // sliding windows: the x4 hop expansion is map-side (a Generate,
-    // no shuffle of its own); one distinct-rewrite aggregate pair +
-    // the final sort only — and never an Expand (the multi-distinct
-    // plan shape this query must not regress into)
+    // sliding windows: both output families must aggregate against
+    // LOW-cardinality keys only — the per-(hop, type) totals explode
+    // runs over totals (not events), and distinct-users is the
+    // interval sweep (lag/lead boundary deltas + prefix sum), so the
+    // O(rows)-key (window, type, user) dedup aggregate the naive
+    // count-distinct plans must NEVER appear; never an Expand either
     audit("w08_sliding_windows")(
       "no Expand (single-distinct two-level agg)" -> simpleOnly(s =>
         !s.split("== Initial Plan ==").head.split("\n")
           .exists(_.trim.startsWith("Expand"))),
-      "hop expansion + distinct within 3 hash exchanges" ->
-        maxHashExchanges(3))
+      "no O(rows)-key dedup agg: no aggregate keyed (window, user)" ->
+        simpleOnly(s => !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => l.contains("HashAggregate") &&
+            l.contains("ws#") && l.contains("user_id#"))),
+      "interval-sweep windows present (lag + lead, no sort-free regress)" ->
+        (s => s.contains("lag(hop") && s.contains("lead(hop")),
+      "one data-sized + four partial exchanges max" ->
+        maxHashExchanges(5))
 
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds
