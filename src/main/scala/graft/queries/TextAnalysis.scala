@@ -336,6 +336,76 @@ object TextAnalysis extends QueryModule {
        |SELECT q_id, rnk, doc_id, ${fixedDecSql("sc", 6)} AS score
        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin
 
+  // t13: PMI collocations — the "phrase mining" pass of corpus
+  // analysis: the top bigrams whose components co-occur far more than
+  // chance, the statistic behind collocation extraction and
+  // tokenizer-merge candidates. Ranked by the PMI RATIO
+  // p(xy) / (p(x)·p(y)) rather than its log: log is monotonic so the
+  // ranking is identical, and the ratio is a fixed-shape
+  // product/quotient of exact integer aggregates — both engines
+  // evaluate the same IEEE-754 expression tree bit-identically,
+  // whereas ln() results differ per libm. A min-support gate
+  // (n_pair ≥ 5) drops the noise tail, as every collocation extractor
+  // does.
+  //
+  // Scale shape: word and bigram counts come pre-aggregated per doc
+  // from the TokenTfPairs scan kernels (distinct-per-doc explode into
+  // map-side-combining aggregates — never a per-occurrence shuffle);
+  // the component joins are vocabulary-sized (AQE broadcasts them at
+  // small SF, shuffle-hash at web-corpus vocab scale); corpus totals
+  // ride one broadcast one-row cross; the final ranking is a
+  // TakeOrdered k=20, no full sort. Bigrams with an empty component
+  // (double-space artifacts) drop at the inner joins on both sides —
+  // word counts exclude empties by tokenizer contract.
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bigramTfPairs, wordTfPairs}
+    val wc = docs(s, d)
+      .select(explode(wordTfPairs(col("text"))).as("p"))
+      .groupBy(col("p.t").as("word")).agg(sum(col("p.c")).as("cw"))
+    val bcAll = docs(s, d)
+      .select(explode(bigramTfPairs(col("text"))).as("p"))
+      .groupBy(col("p.t").as("bigram")).agg(sum(col("p.c")).as("cxy"))
+    val totals = wc.agg(sum(col("cw")).as("nw"))
+      .crossJoin(bcAll.agg(sum(col("cxy")).as("nb")))
+    bcAll.filter(col("cxy") >= 5)
+      .withColumn("wx", substring_index(col("bigram"), " ", 1))
+      .withColumn("wy", substring_index(col("bigram"), " ", -1))
+      .join(wc.select(col("word").as("wx"), col("cw").as("cx")), "wx")
+      .join(wc.select(col("word").as("wy"), col("cw").as("cy")), "wy")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("cxy").as("n_pair"),
+        col("cx").as("n_left"), col("cy").as("n_right"),
+        ((col("cxy").cast(DoubleType) * col("nw").cast(DoubleType) /
+          (col("nb").cast(DoubleType) * col("cx").cast(DoubleType))) *
+          (col("nw").cast(DoubleType) / col("cy").cast(DoubleType)))
+          .as("pmi_ratio"))
+      .orderBy(desc("pmi_ratio"), col("bigram"))
+      .limit(20)
+  }
+
+  private val t13Sql =
+    """WITH w AS (SELECT word, COUNT(*) AS cw
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |                 FROM documents) t
+      |           WHERE word <> '' GROUP BY 1),
+      |b AS (SELECT bigram, COUNT(*) AS cxy
+      |      FROM (SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+      |              i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+      |            FROM documents) t
+      |      GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(cw) FROM w) AS nw,
+      |               (SELECT SUM(cxy) FROM b) AS nb)
+      |SELECT bigram, cxy AS n_pair, wl.cw AS n_left, wr.cw AS n_right,
+      |  (CAST(cxy AS DOUBLE) * CAST(nw AS DOUBLE)
+      |     / (CAST(nb AS DOUBLE) * CAST(wl.cw AS DOUBLE)))
+      |    * (CAST(nw AS DOUBLE) / CAST(wr.cw AS DOUBLE)) AS pmi_ratio
+      |FROM b
+      |CROSS JOIN tot
+      |JOIN w wl ON split_part(bigram, ' ', 1) = wl.word
+      |JOIN w wr ON split_part(bigram, ' ', 2) = wr.word
+      |WHERE cxy >= 5
+      |ORDER BY 5 DESC, 1 LIMIT 20""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -345,7 +415,8 @@ object TextAnalysis extends QueryModule {
     "t06_doc_fingerprints" -> t06,
     "t07_bpe_token_stats" -> t07,
     "t10_char_lm_quality" -> t10,
-    "t12_bm25_topk" -> t12)
+    "t12_bm25_topk" -> t12,
+    "t13_pmi_collocations" -> t13)
 
   override def oracle: Map[String, String] = Map(
     "t12_bm25_topk" -> t12Sql,
@@ -354,5 +425,6 @@ object TextAnalysis extends QueryModule {
     "t03_lang_id_accuracy" -> t03Sql,
     "t04_word_frequency" -> t04Sql,
     "t05_bigram_profile" -> t05Sql,
-    "t10_char_lm_quality" -> t10Sql)
+    "t10_char_lm_quality" -> t10Sql,
+    "t13_pmi_collocations" -> t13Sql)
 }
