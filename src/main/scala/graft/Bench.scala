@@ -117,10 +117,28 @@ object Bench {
         System.err.println(s"[bench] streaming_fold failed: ${e.getMessage}")
         None
       }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Contention sentinel: a FIXED calibration action (pure codegen
+    // range-sum, no IO, ~constant work) timed at suite start, middle
+    // and end. On an idle host the three times agree to ~10%; when the
+    // VM is contended (round-9's driver record was a uniform 2.7×
+    // inflation of untouched queries) they inflate with it, so a
+    // polluted recording is SELF-LABELING: consumers compare
+    // calibration_s against the committed history instead of guessing
+    // from per-query diffs.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 6400000000L, 1L, numPartitions = cpus.toInt)
+        .selectExpr("sum(id % 9973)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the sentinel's own codegen/JIT outside the samples
+    val cal0 = calibrate()
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
       .filterNot { case (name, _) => skip(name) }
-      .map { case (name, fn) =>
+    var calMid = 0.0
+    val timed = toRun.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == toRun.size / 2) calMid = calibrate()
         def once(): Double = {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -135,6 +153,12 @@ object Bench {
           case None => if (warm) once() else first
         })
       }
+    val calEnd = calibrate()
+    val cals = Seq(cal0, calMid, calEnd)
+    // contended := the slowest sentinel ran ≥1.5× the fastest — the
+    // suite saw materially different machine conditions across its run
+    val contended = cals.max / math.max(cals.min, 1e-9) >= 1.5
+    val calJson = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
     val results = (s06Build ++ timed).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -157,7 +181,7 @@ object Bench {
     // (and one stdout line): the consumer that wants per-query depth
     // reads BENCH_DETAIL.json from the repo.
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calJson,"contended":$contended,"queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(detail)
@@ -193,7 +217,7 @@ object Bench {
     // Driver's tail window is 2000 bytes: keep this line ≤ ~1.6 kB even
     // with the DuckDB column embedded (skipped list lives in the detail
     // file; only its size rides here).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${jmap(dash)},"dashboard_sec":${dash.map(_._2).sum}%.3f,"duckdb":$duckDash,"n_skipped":${skip.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${jmap(dash)},"dashboard_sec":${dash.map(_._2).sum}%.3f,"calibration_s":$calJson,"contended":$contended,"duckdb":$duckDash,"n_skipped":${skip.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -182,6 +182,26 @@ object PlanAudit {
     audit("t08_decontamination")(
       "gram probe is a semi join" -> (_.contains("LeftSemi")))
 
+    // the tf-pair scan kernels (WordTfPairs/BigramTfPairs) generate
+    // code (no CodegenFallback), so the scan→project→explode stage
+    // must sit INSIDE a WholeStageCodegen span: in the simple plan
+    // every operator line mentioning the kernel carries a *(n) marker
+    val tfPairsFused: String => Boolean = simpleOnly(s =>
+      // the expressions print as wordtfpairs(...)/bigramtfpairs(...);
+      // codegen markers only exist in the FINAL adaptive plan
+      s.split("== Initial Plan ==").head
+        .split("\n").filter(l => l.toLowerCase.contains("tfpairs(") &&
+          // scan nodes echo the kernel in DataFilters but are the
+          // columnar INPUT to a WSCG stage, never marker-carrying
+          !l.contains("FileScan")) match {
+        case ls if ls.isEmpty => false // kernel absent = regression
+        case ls => ls.forall(l => "\\*\\(\\d+\\)".r.findFirstIn(l).isDefined)
+      })
+    audit("t05_bigram_profile")(
+      "tf-pair kernel fused into WSCG scan stage" -> tfPairsFused)
+    audit("t12_bm25_topk")(
+      "tf-pair kernel fused into WSCG scan stage" -> tfPairsFused)
+
     // a USER-written window-form top-k (the w05 idiom spelled as
     // row_number + filter) must hit plans.TopKRewrite in the default
     // session — the extension is registered above, not per-test
@@ -311,12 +331,31 @@ object PlanAudit {
       "no Expand (single-distinct two-level agg)" -> simpleOnly(s =>
         !s.split("== Initial Plan ==").head.split("\n")
           .exists(_.trim.startsWith("Expand"))),
-      "no O(rows)-key dedup agg: no aggregate keyed (window, user)" ->
+      // alias-proof: in the shipped plan user_id occurs ONLY as a
+      // window partition key (the sweep) / exchange key — it must
+      // never be a GROUPING key of any aggregate (Hash, Sort or
+      // ObjectHash), which is what every naive count-distinct or
+      // (window, user) dedup plan needs regardless of how the window
+      // column is aliased
+      "no O(rows)-key dedup agg: user_id never an aggregate grouping key" ->
         simpleOnly(s => !s.split("== Initial Plan ==").head.split("\n")
-          .exists(l => l.contains("HashAggregate") &&
-            l.contains("ws#") && l.contains("user_id#"))),
-      "interval-sweep windows present (lag + lead, no sort-free regress)" ->
-        (s => s.contains("lag(hop") && s.contains("lead(hop")),
+          .exists { l =>
+            val k = l.indexOf("Aggregate(keys=[")
+            k >= 0 && {
+              val keys = l.substring(k + "Aggregate(keys=[".length)
+              val end = keys.indexOf(']')
+              (if (end >= 0) keys.substring(0, end) else keys)
+                .contains("user_id#")
+            }
+          }),
+      // anchored to the sweep's window SPEC (lag/lead over a window
+      // partitioned by user_id), not just the `hop` alias — though the
+      // alias is also pinned by a comment at the w08 definition
+      "interval-sweep windows present (lag + lead over user partition)" ->
+        (s => s.split("\n").exists(l => l.contains("lag(hop") &&
+            l.contains("windowspecdefinition(user_id#")) &&
+          s.split("\n").exists(l => l.contains("lead(hop") &&
+            l.contains("windowspecdefinition(user_id#"))),
       "one data-sized + four partial exchanges max" ->
         maxHashExchanges(5))
 

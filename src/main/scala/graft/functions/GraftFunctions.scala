@@ -67,6 +67,11 @@ object GraftFunctions {
     * scan kernel behind t05. */
   def bigramTfPairs(text: Column): Column = c(BigramTfPairs(ex(text)))
 
+  /** Non-empty word count (the tf-pair tokenizer's token count) —
+    * codegen'd; value-identical to folding word_tf_pairs with a
+    * higher-order aggregate, without the CodegenFallback break. */
+  def wordCount(text: Column): Column = c(WordCount(ex(text)))
+
   /** Grouped top-k aggregate: best-first array<struct<score, tiebreak,
     * payload>> of the k highest-score rows per group — the map-side-
     * combining alternative to a rank window (shuffle is bounded by
@@ -84,6 +89,7 @@ object GraftFunctions {
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "word_tf_pairs" -> (es => WordTfPairs(es.head)),
     "bigram_tf_pairs" -> (es => BigramTfPairs(es.head)),
+    "word_count" -> (es => WordCount(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
         JsonGetLong(es(0), k.toString)

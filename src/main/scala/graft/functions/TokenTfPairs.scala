@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,25 +32,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * order, which no consumer may rely on (aggregates are
   * order-independent).
   */
-abstract class TokenTfBase extends UnaryExpression with CodegenFallback {
+abstract class TokenTfBase extends UnaryExpression {
+  protected def bigrams: Boolean
   override def dataType: DataType = TokenTfPairs.OutType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a string column, got ${other.sql}")
   }
+  override def nullSafeEval(v: Any): Any =
+    TokenTfPairs.compute(v.asInstanceOf[UTF8String], bigrams)
+  // the kernel stays one static call; generating it (vs CodegenFallback)
+  // keeps the t05/t12/t13 scan stage inside one WholeStageCodegen span —
+  // no interpreted-eval boundary between the parquet scan, this array
+  // build, and the downstream explode/aggregate
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TokenTfPairs.compute($t, $bigrams);")
 }
 
 case class WordTfPairs(child: Expression) extends TokenTfBase {
-  override def nullSafeEval(v: Any): Any =
-    TokenTfPairs.compute(v.asInstanceOf[UTF8String], bigrams = false)
+  override protected def bigrams: Boolean = false
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 case class BigramTfPairs(child: Expression) extends TokenTfBase {
+  override protected def bigrams: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_count(text)` — the number of NON-EMPTY single-space-separated
+  * tokens (the [[TokenTfPairs]] word tokenizer's count), as a plain
+  * byte scan. Value-identical to `aggregate(word_tf_pairs(text), 0L,
+  * (a, p) -> a + p.c)` (Σ tf over a doc = its token count) — but that
+  * fold is a higher-order function, which is CodegenFallback in Spark
+  * and would break the WSCG span of any stage it appears in (observed:
+  * t12's doc-length projection fell out of codegen). */
+case class WordCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.sql}")
+  }
   override def nullSafeEval(v: Any): Any =
-    TokenTfPairs.compute(v.asInstanceOf[UTF8String], bigrams = true)
+    TokenTfPairs.countWords(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TokenTfPairs.countWords($t);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -60,6 +91,21 @@ object TokenTfPairs {
   val OutType: DataType = ArrayType(StructType(Seq(
     StructField("t", StringType, nullable = false),
     StructField("c", LongType, nullable = false))), containsNull = false)
+
+  /** Count of non-empty tokens under the single-space tokenizer. */
+  def countWords(text: UTF8String): Long = {
+    val b = text.getBytes
+    val n = b.length
+    var cnt = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      if (b(i) == ' ') inTok = false
+      else if (!inTok) { cnt += 1; inTok = true }
+      i += 1
+    }
+    cnt
+  }
 
   def compute(text: UTF8String, bigrams: Boolean): GenericArrayData = {
     val b = text.getBytes

@@ -255,9 +255,17 @@ object MoreAnalytics extends QueryModule {
       .groupBy("ws", "event_type")
       .agg(sum(col("cnt")).as("n_events"), sum(col("sv")).as("sv"))
 
+    // NULL guard (sweep-specific semantics): a NULL user_id would form
+    // its own lag/lead partition and count as one distinct user, where
+    // COUNT(DISTINCT user_id) excludes NULLs; a NULL ts/hop row emits
+    // ill-defined boundary deltas. The generator keeps both non-null,
+    // but the sweep must not depend on that contract. NOTE: the plan
+    // audit's "interval-sweep present" check keys on the `hop` alias
+    // surviving into the physical lag/lead — rename in both places.
     val uw = Window.partitionBy("user_id", "event_type").orderBy("hop")
     val deltas = base
       .select("user_id", "event_type", "hop")
+      .where(col("user_id").isNotNull && col("hop").isNotNull)
       .repartition(col("user_id"), col("event_type"))
       .withColumn("prev", lag(col("hop"), 1).over(uw))
       .withColumn("nxt", lead(col("hop"), 1).over(uw))

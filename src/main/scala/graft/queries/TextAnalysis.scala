@@ -280,9 +280,13 @@ object TextAnalysis extends QueryModule {
         graft.functions.GraftFunctions.wordTfPairs(col("text")).as("ps"))
     val tf = pairs.select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p.t").as("word"), col("p.c").as("tf"))
-    val dl = pairs
+    // doc length = Σ tf = the plain non-empty token count — computed
+    // by the codegen'd word_count kernel rather than a higher-order
+    // aggregate() fold over ps (HOFs are CodegenFallback and broke
+    // this projection out of the WSCG scan stage)
+    val dl = docs(s, d)
       .select(col("doc_id"),
-        aggregate(col("ps"), lit(0L), (acc, p) => acc + p("c")).as("dl"))
+        graft.functions.GraftFunctions.wordCount(col("text")).as("dl"))
       .where(col("dl") > 0)
     val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
     val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

@@ -68,4 +68,23 @@ class TokenTfPairsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(viaK == viaE)
   }
+
+  test("word_count equals the higher-order fold over word_tf_pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(29)
+    val vocab = Array("a", "bb", "", "ccc", "é", "x")
+    val texts = Seq("", " ", "a", "a  b", " x y x ", "a\tb") ++
+      (1 to 300).map(_ => (1 to rnd.nextInt(20))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"), GraftFunctions.wordCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.select(col("id"),
+        aggregate(GraftFunctions.wordTfPairs(col("text")), lit(0L),
+          (acc, p) => acc + p("c")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
