@@ -59,6 +59,19 @@ object BucketedLayout {
       .orElse(sys.env.get("SPARK_GRAFT_BUCKETED"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
+  /** Since Spark 3.0 a bucketed scan reports its per-bucket SORT order
+    * only under this legacy flag (SPARK-28199) — off by default
+    * because respecting the order forces one-task-per-bucket reads,
+    * a regression when buckets hold many files. This layout writes
+    * exactly ONE file per bucket (the repartition before the bucketed
+    * write), and a bucketed scan is one task per bucket regardless, so
+    * the flag is pure win here: without it every orderkey sort-merge
+    * join re-sorts both pre-sorted facts (measured sf10: the 60 M-row
+    * lineitem⋈orders leg 2.24 s → 0.96 s; h05 3.0 s → 1.6 s). Set
+    * whenever the layout serves tables, session-scoped. */
+  private def enableSortedScan(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
   private def fnv(s: String): String =
     java.lang.Long.toHexString(s.getBytes("UTF-8")
       .foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
@@ -109,6 +122,7 @@ object BucketedLayout {
     * bucketed fact tables for `dir`. Idempotent; returns the table
     * names. */
   def ensure(spark: SparkSession, dir: String): Map[String, String] = {
+    enableSortedScan(spark)
     gcStale(dir)
     facts.map { case (name, key) =>
       val tbl = tableName(dir, name)
@@ -139,6 +153,7 @@ object BucketedLayout {
     * materialized — [[graft.Tables.load]]'s first stop. */
   def loadIfBucketed(spark: SparkSession, dir: String, name: String): Option[DataFrame] =
     if (enabled(spark) && facts.contains(name)) {
+      enableSortedScan(spark)
       val tbl = tableName(dir, name)
       if (!spark.catalog.tableExists(tbl) &&
           new java.io.File(dataDir(dir, name), "_SUCCESS").exists) {

@@ -15,9 +15,22 @@ import org.apache.spark.sql.types._
   * (`sourcetable_constants`).
   *
   * Scale notes (100 TB): every query is a partial+final hash aggregate
-  * over the fact with at most one shuffle on the grouping key; dimension
-  * joins are explicit `broadcast()` (dimensions are O(#stations));
-  * "latest per key" is a window dedup that shuffles once on the key.
+  * over the fact with at most one shuffle on the grouping key; the
+  * O(#stations) dimensions (nation, the 1-row max) are explicit
+  * `broadcast()`, while `customer` is a SEMI-dimension that grows with
+  * the corpus (1.5 M rows at sf10, where the driver-side broadcast
+  * build alone cost ~1.4 s/query) — its joins are UNHINTED so AQE
+  * broadcasts while it fits and shuffles only the dim beyond that (the
+  * fact side never moves: it already carries HashPartitioning(user_id)
+  * from the bucketed layout); "latest per key" is a window dedup that
+  * shuffles once on the key. Big ordered timeseries outputs (q02, q05,
+  * q09) range-partition the INPUT on the output key instead of
+  * `orderBy` on the result: a global sort's range sampling re-executes
+  * its child, and when the child is the whole exchange-free
+  * scan+aggregate pipeline that doubles the query (measured q05 sf10:
+  * 3.08 s → 2.10 s); range partitioning clusters (bucket, user) just
+  * like hash, so the aggregate stays exchange-free and the
+  * partition-local sort yields the same total order.
   */
 object Dashboard extends QueryModule {
   import Q._
@@ -56,7 +69,7 @@ object Dashboard extends QueryModule {
       outerAvg("click_rate").as("avg_click_rate"),
       outerAvg("error_rate").as("avg_error_rate"))
     outer
-      .join(broadcast(cust(s, d)), outer("user_id") === col("c_custkey"))
+      .join(cust(s, d), outer("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"),
         col("avg_click_rate"), col("avg_error_rate"))
       .orderBy(col("segment"), col("user_id"))
@@ -79,10 +92,16 @@ object Dashboard extends QueryModule {
   private def q02(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .filter(col("event_type").isin("click", "view"))
+      // range-partition the INPUT on the output order key (see the
+      // module scaladoc): RangePartitioning clusters (bucket, user) so
+      // the aggregate adds no exchange, and the partition-local sort
+      // below yields the total (bucket, user) order without a result
+      // orderBy whose sampling would re-run the aggregate
+      .repartitionByRange(bucket(col("ts"), 600), col("user_id"))
       .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
       .agg(round(sum(dec(col("value"), 18, 4)).cast(DoubleType) / 600, 6)
         .cast(DecimalType(18, 6)).cast(DoubleType).as("rate"))
-      .orderBy("bucket", "user_id")
+      .sortWithinPartitions("bucket", "user_id")
 
   private val q02Sql =
     s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
@@ -98,7 +117,7 @@ object Dashboard extends QueryModule {
       .filter(col("ts") >= lit("2024-01-08 00:00:00").cast(TimestampType) &&
         col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType))
       .select("user_id").distinct()
-      .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
+      .join(cust(s, d), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_name").as("name"), col("c_mktsegment").as("segment"))
       .orderBy("user_id")
 
@@ -126,7 +145,7 @@ object Dashboard extends QueryModule {
     inner.groupBy(col("user_id"))
       .agg(fixedDec(rhu(sum(graft.functions.GraftFunctions.scaledLong(col("kps"), 9)),
         count(col("kps")) * lit(1000L), 1), 6).as("avg_kps"))
-      .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
+      .join(cust(s, d), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"), col("avg_kps"))
       .orderBy(col("segment"), col("user_id"))
   }
@@ -147,11 +166,14 @@ object Dashboard extends QueryModule {
     ev(s, d)
       // one byte-scan JSON probe per row (not per aggregate expression)
       .withColumn("k", graft.functions.GraftFunctions.jsonGetLong(col("props"), "k"))
+      // input range partitioning in place of a result orderBy — see
+      // the module scaladoc (measured sf10: 3.08 s -> 2.10 s)
+      .repartitionByRange(bucket(col("ts"), 600), col("user_id"))
       .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
       .agg(sum(col("k")).as("bytes"),
         round(sum(col("k")).cast(DoubleType) / 600 / 8 / 1024, 9)
           .cast(DecimalType(18, 9)).cast(DoubleType).as("kbps"))
-      .orderBy("bucket", "user_id")
+      .sortWithinPartitions("bucket", "user_id")
 
   private val q05Sql =
     s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
@@ -202,7 +224,7 @@ object Dashboard extends QueryModule {
       .select(col("user_id"), unix_timestamp(col("ts")).as("last_epoch"),
         decd(col("value"), 18, 4).as("last_value"))
     latest
-      .join(broadcast(cust(s, d)), col("user_id") === col("c_custkey"))
+      .join(cust(s, d), col("user_id") === col("c_custkey"))
       .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .select(col("user_id"), col("last_epoch"), col("last_value"),
         col("c_name").as("name"), col("n_name").as("nation"))
@@ -261,9 +283,12 @@ object Dashboard extends QueryModule {
   // Q9 analog: average latency per (hour bucket, user).
   private def q09(s: SparkSession, d: String): DataFrame =
     ev(s, d)
+      // input range partitioning in place of a result orderBy — see
+      // the module scaladoc
+      .repartitionByRange(bucket(col("ts"), 3600), col("user_id"))
       .groupBy(bucket(col("ts"), 3600).as("bucket"), col("user_id"))
       .agg(davg(latencyCol).as("avg_latency_s"))
-      .orderBy("bucket", "user_id")
+      .sortWithinPartitions("bucket", "user_id")
 
   private val q09Sql =
     s"""SELECT ${bucketSql("ts", 3600)} AS bucket, user_id,

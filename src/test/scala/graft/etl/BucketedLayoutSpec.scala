@@ -66,7 +66,7 @@ class BucketedLayoutSpec extends AnyFunSuite {
     assert(planStr.nonEmpty)
   }
 
-  test("bucketed events: timeseries groupBy(bucket, user_id) runs exchange-free, same results") {
+  test("bucketed events: timeseries agg rides one deliberate range exchange, same results") {
     BucketedLayout.ensure(spark, sf)
     val plain = graft.SparkEntry.queries("q02_rate_timeseries")(spark, sf)
       .collect().map(_.toSeq).toSet
@@ -75,13 +75,26 @@ class BucketedLayoutSpec extends AnyFunSuite {
       try {
         val df = graft.SparkEntry.queries("q02_rate_timeseries")(spark, sf)
         assert(df.collect().map(_.toSeq).toSet == plain)
-        // HashPartitioning(user_id) from the bucketed scan satisfies
-        // ClusteredDistribution(bucket, user_id): the aggregate needs
-        // no hash exchange — the only exchange left is the final
-        // orderBy's range partitioning
+        // q02's shape: ONE deliberate input range exchange (which both
+        // orders the output and clusters (bucket, user) for the
+        // aggregate) and nothing else — in particular the aggregate
+        // itself must not add a hash exchange, and there is no result
+        // orderBy whose sampling would re-run the aggregate
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
-        assert(plan.contains("Bucketed: true"), plan.take(1500))
+        assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+          plan.take(1500))
+
+        // the per-user shapes (w06-style) still read the bucketed scan
+        // exchange-free: HashPartitioning(user_id) satisfies the
+        // ClusteredDistribution of a (user_id, day) aggregate
+        val g = Tables.load(spark, sf, "events")
+          .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("n"))
+        g.collect()
+        val gplan = g.queryExecution.executedPlan.toString
+        assert(!gplan.contains("Exchange"), gplan.take(1500))
+        assert(gplan.contains("Bucketed: true"), gplan.take(1500))
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
