@@ -35,8 +35,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM/session (codegen, parquet footer reads) outside the
-    // measured section.
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // measured section — and RECORD the corpus row counts in the detail
+    // artifact: a partially-regenerated SF dir (e.g. an only=events
+    // gen_sf.py rerun leaving stale 100×-small fact tables) would
+    // otherwise produce numbers that read as engine wins/regressions.
+    // Round-9's committed t05/t11/t12/c02 sf10 re-measures were exactly
+    // that artifact (documents was 5 k rows, not 500 k).
+    val tableRows: Seq[(String, Long)] =
+      Tables.names.map(n => n -> Tables.load(spark, sfDir, n).count())
 
     // SPARK_GRAFT_SKIP: comma-separated names excluded from this run
     // (used for queries whose CONTRACT is quadratic — d05 all-pairs —
@@ -180,8 +186,10 @@ object Bench {
     // Full artifact — every query, engine + DuckDB — goes to a file
     // (and one stdout line): the consumer that wants per-query depth
     // reads BENCH_DETAIL.json from the repo.
+    val rowsJson = tableRows
+      .map { case (k, v) => "\"" + k + s"""":$v""" }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calJson,"contended":$contended,"queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calJson,"contended":$contended,"table_rows":$rowsJson,"queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(detail)
