@@ -23,10 +23,27 @@ import graft.functions.TopKByScore
   * Applicability is deliberately narrow — the rewrite fires only when
   * it is provably semantics-preserving:
   *   - window function is exactly `row_number()` with the default
-  *     running frame, ordered by (score DESC, tie ASC);
-  *   - score is a non-nullable DOUBLE and tie a non-nullable BIGINT
-  *     (TopKByScore's buffer drops null scores, a window would rank
-  *     them — bail rather than diverge);
+  *     running frame, ordered by (score DESC NULLS LAST, tie ASC
+  *     NULLS FIRST) — the default null orderings, which TopKByScore's
+  *     buffer reproduces exactly since round 10 (null score ranks
+  *     after every double, null tie before every long — spec-proven
+  *     window parity incl. -Inf/null collisions);
+  *   - score is DOUBLE and tie BIGINT; when either is NULLABLE the
+  *     rewrite additionally requires the session opt-in
+  *     `spark.graft.topkRewrite.acceptNullable=true`. This is a
+  *     PROFITABILITY gate, not a correctness one: nullable scan
+  *     columns are how users reach this idiom on raw fact tables,
+  *     where group cardinality is typically high — and the aggregate
+  *     plan loses to the window + WindowGroupLimit plan when groups
+  *     approach rows (measured w02 sf10, 1.5 M groups from 15 M rows:
+  *     3.1 s vs 2.3 s, and the object-hash map cannot hold the
+  *     buffers without its sort fallback). Group cardinality is
+  *     unknowable statically without CBO stats, so nullable (≈ raw
+  *     scan) columns default to the window plan and computed
+  *     (non-nullable ≈ deliberate) top-k idioms get the bounded
+  *     aggregate, which never skews: a 3-group rank window over a
+  *     100 TB fact shuffles everything into 3 partitions, the
+  *     aggregate never does;
   *   - the filter is `rn <= lit(k)` / `rn < lit(k+1)` with k ≤ 1024.
   * Everything else keeps the window plan (often rightly so: with many
   * groups and few rows per group the window's single shuffle is the
@@ -73,10 +90,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
           if r.exprId == rnAttr.exprId => Some(k - 1)
         case _ => None
       }
+      val nullableOk = (!score.nullable && !tie.nullable) ||
+        conf.getConfString("spark.graft.topkRewrite.acceptNullable", "false").toBoolean
       val safe = kOpt.exists(k => k >= 1 && k <= 1024) &&
-        score.dataType == DoubleType && !score.nullable &&
-        tie.dataType == LongType && !tie.nullable &&
-        partitionSpec.nonEmpty
+        score.dataType == DoubleType && tie.dataType == LongType &&
+        nullableOk && partitionSpec.nonEmpty
       if (!safe) f
       else {
         val k = kOpt.get

@@ -172,10 +172,19 @@ object Relational extends QueryModule {
        |ORDER BY 4 DESC, 1 LIMIT 100""".stripMargin
 
   // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+  // customer is UNHINTED (the semi-dimension rule — Dashboard scaladoc):
+  // beyond AQE's broadcast range the dim shuffles on c_custkey and the
+  // joined fact's one custkey shuffle also serves the per-customer
+  // aggregate (grouping keys ⊇ partition key), where the broadcast plan
+  // paid the 1.5 M-row driver build AND a separate groupBy shuffle.
+  // At sf10 the two shapes measure ~equal (2.6 s; the floor is the
+  // 20 M⋈15 M orderkey merge at 1.55 s plus one custkey exchange —
+  // BENCH_NOTES decomposition); the unhinted form is the one that
+  // still works when customer outgrows the driver.
   private def h10(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").filter(col("l_returnflag") === "R")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 22, 4).as("revenue"))

@@ -95,6 +95,41 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(unrewritten.filter(_._1 == "h").map(_._2) == Seq(11L, 12L, 10L))
   }
 
+  test("nullable score/tie columns: rewrite fires and nulls rank as the window ranks them") {
+    import spark.implicits._
+    val rnd = new java.util.Random(43L)
+    // nullable columns (Option encoding) with real nulls, -Inf collisions
+    // (a null-as--Inf shortcut would interleave them wrongly) and null ties
+    val rows = (0 until 8000).map { i =>
+      val score: Option[Double] =
+        if (i % 7 == 0) None
+        else if (i % 11 == 0) Some(Double.NegativeInfinity)
+        else Some(rnd.nextDouble() * 10)
+      val id: Option[Long] = if (i % 13 == 0) None else Some(i.toLong)
+      (s"g${i % 4}", score, id)
+    }
+    val df = rows.toDF("g", "score", "id")
+    assert(df.schema("score").nullable && df.schema("id").nullable)
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("id"))
+    def run() = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 9)
+    def canon(d: DataFrame) = d.collect().map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getInt(3))).toSet
+    val windowed = canon(run()) // no rule: the window plan is the truth
+    withRule {
+      // nullable columns need the explicit profitability opt-in
+      // (raw-scan columns usually mean high group cardinality — see
+      // the rule scaladoc); without it the window plan is kept
+      assert(windowNodes(run()).nonEmpty)
+      spark.conf.set("spark.graft.topkRewrite.acceptNullable", "true")
+      try {
+        val rewritten = run()
+        assert(windowNodes(rewritten).isEmpty,
+          rewritten.queryExecution.optimizedPlan.toString.take(800))
+        assert(canon(rewritten) == windowed)
+      } finally spark.conf.unset("spark.graft.topkRewrite.acceptNullable")
+    }
+  }
+
   test("bails out when the guard conditions do not hold") {
     import spark.implicits._
     withRule {
