@@ -44,6 +44,11 @@ object PlanAudit {
     val noSinglePartitionWindow: String => Boolean = simpleOnly(s =>
       !s.split("\n").sliding(6).exists(w =>
         w.head.contains("Window") && w.exists(_.contains("SinglePartition"))))
+    // simple-plan lines carry tree-drawing prefixes ("+- ", ":- ",
+    // "*(3) ") before the node name — trim().startsWith(node) never
+    // matches, making negative checks vacuous; strip them first
+    def nodeIs(line: String, node: String): Boolean =
+      line.replaceAll("""^[\s:+\-*()\d]*""", "").startsWith(node)
     def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute THIS QueryExecution first (collect, not a write —
@@ -330,7 +335,7 @@ object PlanAudit {
     audit("w08_sliding_windows")(
       "no Expand (single-distinct two-level agg)" -> simpleOnly(s =>
         !s.split("== Initial Plan ==").head.split("\n")
-          .exists(_.trim.startsWith("Expand"))),
+          .exists(nodeIs(_, "Expand"))),
       // alias-proof: in the shipped plan user_id occurs ONLY as a
       // window partition key (the sweep) / exchange key — it must
       // never be a GROUPING key of any aggregate (Hash, Sort or
@@ -358,6 +363,38 @@ object PlanAudit {
             l.contains("windowspecdefinition(user_id#"))),
       "one data-sized + four partial exchanges max" ->
         maxHashExchanges(5))
+
+    // a08 grouping sets: the ×|sets| Expand must feed the PARTIAL
+    // aggregate inside the scan stage, so the one data-sized exchange
+    // ships partially-aggregated (group, set) rows — never ×3 raw rows
+    audit("a08_grouping_sets")(
+      "Expand plans the grouping sets" -> simpleOnly(s =>
+        s.split("== Initial Plan ==").head.split("\n")
+          .exists(nodeIs(_, "Expand"))),
+      "one hash exchange (partial agg above Expand)" -> maxHashExchanges(1))
+
+    // w09 attribution: both touch windows share one user_id-keyed
+    // exchange + sort; the only other hash exchange is the |types|²-row
+    // final aggregate
+    audit("w09_attribution")(
+      "touch windows keyed by user_id" -> (_.contains("windowspecdefinition(user_id#")),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "one data-sized + one final-agg exchange" -> maxHashExchanges(2))
+
+    // t14 ranking must come from the two-level histogram idiom: every
+    // window is keyed by lang or (lang, freq) — never corpus- or
+    // vocab-sized in one partition
+    audit("t14_zipf_rank_profile")(
+      "rank windows keyed by lang" -> (_.contains("windowspecdefinition(lang#")),
+      "no single-partition window" -> noSinglePartitionWindow)
+
+    // t15 gram ownership: the occurrences⋈owner join stays a gram-keyed
+    // equi join — no cartesian / nested-loop anywhere
+    audit("t15_ngram_novelty")(
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }))
 
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds

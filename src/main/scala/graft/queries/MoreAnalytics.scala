@@ -318,17 +318,65 @@ object MoreAnalytics extends QueryModule {
   private def w08Stream(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingSlidingWindows.replayGate(s, d)
 
+  // w09: purchase attribution — the event-analytics companion to the
+  // w07 funnel: every purchase is credited to the user's FIRST event
+  // ever (first-touch) and to the LATEST strictly-preceding
+  // non-purchase event (last-touch; 'direct' when the purchase opens
+  // the history). Both are single ordered passes over each user's
+  // event stream — first_value over the unbounded-preceding frame,
+  // and a frame-bounded last(..., ignoreNulls) ending at the previous
+  // row, so a purchase never attributes to itself.
+  //
+  // Scale shape: one exchange on user_id, per-user in-partition sort
+  // (user histories are bounded ≪ corpus; the same key the bucketed
+  // events layout serves exchange-free), then a |types|²-key final
+  // aggregate. Revenue stays exact via Q.dsum. Deterministic total
+  // order inside a user: (ts, event_id).
+  private def w09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        first(col("event_type"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_touch"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(wPrev).as("lt"))
+      .where(col("event_type") === "purchase")
+      .groupBy(col("first_touch"), coalesce(col("lt"), lit("direct")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"), Q.dsum(col("value"), 18, 2).as("revenue"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  private val w09Sql =
+    s"""WITH t AS (
+       |  SELECT user_id, event_type, value,
+       |    first_value(event_type) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |        IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+       |  FROM events)
+       |SELECT first_touch, COALESCE(lt, 'direct') AS last_touch,
+       |  COUNT(*) AS n_purchases, ${Q.dsumSql("value", 18, 2)} AS revenue
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a07_exact_quantiles" -> a07,
     "w06_retention_cohorts" -> w06,
     "w07_conversion_funnel" -> w07,
     "w08_sliding_windows" -> w08,
-    "w08_sliding_stream" -> w08Stream)
+    "w08_sliding_stream" -> w08Stream,
+    "w09_attribution" -> w09)
 
   override def oracle: Map[String, String] = Map(
     "a07_exact_quantiles" -> a07Sql,
     "w06_retention_cohorts" -> w06Sql,
     "w07_conversion_funnel" -> w07Sql,
     "w08_sliding_windows" -> w08Sql,
-    "w08_sliding_stream" -> w08Sql)
+    "w08_sliding_stream" -> w08Sql,
+    "w09_attribution" -> w09Sql)
 }

@@ -537,6 +537,36 @@ object Relational extends QueryModule {
        |FROM orders GROUP BY CUBE(1, 2)
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  // a08: explicit GROUPING SETS — the third grouping-set flavor next
+  // to a02's ROLLUP and a06's CUBE, with a chosen (non-prefix, non-
+  // powerset) set list the other two can't express: ((flag, status),
+  // (flag), ()). grouping_id() disambiguates a grouped-out NULL from a
+  // data NULL — emitted as BIGINT on both engines (identical MSB-first
+  // bit order, verified: (a,b)→0, (a)→1, ()→3). Plans as an Expand
+  // feeding the PARTIAL aggregate inside the scan stage, so the one
+  // data-sized exchange ships partially-aggregated (group, set) rows,
+  // never ×|sets| raw lineitem rows (PlanAudit-asserted).
+  private def a08(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity"), 18, 2).as("sum_qty"))
+      .select(col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"), col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("returnflag").asc_nulls_first,
+        col("linestatus").asc_nulls_first)
+
+  private val a08Sql =
+    s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity", 18, 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY 3, 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   // r01: range (interval containment) aggregate — each error event's
   // ±60 s neighborhood over ALL events. The CONSUMER here is an
   // aggregate, so the plan comes from graft.operators.NeighborAgg's
@@ -652,6 +682,7 @@ object Relational extends QueryModule {
     "a04_anti_join" -> a04,
     "a05_asof_join" -> a05,
     "a06_cube" -> a06,
+    "a08_grouping_sets" -> a08,
     "h17_corr_subquery" -> h17,
     "set01_intersect_except" -> set01,
     "w04_ntile_deciles" -> w04,
@@ -677,6 +708,7 @@ object Relational extends QueryModule {
     "a04_anti_join" -> a04Sql,
     "a05_asof_join" -> a05Sql,
     "a06_cube" -> a06Sql,
+    "a08_grouping_sets" -> a08Sql,
     "h17_corr_subquery" -> h17Sql,
     "set01_intersect_except" -> set01Sql,
     "w04_ntile_deciles" -> w04Sql,

@@ -410,6 +410,119 @@ object TextAnalysis extends QueryModule {
       |WHERE cxy >= 5
       |ORDER BY 5 DESC, 1 LIMIT 20""".stripMargin
 
+  // t14: Zipf rank-frequency profile per language — the corpus-shape
+  // diagnostic behind vocabulary sizing and tokenizer budgeting: words
+  // are ranked by frequency and folded into doubling rank buckets
+  // (1, 2–3, 4–7, …); under Zipf's law each bucket carries roughly
+  // constant probability mass, so the share_ppm column IS the
+  // (integer-exact) rank-frequency slope diagnostic. No libm log
+  // anywhere: the bucket index floor(log2(rank)) is computed as
+  // length(bin(rank)) − 1 — exact integer bit-length on both engines —
+  // and the mass share is a Q.rhu integer ppm. (A fitted log-log
+  // regression slope would need ln(): per-libm last-ulp drift, the
+  // t13 determinism note.)
+  //
+  // Scale shape: vocabulary counts come pre-aggregated per doc from
+  // the WordTfPairs scan kernel (map-side combine, one vocab-keyed
+  // shuffle). Ranking never sorts the corpus OR the whole vocabulary
+  // in one partition: rank = (#words with strictly higher frequency,
+  // from a cumulative window over the per-lang FREQUENCY HISTOGRAM —
+  // distinct-frequency-bounded, ≪ vocab) + row_number inside the
+  // (lang, freq) tie class (tie-class-bounded). The a07 two-level
+  // histogram idiom applied to ranking.
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.wordTfPairs
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs(s, d)
+      .select(col("lang"), explode(wordTfPairs(col("text"))).as("p"))
+      .groupBy(col("lang"), col("p.t").as("word"))
+      .agg(sum(col("p.c")).as("f"))
+    val fh = vocab.groupBy(col("lang"), col("f")).agg(count(lit(1)).as("nf"))
+      .withColumn("higher",
+        sum(col("nf")).over(Window.partitionBy("lang").orderBy(desc("f")))
+          - col("nf"))
+    val ranked = vocab.join(fh, Seq("lang", "f"))
+      .withColumn("rank", col("higher") + row_number()
+        .over(Window.partitionBy(col("lang"), col("f")).orderBy("word")))
+    val tot = vocab.groupBy(col("lang")).agg(sum(col("f")).as("tot"))
+    ranked
+      .withColumn("bucket", (length(bin(col("rank"))) - 1).cast(LongType))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_words"), sum(col("f")).as("bucket_freq"),
+        max(col("f")).as("top_freq"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("bucket"), col("n_words"), col("bucket_freq"),
+        col("top_freq"),
+        rhu(col("bucket_freq"), col("tot"), 1000000L).as("share_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
+  // Oracle states the SEMANTICS (a straight row_number rank), not the
+  // histogram plan.
+  private val t14Sql =
+    s"""WITH v AS (SELECT lang, word, COUNT(*) AS f
+       |           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |                 FROM documents) t
+       |           WHERE word <> '' GROUP BY 1, 2),
+       |r AS (SELECT lang, f,
+       |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, word) AS rank
+       |      FROM v),
+       |tot AS (SELECT lang, SUM(f) AS tot FROM v GROUP BY 1)
+       |SELECT r.lang, CAST(length(bin(rank)) - 1 AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_words, CAST(SUM(f) AS BIGINT) AS bucket_freq, MAX(f) AS top_freq,
+       |  ${rhuSql("SUM(f)", "ANY_VALUE(tot)", 1000000L)} AS share_ppm
+       |FROM r JOIN tot ON r.lang = tot.lang
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // t15: n-gram novelty decay — the corpus-growth diagnostic behind
+  // "is more data still adding information": a word-trigram occurrence
+  // is NOVEL iff its gram first appears in this document (owner =
+  // min doc_id, the d09 ownership rule); per-source novelty ppm is the
+  // deduplicated-information rate of that slice of the corpus.
+  //
+  // Scale shape: one gram explode collapsed IMMEDIATELY to per-(doc,
+  // gram) counts (map-side combine); ownership is a second gram-keyed
+  // aggregate over that collapsed set; the occurrences⋈owner join is
+  // gram-keyed equi (AQE broadcasts at small SF, shuffle-hash at
+  // corpus scale — the owner side is distinct-gram-bounded). Linear
+  // stages throughout; hot grams cost only a cheap min/count reduce.
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    // total index list then slice — sequence(1, size-2) would DESCEND
+    // for docs under 3 words (the CorpusOps d09 guard)
+    val dg = docs(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(slice(sequence(1, size(ws)), 1, greatest(size(ws) - 2, 0)), " +
+          "p -> array_join(slice(ws, p, 3), ' '))")).as("gram"))
+      .groupBy(col("doc_id"), col("source"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val owner = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
+    dg.join(owner, Seq("gram"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), col("c")).otherwise(0L)).as("novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_with_grams"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("novel")).as("novel_grams"),
+        rhu(sum(col("novel")), sum(col("n_grams")), 1000000L).as("novelty_ppm"))
+      .orderBy("source")
+  }
+
+  private val t15Sql =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |occ AS (SELECT doc_id, source, array_to_string(ws[p:p+2], ' ') AS gram
+       |        FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(p)),
+       |own AS (SELECT gram, MIN(doc_id) AS owner FROM occ GROUP BY 1),
+       |pd AS (SELECT doc_id, source, COUNT(*) AS n_grams,
+       |         SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS novel
+       |       FROM occ JOIN own USING (gram) GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS docs_with_grams,
+       |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       |  CAST(SUM(novel) AS BIGINT) AS novel_grams,
+       |  ${rhuSql("SUM(novel)", "SUM(n_grams)", 1000000L)} AS novelty_ppm
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -420,10 +533,14 @@ object TextAnalysis extends QueryModule {
     "t07_bpe_token_stats" -> t07,
     "t10_char_lm_quality" -> t10,
     "t12_bm25_topk" -> t12,
-    "t13_pmi_collocations" -> t13)
+    "t13_pmi_collocations" -> t13,
+    "t14_zipf_rank_profile" -> t14,
+    "t15_ngram_novelty" -> t15)
 
   override def oracle: Map[String, String] = Map(
     "t12_bm25_topk" -> t12Sql,
+    "t14_zipf_rank_profile" -> t14Sql,
+    "t15_ngram_novelty" -> t15Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_scores" -> t02Sql,
     "t03_lang_id_accuracy" -> t03Sql,
