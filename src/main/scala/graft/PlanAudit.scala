@@ -405,6 +405,38 @@ object PlanAudit {
       }),
       "edge list served from cache" -> (_.contains("InMemoryTableScan")))
 
+    // g05 k-core: the gate query's visible plan is the post-peel
+    // summary (per-round lineage is checkpoint-truncated), so assert
+    // no cartesian there, and audit the per-round peel plan directly
+    // via KCore.peelRound — the surviving-node filter must be two
+    // LEFT-SEMI equi joins fed by a partially-aggregated degree count,
+    // never a nested loop or an IN-materialization
+    audit("g05_kcore")(
+      "no cartesian / nested loop in summary" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }))
+    locally {
+      val pairs = graft.Tables.load(spark, sfDir, "orders")
+        .select(org.apache.spark.sql.functions.col("o_custkey").as("a"))
+        .withColumn("b", org.apache.spark.sql.functions.col("a") + 1)
+      val round = graft.operators.KCore.peelRound(pairs, 2)
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString
+      val fin = plan.split("== Initial Plan ==").head
+      val checks = Seq(
+        "peel round: two left-semi joins" ->
+          ("LeftSemi".r.findAllIn(fin).size >= 2),
+        "peel round: no cartesian / nested loop" ->
+          (!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")),
+        "peel round: degree agg partial (map-side combine)" ->
+          fin.contains("HashAggregate"))
+      checks.foreach { case (desc, ok) =>
+        if (!ok) failures += 1
+        println(f"[plan] ${if (ok) "PASS" else "FAIL"}%s  g05_kcore                    $desc")
+      }
+    }
+
     // AQE skew-join: the w02/q02-shape hot key (one join key holding
     // 80% of the fact) must trigger the sort-merge skew split — the
     // runtime mitigation for skew the static planner can't see. The

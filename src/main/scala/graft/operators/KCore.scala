@@ -39,28 +39,45 @@ object KCore {
     val b = edges.columns(1)
     var e = edges.localCheckpoint(true)
     var nEdges = e.count()
-    var round = 0
+    // `peels` counts only rounds that REMOVED something; the final
+    // fixed-point-detection round is a no-op (next == e) and does not
+    // count against the bound, so a cascade of exactly `maxRounds`
+    // peel rounds succeeds (it runs maxRounds+1 loop iterations).
+    var peels = 0
     var converged = nEdges == 0
     while (!converged) {
-      round += 1
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"k-core peel (k=$k) did not converge in $maxRounds rounds — " +
-            "raise maxRounds AND the oracle's unroll depth together")
-      val keep = e.select(col(a).as("n")).unionByName(e.select(col(b).as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("n"))
-      val next = e
-        .join(keep.select(col("n").as(a)), Seq(a), "left_semi")
-        .join(keep.select(col("n").as(b)), Seq(b), "left_semi")
-        .select(col(a), col(b))
-        .localCheckpoint(true)
+      val next = peelRound(e, k).localCheckpoint(true)
       val nNext = next.count()
-      converged = nNext == nEdges || nNext == 0
-      nEdges = nNext
-      e = next
+      if (nNext == nEdges) {
+        converged = true // fixed point reached; detection round is free
+      } else {
+        peels += 1
+        if (peels > maxRounds)
+          throw new IllegalStateException(
+            s"k-core peel (k=$k) did not converge in $maxRounds rounds — " +
+              "raise maxRounds AND the oracle's unroll depth together")
+        nEdges = nNext
+        e = next
+        converged = nNext == 0
+      }
     }
     e
+  }
+
+  /** One peel round as a pure plan: node-keyed degree aggregate
+    * (map-side combined) feeding two LEFT-SEMI joins on the surviving
+    * node set. Exposed so PlanAudit can assert the per-round physical
+    * shape (semi joins, no cartesian) that `core`'s per-round
+    * checkpoints would otherwise hide. */
+  def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val a = e.columns(0)
+    val b = e.columns(1)
+    val keep = e.select(col(a).as("n")).unionByName(e.select(col(b).as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("n"))
+    e.join(keep.select(col("n").as(a)), Seq(a), "left_semi")
+      .join(keep.select(col("n").as(b)), Seq(b), "left_semi")
+      .select(col(a), col(b))
   }
 }

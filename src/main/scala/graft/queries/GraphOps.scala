@@ -197,12 +197,81 @@ object GraphOps extends QueryModule {
       |  END AS transitivity_x1e6
       |FROM agg, tri""".stripMargin
 
+  // g05: k-core of the repeat-trade graph (g03's edge construction —
+  // customer 2c ↔ supplier 2s+1 when the pair shares ≥2 distinct
+  // orders) peeled to the 10-core by graft.operators.KCore: repeatedly
+  // drop every node of degree < 10 until a fixed point. Output is one
+  // row per surviving node with its core degree — the cohesive trading
+  // center stripped of the tree-like fringe.
+  //
+  // BOUNDED-ROUNDS ORACLE CONTRACT (operator scaladoc): the engine
+  // peels at most `kcoreMaxRounds` rounds or THROWS; the oracle
+  // unrolls exactly `kcoreMaxRounds` peel CTEs (extra rounds are
+  // no-ops once converged), so whenever the engine query succeeds
+  // both sides computed the identical true k-core.
+  //
+  // Scale shape: each peel round is one node-keyed degree aggregate
+  // (map-side combined) + two left-semi joins on the surviving node
+  // set — O(|E|) per round, lineage truncated per round; no driver-
+  // side data beyond the 1-row convergence count.
+  private val kcoreK = 10
+  private val kcoreMaxRounds = 4
+
+  private def g05(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+    val edges = pairs.select((col("o_custkey") * 2).as("a"),
+      (col("l_suppkey") * 2 + 1).as("b"))
+    val core = graft.operators.KCore.core(edges, kcoreK, kcoreMaxRounds)
+    core.select(col("a").as("n")).unionByName(core.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+      .select(
+        when(pmod(col("n"), lit(2)) === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        (col("n") / 2).cast(LongType).as("key"),
+        col("core_deg"))
+      .orderBy("node_type", "key")
+  }
+
+  // The oracle unrolls kcoreMaxRounds peel rounds as CTE pairs
+  // (d_i = surviving node set, e_i = filtered edges); converged
+  // rounds are no-ops, so the unroll depth only has to be ≥ the
+  // engine's bound (which throws past it) for exact agreement.
+  private val g05Sql: String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM (SELECT o_custkey, l_suppkey
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |        GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 2)),""".stripMargin
+    val peels = (1 to kcoreMaxRounds).map { i =>
+      s"""d$i AS (SELECT n FROM (SELECT a AS n FROM e${i - 1}
+         |          UNION ALL SELECT b FROM e${i - 1})
+         |        GROUP BY n HAVING COUNT(*) >= $kcoreK),
+         |e$i AS (SELECT a, b FROM e${i - 1}
+         |        WHERE a IN (SELECT n FROM d$i) AND b IN (SELECT n FROM d$i))""".stripMargin
+    }.mkString(",\n")
+    val last = s"e$kcoreMaxRounds"
+    base + "\n" + peels +
+      s"""
+         |SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  n // 2 AS key, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS n FROM $last UNION ALL SELECT b FROM $last)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g02_pagerank" -> g02,
     "g03_connected_components" -> g03,
-    "g04_triangle_census" -> g04)
+    "g04_triangle_census" -> g04,
+    "g05_kcore" -> g05)
 
   override def oracle: Map[String, String] = Map(
     "g02_pagerank" -> g02Sql,
-    "g04_triangle_census" -> g04Sql)
+    "g04_triangle_census" -> g04Sql,
+    "g05_kcore" -> g05Sql)
 }
