@@ -30,13 +30,35 @@ import org.apache.spark.sql.types._
   * scan+aggregate pipeline that doubles the query (measured q05 sf10:
   * 3.08 s → 2.10 s); range partitioning clusters (bucket, user) just
   * like hash, so the aggregate stays exchange-free and the
-  * partition-local sort yields the same total order.
+  * partition-local sort yields the same total order. The choice is
+  * COST-BASED (orderedOut): below a scanned-bytes threshold the
+  * result is small and the plain orderBy wins.
   */
 object Dashboard extends QueryModule {
   import Q._
 
   private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
   private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+
+  /** Cost-based ordered-timeseries output (q02/q05/q09). Above
+    * `rangeInputMinBytes` of scanned fact bytes, range-partition the
+    * INPUT on the output key — the aggregate stays exchange-free and
+    * the partition-local sort yields the total order (module scaladoc;
+    * measured q05 sf10: 3.08 s → 2.10 s). Below it the aggregate
+    * result is small and repartitionByRange's range sampling — which
+    * re-executes the scan plus any per-row kernel — costs more than
+    * the plain result orderBy it replaces (the round-10 cold-sf0.1
+    * regression). The stat is the optimized plan's file-index
+    * sizeInBytes: driver-side parquet metadata, no job; filters
+    * don't shrink it without CBO, which errs toward the scale-safe
+    * plan. */
+  private val rangeInputMinBytes = 64L << 20
+  private def orderedOut(in: DataFrame, k1: Column, k2: Column)
+      (aggOf: DataFrame => DataFrame): DataFrame =
+    if (in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes)
+      aggOf(in.repartitionByRange(k1, k2))
+        .sortWithinPartitions("bucket", "user_id")
+    else aggOf(in).orderBy("bucket", "user_id")
 
   // Q1 analog: 2-level agg — per-(user, 10 min bucket) filtered-CASE
   // rates, then per-user average, broadcast-joined to the dimension.
@@ -90,18 +112,14 @@ object Dashboard extends QueryModule {
   // Q2 analog: time-bucketed rate timeseries with an IN filter.
   // Ref: "Satellite count $interval-average", RTCM monitor.json:248.
   private def q02(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
-      .filter(col("event_type").isin("click", "view"))
-      // range-partition the INPUT on the output order key (see the
-      // module scaladoc): RangePartitioning clusters (bucket, user) so
-      // the aggregate adds no exchange, and the partition-local sort
-      // below yields the total (bucket, user) order without a result
-      // orderBy whose sampling would re-run the aggregate
-      .repartitionByRange(bucket(col("ts"), 600), col("user_id"))
-      .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
-      .agg(round(sum(dec(col("value"), 18, 4)).cast(DoubleType) / 600, 6)
-        .cast(DecimalType(18, 6)).cast(DoubleType).as("rate"))
-      .sortWithinPartitions("bucket", "user_id")
+    // cost-based input range partitioning vs plain result orderBy —
+    // see orderedOut
+    orderedOut(ev(s, d).filter(col("event_type").isin("click", "view")),
+      bucket(col("ts"), 600), col("user_id")) {
+      _.groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
+        .agg(round(sum(dec(col("value"), 18, 4)).cast(DoubleType) / 600, 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("rate"))
+    }
 
   private val q02Sql =
     s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
@@ -163,17 +181,17 @@ object Dashboard extends QueryModule {
   // Q5 analog: bucketed sum-rate timeseries over the JSON payload size.
   // Ref: "Data flow $interval-average", RTCM monitor.json:645.
   private def q05(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
-      // one byte-scan JSON probe per row (not per aggregate expression)
-      .withColumn("k", graft.functions.GraftFunctions.jsonGetLong(col("props"), "k"))
-      // input range partitioning in place of a result orderBy — see
-      // the module scaladoc (measured sf10: 3.08 s -> 2.10 s)
-      .repartitionByRange(bucket(col("ts"), 600), col("user_id"))
-      .groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
-      .agg(sum(col("k")).as("bytes"),
-        round(sum(col("k")).cast(DoubleType) / 600 / 8 / 1024, 9)
-          .cast(DecimalType(18, 9)).cast(DoubleType).as("kbps"))
-      .sortWithinPartitions("bucket", "user_id")
+    // one byte-scan JSON probe per row (not per aggregate expression);
+    // cost-based input range partitioning — see orderedOut
+    orderedOut(
+      ev(s, d).withColumn("k",
+        graft.functions.GraftFunctions.jsonGetLong(col("props"), "k")),
+      bucket(col("ts"), 600), col("user_id")) {
+      _.groupBy(bucket(col("ts"), 600).as("bucket"), col("user_id"))
+        .agg(sum(col("k")).as("bytes"),
+          round(sum(col("k")).cast(DoubleType) / 600 / 8 / 1024, 9)
+            .cast(DecimalType(18, 9)).cast(DoubleType).as("kbps"))
+    }
 
   private val q05Sql =
     s"""SELECT ${bucketSql("ts", 600)} AS bucket, user_id,
@@ -282,13 +300,11 @@ object Dashboard extends QueryModule {
 
   // Q9 analog: average latency per (hour bucket, user).
   private def q09(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
-      // input range partitioning in place of a result orderBy — see
-      // the module scaladoc
-      .repartitionByRange(bucket(col("ts"), 3600), col("user_id"))
-      .groupBy(bucket(col("ts"), 3600).as("bucket"), col("user_id"))
-      .agg(davg(latencyCol).as("avg_latency_s"))
-      .sortWithinPartitions("bucket", "user_id")
+    // cost-based input range partitioning — see orderedOut
+    orderedOut(ev(s, d), bucket(col("ts"), 3600), col("user_id")) {
+      _.groupBy(bucket(col("ts"), 3600).as("bucket"), col("user_id"))
+        .agg(davg(latencyCol).as("avg_latency_s"))
+    }
 
   private val q09Sql =
     s"""SELECT ${bucketSql("ts", 3600)} AS bucket, user_id,
