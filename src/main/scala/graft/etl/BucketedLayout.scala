@@ -48,7 +48,15 @@ object BucketedLayout {
   val facts: Map[String, String] = Map(
     "lineitem" -> "l_orderkey",
     "orders" -> "o_orderkey",
-    "events" -> "user_id")
+    "events" -> "user_id",
+    // customer by its key: the per-customer joins/aggregates downstream
+    // of the orderkey fact joins (h10's returned-item top-k, the
+    // dashboard's user⋈customer dimension joins, w06/w07's cohort
+    // aggregates) all cluster on c_custkey. Bucketing customer makes
+    // those joins co-located sorted merges — no customer-side exchange
+    // or sort — which is also the form that survives customer
+    // outgrowing the driver's broadcast threshold.
+    "customer" -> "c_custkey")
 
   /** 32 matches local[32]; a real cluster sizes this to
     * (fact size / target bucket file size) at ingest. */

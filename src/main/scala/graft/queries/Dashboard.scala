@@ -60,6 +60,42 @@ object Dashboard extends QueryModule {
         .sortWithinPartitions("bucket", "user_id")
     else aggOf(in).orderBy("bucket", "user_id")
 
+  /** Shared cost probe: scanned fact bytes from the optimized plan's
+    * file-index stats (driver-side parquet metadata, no job). */
+  private def bigInput(in: DataFrame): Boolean =
+    in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes
+
+  /** Global sort of a MUCH-SMALLER-than-input result (q01/q04: the
+    * per-user aggregate ⋈ dimension, ≤|customer| rows) whose pipeline
+    * is expensive to run twice. A bare orderBy's RangePartitioning
+    * sampling job re-executes the child — here the whole exchange-free
+    * two-level aggregate plus the customer merge join (measured sf10:
+    * the sort alone pays ~0.7 s of q01's 1.29 s). Re-materializing the
+    * bounded result as a hash-shuffle stage first means the sampler
+    * (and the final range exchange) read shuffle files instead:
+    * measured sf10 q01 1.29 s → 0.91 s. The extra exchange ships only
+    * the aggregate output, so it scales with |customer|, not the fact.
+    * Below the same input-stats threshold as orderedOut the result is
+    * tiny and the extra stage is pure overhead — plain orderBy. */
+  private def sortedSmallOut(big: Boolean, out: DataFrame,
+      keys: Column*): DataFrame =
+    if (big) out.repartition(keys: _*).orderBy(keys: _*)
+    else out.orderBy(keys: _*)
+
+  /** The customer dimension for a big-input join, per the
+    * semi-dimension rule (never build the dimension on the driver —
+    * the form that survives customer outgrowing it). When customer is
+    * served from the bucketed layout its catalog table carries
+    * row-count stats, and the planner estimates the pruned 2-3 column
+    * projection under the broadcast threshold — silently flipping the
+    * join to a 1.5 M-row driver broadcast build (measured sf10 q01:
+    * 1.28 s SMJ → 1.66 s BHJ). The merge hint pins the sort-merge
+    * form; against the bucketed layout that join is CO-LOCATED (both
+    * sides HashPartitioning(key, 32), customer pre-sorted by the
+    * sorted-bucket-scan flag): zero exchanges, measured q01 0.73 s. */
+  private def custDim(s: SparkSession, d: String, big: Boolean): DataFrame =
+    if (big) cust(s, d).hint("merge") else cust(s, d)
+
   // Q1 analog: 2-level agg — per-(user, 10 min bucket) filtered-CASE
   // rates, then per-user average, broadcast-joined to the dimension.
   // Ref: "Satellite count average", RTCM monitor.json:126.
@@ -90,11 +126,12 @@ object Dashboard extends QueryModule {
     val outer = inner.groupBy(col("user_id")).agg(
       outerAvg("click_rate").as("avg_click_rate"),
       outerAvg("error_rate").as("avg_error_rate"))
-    outer
-      .join(cust(s, d), outer("user_id") === col("c_custkey"))
+    val big = bigInput(ev(s, d))
+    val joined = outer
+      .join(custDim(s, d, big), outer("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"),
         col("avg_click_rate"), col("avg_error_rate"))
-      .orderBy(col("segment"), col("user_id"))
+    sortedSmallOut(big, joined, col("segment"), col("user_id"))
   }
 
   private val q01Sql =
@@ -160,12 +197,13 @@ object Dashboard extends QueryModule {
       .withColumn("k", graft.functions.GraftFunctions.jsonGetLong(col("props"), "k"))
       .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
       .agg(round(sum(col("k")).cast(DoubleType) / 600, 9).as("kps"))
-    inner.groupBy(col("user_id"))
+    val big = bigInput(ev(s, d))
+    val joined = inner.groupBy(col("user_id"))
       .agg(fixedDec(rhu(sum(graft.functions.GraftFunctions.scaledLong(col("kps"), 9)),
         count(col("kps")) * lit(1000L), 1), 6).as("avg_kps"))
-      .join(cust(s, d), col("user_id") === col("c_custkey"))
+      .join(custDim(s, d, big), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("c_mktsegment").as("segment"), col("avg_kps"))
-      .orderBy(col("segment"), col("user_id"))
+    sortedSmallOut(big, joined, col("segment"), col("user_id"))
   }
 
   private val q04Sql =

@@ -28,6 +28,8 @@ object DebugMain {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       var run = 0
       while (run < nRuns) {
         val t0 = System.nanoTime()

@@ -184,6 +184,136 @@ object PerfLab {
         .orderBy(col("segment"), col("user_id"))
     }
 
+    // q01 stage decomposition on the bucketed layout
+    // (set SPARK_GRAFT_LAB_Q01STAGES=1)
+    if (sys.env.get("SPARK_GRAFT_LAB_Q01STAGES").contains("1")) {
+      spark.conf.set("graft.layout.bucketed", "true")
+      graft.etl.BucketedLayout.ensure(spark, sfDir)
+      val evB = graft.Tables.load(spark, sfDir, "events")
+      def rate(cond: Column) =
+        round(sum(when(cond, graft.functions.GraftFunctions.scaledLong(col("value"), 4)))
+          .cast(DoubleType) / 10000 / 600, 6)
+      def inner = evB
+        .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
+        .agg(rate(col("event_type").isin("click", "view")).as("click_rate"),
+          rate(col("event_type") === "error").as("error_rate"))
+      def avg6(rc: String) =
+        fixedDec(rhu(sum(graft.functions.GraftFunctions.scaledLong(col(rc), 6)),
+          count(col(rc)), 1), 6)
+      def outer = inner.groupBy(col("user_id")).agg(
+        avg6("click_rate").as("avg_click_rate"),
+        avg6("error_rate").as("avg_error_rate"))
+      time("s1_scan_only")(evB.groupBy().agg(count(lit(1)).as("n")))
+      time("s2_bucket_expr_only")(evB
+        .select(bucket(col("ts"), 600).as("b"), col("user_id"))
+        .groupBy().agg(sum(col("b")).as("s"), sum(col("user_id")).as("u")))
+      time("s3_inner_agg")(inner.groupBy().agg(count(lit(1)).as("n")))
+      time("s4_outer_agg")(outer.groupBy().agg(count(lit(1)).as("n")))
+      time("s5_join_smj")(outer
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"))
+        .groupBy().agg(count(lit(1)).as("n")))
+      time("s5_join_bcast")(outer
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"))
+        .groupBy().agg(count(lit(1)).as("n")))
+      time("s6_full_smj")(outer
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+        .orderBy(col("segment"), col("user_id")))
+      time("s6_full_bcast")(outer
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+        .orderBy(col("segment"), col("user_id")))
+    }
+
+    // q01 join/sort variants (set SPARK_GRAFT_LAB_Q01VAR=1)
+    if (sys.env.get("SPARK_GRAFT_LAB_Q01VAR").contains("1")) {
+      spark.conf.set("graft.layout.bucketed", "true")
+      graft.etl.BucketedLayout.ensure(spark, sfDir)
+      val evB = graft.Tables.load(spark, sfDir, "events")
+      def rate(cond: Column) =
+        round(sum(when(cond, graft.functions.GraftFunctions.scaledLong(col("value"), 4)))
+          .cast(DoubleType) / 10000 / 600, 6)
+      def inner = evB
+        .groupBy(col("user_id"), bucket(col("ts"), 600).as("bucket"))
+        .agg(rate(col("event_type").isin("click", "view")).as("click_rate"),
+          rate(col("event_type") === "error").as("error_rate"))
+      def avg6(rc: String) =
+        fixedDec(rhu(sum(graft.functions.GraftFunctions.scaledLong(col(rc), 6)),
+          count(col(rc)), 1), 6)
+      def outer = inner.groupBy(col("user_id")).agg(
+        avg6("click_rate").as("avg_click_rate"),
+        avg6("error_rate").as("avg_error_rate"))
+      val segMap = cust.select(col("c_custkey"), col("c_mktsegment"))
+      def joined(o: DataFrame) = o
+        .join(broadcast(segMap), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+      time("v1_bcast2col_sort")(joined(outer).orderBy(col("segment"), col("user_id")))
+      time("v2_bcast2col_ckpt_sort") {
+        val j = joined(outer).localCheckpoint(true)
+        j.orderBy(col("segment"), col("user_id"))
+      }
+      time("v3_smj_ckpt_sort") {
+        val j = outer.join(cust, col("user_id") === col("c_custkey"))
+          .select(col("user_id"), col("c_mktsegment").as("segment"),
+            col("avg_click_rate"), col("avg_error_rate"))
+          .localCheckpoint(true)
+        j.orderBy(col("segment"), col("user_id"))
+      }
+      time("v4_bcast2col_nosort")(joined(outer)
+        .groupBy().agg(count(lit(1)).as("n")))
+      // customer served bucketed by c_custkey (facts map) → co-located
+      // SMJ, and the join output is re-materialized as a hash-shuffle
+      // stage so the range sampler reads shuffle files
+      val custB = graft.Tables.load(spark, sfDir, "customer")
+      def joinedB = outer.join(custB, col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+      time("v5_smj_reshuffle_sort")(outer
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+        .repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")))
+      time("v6_bktcust_sort")(joinedB.orderBy(col("segment"), col("user_id")))
+      time("v7_bktcust_reshuffle_sort")(joinedB
+        .repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")))
+      time("v8_bktcust_nosort")(joinedB.groupBy().agg(count(lit(1)).as("n")))
+      def joinedB2 = outer
+        .join(custB.repartition(col("c_custkey")), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+      time("v9_bktcust_rt_reshuffle_sort")(joinedB2
+        .repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")))
+      def joinedB3 = outer
+        .join(custB.hint("merge"), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+      time("v10_bktcust_merge_reshuffle_sort")(joinedB3
+        .repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")))
+      println("=== v10 plan ===")
+      joinedB3.repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")).explain()
+      println("=== v5 plan ===")
+      outer.join(cust, col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment").as("segment"),
+          col("avg_click_rate"), col("avg_error_rate"))
+        .repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")).explain()
+      println("=== v7 plan ===")
+      joinedB.repartition(col("segment"), col("user_id"))
+        .orderBy(col("segment"), col("user_id")).explain()
+    }
+
     // bucketed-vs-plain q01 (set SPARK_GRAFT_LAB_BUCKETED=1)
     if (sys.env.get("SPARK_GRAFT_LAB_BUCKETED").contains("1")) {
       spark.conf.set("graft.layout.bucketed", "true")
