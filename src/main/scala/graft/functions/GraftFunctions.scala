@@ -67,6 +67,10 @@ object GraftFunctions {
     * scan kernel behind t05. */
   def bigramTfPairs(text: Column): Column = c(BigramTfPairs(ex(text)))
 
+  /** Per-doc trigram-frequency pairs (adjacent raw-token triples) —
+    * the scan kernel behind t15's novelty profile. */
+  def trigramTfPairs(text: Column): Column = c(TrigramTfPairs(ex(text)))
+
   /** Non-empty word count (the tf-pair tokenizer's token count) —
     * codegen'd; value-identical to folding word_tf_pairs with a
     * higher-order aggregate, without the CodegenFallback break. */
@@ -89,6 +93,7 @@ object GraftFunctions {
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "word_tf_pairs" -> (es => WordTfPairs(es.head)),
     "bigram_tf_pairs" -> (es => BigramTfPairs(es.head)),
+    "trigram_tf_pairs" -> (es => TrigramTfPairs(es.head)),
     "word_count" -> (es => WordCount(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>

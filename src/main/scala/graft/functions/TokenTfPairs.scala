@@ -33,7 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * order-independent).
   */
 abstract class TokenTfBase extends UnaryExpression {
-  protected def bigrams: Boolean
+  /** n-gram window width: 1 = words (empties dropped), 2 = bigrams,
+    * 3 = trigrams (n >= 2 keeps empty tokens — pair/triple identity is
+    * the contiguous source byte slice). */
+  protected def ng: Int
   override def dataType: DataType = TokenTfPairs.OutType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -41,24 +44,30 @@ abstract class TokenTfBase extends UnaryExpression {
       s"$prettyName needs a string column, got ${other.sql}")
   }
   override def nullSafeEval(v: Any): Any =
-    TokenTfPairs.compute(v.asInstanceOf[UTF8String], bigrams)
+    TokenTfPairs.compute(v.asInstanceOf[UTF8String], ng)
   // the kernel stays one static call; generating it (vs CodegenFallback)
   // keeps the t05/t12/t13 scan stage inside one WholeStageCodegen span —
   // no interpreted-eval boundary between the parquet scan, this array
   // build, and the downstream explode/aggregate
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.TokenTfPairs.compute($t, $bigrams);")
+      s"${ev.value} = graft.functions.TokenTfPairs.compute($t, $ng);")
 }
 
 case class WordTfPairs(child: Expression) extends TokenTfBase {
-  override protected def bigrams: Boolean = false
+  override protected def ng: Int = 1
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 case class BigramTfPairs(child: Expression) extends TokenTfBase {
-  override protected def bigrams: Boolean = true
+  override protected def ng: Int = 2
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class TrigramTfPairs(child: Expression) extends TokenTfBase {
+  override protected def ng: Int = 3
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -107,7 +116,7 @@ object TokenTfPairs {
     cnt
   }
 
-  def compute(text: UTF8String, bigrams: Boolean): GenericArrayData = {
+  def compute(text: UTF8String, ng: Int): GenericArrayData = {
     val b = text.getBytes
     val n = b.length
     var nTok = 1
@@ -141,7 +150,7 @@ object TokenTfPairs {
       true
     }
 
-    val nKeys = if (bigrams) math.max(nTok - 1, 0) else nTok
+    val nKeys = if (ng > 1) math.max(nTok - ng + 1, 0) else nTok
     var cap = 8
     while (cap < nKeys * 2) cap <<= 1
     val mask = cap - 1
@@ -152,14 +161,24 @@ object TokenTfPairs {
     val order = new Array[Int](math.max(nKeys, 1))
     var nDistinct = 0
 
-    @inline def keyHash(k: Int): Int =
-      if (bigrams) (hashes(k) * 0x9e3779b1) ^ hashes(k + 1) else hashes(k)
-    @inline def keyEq(a: Int, c: Int): Boolean =
-      if (bigrams) tokEq(a, c) && tokEq(a + 1, c + 1) else tokEq(a, c)
+    @inline def keyHash(k: Int): Int = {
+      var h = hashes(k)
+      var j = 1
+      while (j < ng) { h = (h * 0x9e3779b1) ^ hashes(k + j); j += 1 }
+      h
+    }
+    @inline def keyEq(a: Int, c: Int): Boolean = {
+      var j = 0
+      while (j < ng) {
+        if (!tokEq(a + j, c + j)) return false
+        j += 1
+      }
+      true
+    }
 
     t = 0
     while (t < nKeys) {
-      if (bigrams || lens(t) > 0) { // words drop empties; bigrams keep
+      if (ng > 1 || lens(t) > 0) { // words drop empties; n-grams keep
         var p = keyHash(t) & mask
         var done = false
         while (!done) {
@@ -181,10 +200,12 @@ object TokenTfPairs {
       val p = order(d)
       val k = slot(p)
       val str =
-        if (bigrams) {
+        if (ng > 1) {
           // tokens are adjacent slices separated by one space byte in
-          // the source, so the joined bigram IS the contiguous slice
-          UTF8String.fromBytes(b, starts(k), starts(k + 1) + lens(k + 1) - starts(k))
+          // the source, so the space-joined n-gram IS the contiguous
+          // slice from the first token's start to the last token's end
+          val last = k + ng - 1
+          UTF8String.fromBytes(b, starts(k), starts(last) + lens(last) - starts(k))
         } else UTF8String.fromBytes(b, starts(k), lens(k))
       out(d) = new GenericInternalRow(Array[Any](str, cnt(p)))
       d += 1

@@ -487,17 +487,28 @@ object TextAnalysis extends QueryModule {
   // corpus scale — the owner side is distinct-gram-bounded). Linear
   // stages throughout; hot grams cost only a cheap min/count reduce.
   private def t15(s: SparkSession, d: String): DataFrame = {
-    // total index list then slice — sequence(1, size-2) would DESCEND
-    // for docs under 3 words (the CorpusOps d09 guard)
-    val dg = docs(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(slice(sequence(1, size(ws)), 1, greatest(size(ws) - 2, 0)), " +
-          "p -> array_join(slice(ws, p, 3), ' '))")).as("gram"))
-      .groupBy(col("doc_id"), col("source"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-    val owner = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
-    dg.join(owner, Seq("gram"))
+    // Shuffle + scan shape (the round-11 rewrite; was 4 occurrence-
+    // sized exchanges over split/slice/array_join-built gram strings
+    // ≈ 22 s at sf10): grams come from the codegen'd trigram_tf_pairs
+    // scan kernel (one byte pass per doc, gram = contiguous source
+    // slice — the t05/t12 kernel family, value-identity property-
+    // specced in TokenTfPairsSpec), already aggregated per (doc, gram),
+    // so no (doc, gram) exchange exists at all. The owner map is the
+    // only global piece: its partial aggregate ships ≤|vocab| rows per
+    // partition, and the tf⋈owner join stays a gram-keyed equi join
+    // that AQE turns into a broadcast probe when the vocab is small
+    // (and a sort-merge with ONE tf-pair exchange when it isn't — the
+    // adaptive scale path). The per-doc aggregate's map-side partial
+    // collapses each doc to one row per partition (tf rows stay
+    // partition-local under the broadcast probe), so its exchange
+    // ships ≈|docs| rows. n_grams = Σ in-doc counts = occurrences.
+    val tf = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.GraftFunctions.trigramTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.t").as("gram"), col("p.c").as("c"))
+    val owner = tf.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
+    tf.join(owner, Seq("gram"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("c")).as("n_grams"),
         sum(when(col("owner") === col("doc_id"), col("c")).otherwise(0L)).as("novel"))

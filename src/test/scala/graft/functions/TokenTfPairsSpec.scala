@@ -20,9 +20,15 @@ class TokenTfPairsSpec extends AnyFunSuite {
       .toSeq.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
   }
 
-  private def viaKernel(text: String, bigrams: Boolean): Map[String, Long] = {
+  private def refNgrams(text: String, n: Int): Map[String, Long] = {
+    val toks = text.split(" ", -1)
+    toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
+      .toSeq.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+  }
+
+  private def viaKernel(text: String, ng: Int): Map[String, Long] = {
     val arr = TokenTfPairs.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString(text), bigrams)
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), ng)
     (0 until arr.numElements()).map { i =>
       val r = arr.getStruct(i, 2)
       r.getUTF8String(0).toString -> r.getLong(1)
@@ -32,8 +38,9 @@ class TokenTfPairsSpec extends AnyFunSuite {
   test("hand cases") {
     for (t <- Seq("", " ", "a", "a a b", "a  b", " x y x ", "é ü é",
       "w w w w", "one two one two three")) {
-      assert(viaKernel(t, bigrams = false) == refWords(t), s"words <$t>")
-      assert(viaKernel(t, bigrams = true) == refBigrams(t), s"bigrams <$t>")
+      assert(viaKernel(t, 1) == refWords(t), s"words <$t>")
+      assert(viaKernel(t, 2) == refBigrams(t), s"bigrams <$t>")
+      assert(viaKernel(t, 3) == refNgrams(t, 3), s"trigrams <$t>")
     }
   }
 
@@ -43,8 +50,9 @@ class TokenTfPairsSpec extends AnyFunSuite {
     for (_ <- 1 to 2000) {
       val t = (1 to rnd.nextInt(25))
         .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
-      assert(viaKernel(t, bigrams = false) == refWords(t), s"words <$t>")
-      assert(viaKernel(t, bigrams = true) == refBigrams(t), s"bigrams <$t>")
+      assert(viaKernel(t, 1) == refWords(t), s"words <$t>")
+      assert(viaKernel(t, 2) == refBigrams(t), s"bigrams <$t>")
+      assert(viaKernel(t, 3) == refNgrams(t, 3), s"trigrams <$t>")
     }
   }
 
@@ -65,6 +73,29 @@ class TokenTfPairsSpec extends AnyFunSuite {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaK == viaE)
+  }
+
+  test("trigram kernel explode equals the split/slice/array_join form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(23)
+    val vocab = Array("key", "agg", "row", "", "scan")
+    val docsDf = (1L to 150L).map { id =>
+      (id, (1 to rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaK = docsDf.select(col("doc_id"),
+      explode(GraftFunctions.trigramTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.t"), col("p.c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaE = docsDf
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(sequence(1, size(ws)), 1, greatest(size(ws) - 2, 0)), " +
+          "p -> array_join(slice(ws, p, 3), ' '))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(viaK == viaE)
   }
