@@ -52,18 +52,12 @@ object Dashboard extends QueryModule {
     * sizeInBytes: driver-side parquet metadata, no job; filters
     * don't shrink it without CBO, which errs toward the scale-safe
     * plan. */
-  private val rangeInputMinBytes = 64L << 20
   private def orderedOut(in: DataFrame, k1: Column, k2: Column)
       (aggOf: DataFrame => DataFrame): DataFrame =
-    if (in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes)
+    if (bigInput(in))
       aggOf(in.repartitionByRange(k1, k2))
         .sortWithinPartitions("bucket", "user_id")
     else aggOf(in).orderBy("bucket", "user_id")
-
-  /** Shared cost probe: scanned fact bytes from the optimized plan's
-    * file-index stats (driver-side parquet metadata, no job). */
-  private def bigInput(in: DataFrame): Boolean =
-    in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes
 
   /** Global sort of a MUCH-SMALLER-than-input result (q01/q04: the
     * per-user aggregate ⋈ dimension, ≤|customer| rows) whose pipeline

@@ -25,6 +25,18 @@ trait QueryModule {
   *    order — double sums would differ in the last bits).
   */
 object Q {
+  /** Cost probe for the ordered-output plan choices (Dashboard
+    * `orderedOut`/`sortedSmallOut`, w02): scanned fact bytes from the
+    * optimized plan's file-index stats — driver-side parquet metadata,
+    * no job. Above the threshold the input range-partition / staged-
+    * shuffle forms win; below it their sampling or extra stage is pure
+    * overhead against a small result (the round-10 cold-sf0.1
+    * regression). Filters don't shrink the stat without CBO, which
+    * errs toward the scale-safe plan. */
+  val rangeInputMinBytes: Long = 64L << 20
+  def bigInput(in: DataFrame): Boolean =
+    in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes
+
   /** Tumbling window start, as epoch seconds. Equivalent DuckDB SQL:
     * CAST(floor(epoch(ts)/S)*S AS BIGINT). */
   def bucket(ts: Column, secs: Long): Column =

@@ -272,12 +272,25 @@ object Relational extends QueryModule {
   // Window: top-3 orders per customer by price (rank-per-group).
   private def w02(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
-    t(s, d, "orders")
+    val o = t(s, d, "orders")
+    // Ordered-output plan choice (the Dashboard orderedOut idiom): the
+    // window needs one custkey-clustered exchange either way, and a
+    // result orderBy's range sampling re-executes the whole window
+    // pipeline. Above the stats threshold, make the one exchange a
+    // RANGE partition (equal keys co-locate, so it satisfies the
+    // window's ClusteredDistribution) and the partition-local sort
+    // yields the total (custkey, rn) order with no second exchange —
+    // sampling re-runs only the pruned orders scan. Below it the
+    // result is small and the plain orderBy wins.
+    val big = Q.bigInput(o)
+    val base = if (big) o.repartitionByRange(col("o_custkey")) else o
+    val r = base
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         decd(col("o_totalprice"), 18, 2).as("totalprice"))
-      .orderBy("o_custkey", "rn")
+    if (big) r.sortWithinPartitions("o_custkey", "rn")
+    else r.orderBy("o_custkey", "rn")
   }
 
   private val w02Sql =
