@@ -396,6 +396,29 @@ object PlanAudit {
         !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
       }))
 
+    // t16 bloom decontamination: the broadcast-sketch probe must sit
+    // SCAN-SIDE (a might_contain Filter on the exploded gram stream
+    // feeding the exact semi join), so at scale the gram exchange
+    // ships bloom survivors only; the verify join stays an equi semi
+    // join and the whole query keeps the 2-hash-exchange budget
+    // (eval-gram distinct + per-doc hit count — the profile join and
+    // the semi join broadcast at audit SF and stay keyed at scale)
+    audit("t16_bloom_decontamination")(
+      "bloom probe (might_contain) planned" -> (_.contains("might_contain")),
+      "exact verify is a semi join" -> (_.contains("LeftSemi")),
+      "probe is scan-side: filter BELOW the semi join in the tree" ->
+        simpleOnly(s => {
+          val lines = s.split("== Initial Plan ==").head.split("\n")
+          val join = lines.indexWhere(_.contains("LeftSemi"))
+          val probe = lines.indexWhere(_.contains("might_contain"))
+          join >= 0 && probe > join // children print after parents
+        }),
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "two hash exchanges max" -> maxHashExchanges(2))
+
     // PageRank's per-iteration joins must stay equi joins over the
     // cached degreed edge list — no cartesian anywhere in 5 rounds
     audit("g02_pagerank")(

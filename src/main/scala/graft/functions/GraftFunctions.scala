@@ -83,6 +83,26 @@ object GraftFunctions {
   def topKByScore(score: Column, tiebreak: Column, payload: Column, k: Int): Column =
     c(TopKByScore(ex(score), ex(tiebreak), ex(payload), k).toAggregateExpression())
 
+  /** Distributed Bloom-filter build over XXH64-hashed values — the
+    * same `BloomFilterAggregate` Spark's runtime-filter join pruning
+    * plants (partials merge executor-side; the driver receives ONE
+    * sketch of `numBits/8` bytes, never the values). Feed it
+    * `xxhash64(col)` and probe with [[bloomMightContain]] on the same
+    * hash — build and probe must share the hashing. */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    c(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      ex(hashed),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  /** Codegen'd Bloom probe (`might_contain`) of a prebuilt sketch —
+    * false positives possible, false negatives impossible, so a
+    * downstream exact join sees every true hit. The sketch literal
+    * ships in the task closure (bounded by the build's numBits). */
+  def bloomMightContain(sketch: Column, hashed: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      ex(sketch), ex(hashed)))
+
   private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_dot" -> (es => VectorDot(es(0), es(1))),
     "vector_norm" -> (es => VectorNorm(es.head)),

@@ -118,6 +118,88 @@ object CorpusOps extends QueryModule {
       |  CAST(SUM(CASE WHEN n_hits * 10 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t16: bloom-prefiltered decontamination overlap report. t08's
+  // contamination contract (eval split doc_id % 37 == 0, distinct-
+  // gram hits) at 3-gram granularity — the per-doc AUDIT artifact
+  // (doc_id, n_grams, n_hits) for every train doc that shares any
+  // 3-gram with the eval split; thresholding into a kill list is the
+  // downstream consumer's policy choice. The plan is the 100 TB
+  // decontamination shape: the train-gram stream is pruned SCAN-SIDE
+  // by a broadcast Bloom sketch of the eval grams before anything
+  // shuffles — the exact gram semi join alone would exchange the full
+  // corpus gram stream, while the bloom form ships only (true hits +
+  // fpp·misses) ≈ 3.5% of it on this corpus. Build and probe are
+  // Spark's own runtime-filter expressions (BloomFilterAggregate /
+  // might_contain, both codegen'd); the exact semi join AFTER the
+  // probe removes bloom false positives, so the result is
+  // bit-identical to the exact plan — which is why a plain CTE oracle
+  // checks it. The driver holds one numBits/8-byte sketch (never the
+  // grams); real benchmark sets are ~fixed-size, so the sketch stays
+  // bounded as the corpus grows (the synthetic 1/37 eval split scales
+  // with the corpus, so the build sizes numBits from a count of the
+  // SMALL side and caps at Spark's runtime-filter ceiling of 8 MB).
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain, trigramTfPairs}
+    // grams come from the codegen'd trigram_tf_pairs scan kernel (the
+    // t15 lesson: split/transform/array_distinct higher-order lambdas
+    // are interpreted and dominate the gram build — one byte pass per
+    // doc replaces them; pairs are distinct per doc by construction,
+    // so pair.t is exactly the distinct-3-gram stream and size(pairs)
+    // the distinct count). Kernel output is projected ONCE per branch:
+    // n_grams is computed in the Generate's CHILD projection — a size()
+    // referenced above the explode would pin the whole pair array into
+    // every exploded row.
+    def grams3(in: DataFrame): DataFrame = in
+      .select(col("doc_id"), col("source"), trigramTfPairs(col("text")).as("ps"))
+      .select(col("doc_id"), col("source"),
+        size(col("ps")).cast(LongType).as("n_grams"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("p.t").as("gram"))
+    // cache ONLY the small side: the distinct eval grams (bounded by
+    // the benchmark, not the corpus) serve the bloom build and the
+    // exact verify join from memory; the corpus-sized train gram
+    // stream is never cached — one scan-side pass, below
+    val evalGrams = grams3(docs(s, d).filter(col("doc_id") % 37 === 0))
+      .select(col("gram")).distinct().cache()
+    val nEval = math.max(1L, evalGrams.count()) // exact sketch sizing
+    val numBits = math.min(64L << 20, // Spark's runtime-filter max (8 MB)
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEval, 0.01))
+    val sketch = evalGrams
+      .agg(bloomAgg(xxhash64(col("gram")), nEval, numBits).as("bf"))
+      .first().getAs[Array[Byte]]("bf") // ONE bounded row: the sketch
+    // single train pass: carry (source, n_grams) through the explode
+    // so the per-doc report falls out of the hit aggregate directly —
+    // no second corpus scan, no doc-keyed profile join. The groupBy
+    // keys are doc-determined, so cardinality = reported docs.
+    grams3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
+      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("source"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select("doc_id", "source", "n_grams", "n_hits")
+      .orderBy("doc_id")
+  }
+
+  /** 3-gram twin of `contaminationCtesSql` (t16's granularity). */
+  private val contamination3CtesSql =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(range(1, len(ws) - 1),
+      |          i -> array_to_string(ws[i:i+2], ' '))) AS grams
+      |      FROM w),
+      |ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 37 = 0),
+      |tr AS (SELECT doc_id, source, grams FROM g WHERE doc_id % 37 <> 0),
+      |hit AS (SELECT doc_id, COUNT(*) AS n_hits
+      |        FROM (SELECT doc_id, UNNEST(grams) AS gram FROM tr) x
+      |        WHERE gram IN (SELECT gram FROM ev) GROUP BY 1)""".stripMargin
+
+  private val t16Sql =
+    s"""WITH $contamination3CtesSql
+      |SELECT tr.doc_id, tr.source, len(grams) AS n_grams, n_hits
+      |FROM tr JOIN hit ON tr.doc_id = hit.doc_id
+      |ORDER BY 1""".stripMargin
+
   // t09: duplicated-span profile. A doc's 3-gram is a "duplicated
   // span" when it occurs in ≥2 distinct documents corpus-wide; per
   // source: how many docs, how much of their span inventory is
@@ -617,6 +699,7 @@ object CorpusOps extends QueryModule {
     "d09_span_removal" -> d09,
     "d10_span_removal_text" -> d10,
     "t08_decontamination" -> t08,
+    "t16_bloom_decontamination" -> t16,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
     "c01_stratified_sample" -> c01,
@@ -629,6 +712,7 @@ object CorpusOps extends QueryModule {
     "d09_span_removal" -> d09Sql,
     "d10_span_removal_text" -> d10Sql,
     "t08_decontamination" -> t08Sql,
+    "t16_bloom_decontamination" -> t16Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,
     "c01_stratified_sample" -> c01Sql,
