@@ -425,13 +425,123 @@ object Similarity extends QueryModule {
     graft.operators.IvfIndex.search(s, d, dir, nprobe = 2, k = 10)
   }
 
+  // s07: MMR (maximal marginal relevance) diversity re-rank — the
+  // retrieval-for-curation operator: from the top-32 cosine candidates
+  // for the query vector, greedily select 8 maximizing
+  // λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), λ=0.7 — relevance
+  // traded against redundancy, so near-duplicate neighbors don't
+  // crowd the result (see Carbonell & Goldstein 1998).
+  //
+  // Scale shape: candidate generation is the DISTRIBUTED part (the
+  // s01 broadcast-scored scan + TakeOrdered here; the IVF probe path
+  // s03/s06 at corpus scale) — the greedy re-rank then operates on
+  // the BOUNDED candidate set (k'=32 rows; driver math of the same
+  // bounded-by-construction class as the IVF codebook). That split is
+  // how re-rankers deploy: k' stays fixed as the corpus grows.
+  //
+  // Exactness: candidate qsims are the s01 rounded-decimal doubles
+  // (order + tie already oracle-proven); pairwise sims use the same
+  // left-to-right double fold and the SPARK round semantics
+  // (BigDecimal.decimal = valueOf, HALF_UP — what round(col, 6)
+  // does), so every comparison sees bit-identical doubles on both
+  // engines; ties break on vec_id. The oracle unrolls the 8 greedy
+  // steps as CTEs (the g05 unrolled-oracle idiom).
+  private def s07(s: SparkSession, d: String): DataFrame = {
+    val kCand = 32; val k = 8
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(cosineSimilarity(col("embedding"), col("qv")), 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("qs"))
+      .orderBy(desc("qs"), col("vec_id"))
+      .limit(kCand)
+      .collect() // bounded: k'=32 candidate rows
+    val vecs = cand.map { r =>
+      (r.getLong(0),
+        r.getSeq[Float](1).iterator.map(_.toDouble).toArray,
+        r.getDouble(2))
+    }
+    def rnd6(x: Double): Double = // Spark Round(double, 6) semantics
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val selIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var rank = 1L
+    while (rank <= k && selIdx.size < vecs.length) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < vecs.length) {
+        if (!selIdx.contains(i)) {
+          val (vid, v, qs) = vecs(i)
+          val ms = if (selIdx.isEmpty) 0.0
+            else selIdx.iterator.map(j => rnd6(cos(v, vecs(j)._2))).max
+          val score = 0.7 * qs - 0.3 * ms
+          if (score > bestScore ||
+              (score == bestScore && best >= 0 && vid < vecs(best)._1)) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      selected += ((rank, vecs(best)._1, bestScore))
+      selIdx += best
+      rank += 1
+    }
+    import s.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "mmr_score")
+  }
+
+  private val s07Sql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"; val mu = "CAST(0.3 AS DOUBLE)"
+    def sim(a: String, b: String) =
+      s"""CAST(CAST(ROUND(
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |  , 6) AS DECIMAL(18,6)) AS DOUBLE)""".stripMargin
+    // every CTE MATERIALIZED: sel_i chains reference their
+    // predecessors, and inlined (default) CTEs would re-execute the
+    // whole prefix per reference — exponential in k
+    val steps = (2 to 8).map { i =>
+      val ss = (1 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+      s"""ss$i AS MATERIALIZED ($ss),
+         |sc$i AS MATERIALIZED (SELECT c.vec_id, c.qs, MAX(p.sim) AS ms
+         |         FROM cand c JOIN pairs p ON p.a = c.vec_id
+         |           AND p.b IN (SELECT vec_id FROM ss$i)
+         |         WHERE c.vec_id NOT IN (SELECT vec_id FROM ss$i)
+         |         GROUP BY 1, 2),
+         |sel$i AS MATERIALIZED (SELECT vec_id, $lam * qs - $mu * ms AS score, $i AS rank
+         |          FROM sc$i ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT e.vec_id, e.embedding, ${sim("e", "q")} AS qs
+       |         FROM embeddings e, q WHERE e.vec_id <> 0
+       |         ORDER BY qs DESC, e.vec_id LIMIT 32),
+       |pairs AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b, ${sim("a", "b")} AS sim
+       |          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT vec_id, $lam * qs AS score, 1 AS rank
+       |         FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, score AS mmr_score
+       |FROM (${(1 to 8).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY 1""".stripMargin
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute_cosine" -> s01,
     "s02_centroid_norms" -> s02,
     "s03_ivf_ann_topk" -> s03,
     "s04_int8_quant_topk" -> s04,
     "s05_pq_adc_topk" -> s05,
-    "s06_ivf_index_search" -> s06)
+    "s06_ivf_index_search" -> s06,
+    "s07_mmr_rerank" -> s07)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
@@ -440,5 +550,6 @@ object Similarity extends QueryModule {
     "s04_int8_quant_topk" -> s04Sql,
     // the persisted index must return exactly what the in-query
     // training returns — one oracle states both pipelines
-    "s06_ivf_index_search" -> s03Sql)
+    "s06_ivf_index_search" -> s03Sql,
+    "s07_mmr_rerank" -> s07Sql)
 }
