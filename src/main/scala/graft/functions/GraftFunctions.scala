@@ -71,6 +71,10 @@ object GraftFunctions {
     * the scan kernel behind t15's novelty profile. */
   def trigramTfPairs(text: Column): Column = c(TrigramTfPairs(ex(text)))
 
+  /** Per-doc 5-gram-frequency pairs — the scan kernel behind the
+    * t08/c05 contamination core. */
+  def fivegramTfPairs(text: Column): Column = c(FivegramTfPairs(ex(text)))
+
   /** Non-empty word count (the tf-pair tokenizer's token count) —
     * codegen'd; value-identical to folding word_tf_pairs with a
     * higher-order aggregate, without the CodegenFallback break. */
@@ -114,6 +118,7 @@ object GraftFunctions {
     "word_tf_pairs" -> (es => WordTfPairs(es.head)),
     "bigram_tf_pairs" -> (es => BigramTfPairs(es.head)),
     "trigram_tf_pairs" -> (es => TrigramTfPairs(es.head)),
+    "fivegram_tf_pairs" -> (es => FivegramTfPairs(es.head)),
     "word_count" -> (es => WordCount(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>

@@ -72,6 +72,13 @@ case class TrigramTfPairs(child: Expression) extends TokenTfBase {
     copy(child = newChild)
 }
 
+/** 5-grams — the t08/c05 decontamination granularity. */
+case class FivegramTfPairs(child: Expression) extends TokenTfBase {
+  override protected def ng: Int = 5
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `word_count(text)` — the number of NON-EMPTY single-space-separated
   * tokens (the [[TokenTfPairs]] word tokenizer's count), as a plain
   * byte scan. Value-identical to `aggregate(word_tf_pairs(text), 0L,

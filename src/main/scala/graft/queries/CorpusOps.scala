@@ -47,7 +47,6 @@ object CorpusOps extends QueryModule {
       s"i -> concat_ws(' ', $refs)))"
   }
 
-  private val gram5Expr = gramExpr(5)
   private val gram3Expr = gramExpr(3)
 
   private def grammed(s: SparkSession, d: String, minWords: Int, gramExpr: String): DataFrame =
@@ -65,18 +64,40 @@ object CorpusOps extends QueryModule {
     * n_hits) — the shared core of t08's summary and c05's gate, so
     * the eval-split predicate and hit definition live once. */
   private def contamination(s: SparkSession, d: String): DataFrame = {
-    // both the eval and train branches consume the gram table; cache
-    // it so the parquet scan + split + gram build run once (same
-    // pattern as Dedup's shingled cache)
-    val g = grammed(s, d, 5, gram5Expr).cache()
+    // Two round-11 rewrites of the shared t08/c05 core, both measured
+    // at sf10: (1) grams from the codegen'd fivegram_tf_pairs scan
+    // kernel (the t15/t16 lesson — the interpreted transform/
+    // array_distinct gram build dominated the cold pass); the pair
+    // table is cached because eval, hits and profile branches all
+    // read it. (2) the hits branch is bloom-prefiltered exactly like
+    // t16: the warm cost was the gram semi join exchanging the FULL
+    // exploded train stream — the broadcast sketch drops ~96% of it
+    // scan-side, and the exact semi join after the probe keeps the
+    // result bit-identical (no false negatives), so the oracle is
+    // unchanged.
+    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain, fivegramTfPairs}
+    val g = docs(s, d)
+      .select(col("doc_id"), col("source"), fivegramTfPairs(col("text")).as("ps"))
+      .cache()
     val evalGrams = g.filter(col("doc_id") % 37 === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
+      .select(explode(col("ps")).as("p")).select(col("p.t").as("gram"))
+      .distinct().cache()
+    val nEval = math.max(1L, evalGrams.count())
+    val numBits = math.min(64L << 20,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEval, 0.01))
+    val sketch = evalGrams
+      .agg(bloomAgg(xxhash64(col("gram")), nEval, numBits).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
     val train = g.filter(col("doc_id") % 37 =!= 0)
-    val hits = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hits = train
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.t").as("gram"))
+      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
       .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     train
-      .select(col("doc_id"), col("source"), size(col("grams")).cast(LongType).as("n_grams"))
+      .select(col("doc_id"), col("source"), size(col("ps")).cast(LongType).as("n_grams"))
+      .filter(col("n_grams") > 0) // ≡ the oracle's len(ws) >= 5 gate
       .join(hits, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("n_hits"))
   }
