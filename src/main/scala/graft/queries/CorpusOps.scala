@@ -721,6 +721,12 @@ object CorpusOps extends QueryModule {
     "d10_span_removal_text" -> d10,
     "t08_decontamination" -> t08,
     "t16_bloom_decontamination" -> t16,
+    // streaming twin: the same report emitted across watermark-bounded
+    // micro-batches of a file-replayed document feed — t16's CTE
+    // oracle checks it because the watermark flush makes the stream's
+    // union of Append emissions exactly the batch report
+    "t16_decontamination_stream" ->
+      ((s, d) => graft.streaming.StreamingDecontamination.replayGate(s, d)),
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
     "c01_stratified_sample" -> c01,
@@ -734,6 +740,7 @@ object CorpusOps extends QueryModule {
     "d10_span_removal_text" -> d10Sql,
     "t08_decontamination" -> t08Sql,
     "t16_bloom_decontamination" -> t16Sql,
+    "t16_decontamination_stream" -> t16Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,
     "c01_stratified_sample" -> c01Sql,

@@ -183,7 +183,7 @@ object StreamingSlidingWindows {
     }
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
+  private[streaming] def deleteRec(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p))
       java.nio.file.Files.list(p).forEach(deleteRec)
     java.nio.file.Files.deleteIfExists(p)
