@@ -396,6 +396,13 @@ object PlanAudit {
         !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
       }))
 
+    // w10 EWMA: the whole recursive fold rides ONE user-keyed exchange
+    // (zero under the user-bucketed layout) — the collect/sort/fold is
+    // per-group aggregate machinery, never a window or a second shuffle
+    audit("w10_ewma")(
+      "one user-keyed hash exchange max" -> maxHashExchanges(1),
+      "no single-partition window" -> noSinglePartitionWindow)
+
     // t16 bloom decontamination: the broadcast-sketch probe must sit
     // SCAN-SIDE (a might_contain Filter on the exploded gram stream
     // feeding the exact semi join), so at scale the gram exchange

@@ -364,13 +364,53 @@ object MoreAnalytics extends QueryModule {
        |FROM t WHERE event_type = 'purchase'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // w10: per-user EWMA of event values — the order-SENSITIVE recursive
+  // analytic (ewma_t = α·v_t + (1−α)·ewma_{t−1}, α = 0.25, seed =
+  // first value), the smoothing every monitoring surface runs over a
+  // metric stream. Exactness: a recursive double fold is
+  // order-dependent by nature, so BOTH engines evaluate the identical
+  // left-to-right fold over the identically-ordered (ts, event_id)
+  // sequence — IEEE doubles then agree bit-for-bit with no rounding
+  // step at all (α = 1/4 is an exact binary constant; the repo-wide
+  // no-raw-double-aggregate rule bans order-INDEPENDENT float sums,
+  // not a fold whose order is pinned on both sides).
+  //
+  // Scale shape: ONE user-keyed exchange (zero under the user-bucketed
+  // events layout — the same ClusteredDistribution w06/w07 ride);
+  // per-user sequences are bounded by per-user activity (the
+  // sessionize/funnel class), so the collect_list buffer is a few
+  // dozen structs, not corpus-sized. The fold itself is a higher-order
+  // expression (interpreted) but runs once per USER row, not per
+  // event — the event-sized work (collect, sort) is codegen'd
+  // aggregate machinery.
+  private def w10(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("seq"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
+          element_at(col("seq"), 1)("value"),
+          (acc, x) => lit(0.25) * x("value") + lit(0.75) * acc).as("ewma"))
+      .orderBy("user_id")
+
+  private val w10Sql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+      |    (acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc) AS ewma
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a07_exact_quantiles" -> a07,
     "w06_retention_cohorts" -> w06,
     "w07_conversion_funnel" -> w07,
     "w08_sliding_windows" -> w08,
     "w08_sliding_stream" -> w08Stream,
-    "w09_attribution" -> w09)
+    "w09_attribution" -> w09,
+    "w10_ewma" -> w10)
 
   override def oracle: Map[String, String] = Map(
     "a07_exact_quantiles" -> a07Sql,
@@ -378,5 +418,6 @@ object MoreAnalytics extends QueryModule {
     "w07_conversion_funnel" -> w07Sql,
     "w08_sliding_windows" -> w08Sql,
     "w08_sliding_stream" -> w08Sql,
-    "w09_attribution" -> w09Sql)
+    "w09_attribution" -> w09Sql,
+    "w10_ewma" -> w10Sql)
 }
