@@ -396,6 +396,20 @@ object PlanAudit {
         !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
       }))
 
+    // t17 provenance: bloom probe scan-side like t16; the per-train
+    // argmax is a struct-max AGGREGATE, never a rank window; exchange
+    // budget = gram pair agg + train-doc argmax agg
+    audit("t17_contamination_provenance")(
+      "bloom probe (might_contain) planned" -> (_.contains("might_contain")),
+      "argmax is an aggregate, no window" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(nodeIs(_, "Window"))),
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "two hash exchanges max" -> maxHashExchanges(2))
+
     // w10 EWMA: the whole recursive fold rides ONE user-keyed exchange
     // (zero under the user-bucketed layout) — the collect/sort/fold is
     // per-group aggregate machinery, never a window or a second shuffle

@@ -201,6 +201,74 @@ object CorpusOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // t17: contamination PROVENANCE — for every train doc sharing any
+  // 3-gram with the eval split, WHICH eval doc it overlaps most
+  // (shared distinct-gram count; ties to the smaller eval doc_id).
+  // t16 answers "how contaminated"; t17 answers "which benchmark
+  // leaked" — the audit artifact that decides whether to drop the doc
+  // or the benchmark. Plan: the t16 bloom-pruned train gram stream
+  // joins the (gram, eval_doc) pair table (benchmark-bounded; the
+  // fan-out of a hot gram is bounded by the eval docs containing it),
+  // partial-aggregated to (train, eval) pair counts, then the per-
+  // train argmax is ONE struct-max aggregate — no rank window, no
+  // second shuffle beyond the pair aggregate's.
+  //
+  // Cost model: the gram join's fan-out is (train gram instances ×
+  // eval docs containing the gram) — benchmark-bounded in real use.
+  // The synthetic sf10 corpus (100× key-offset TEXT replication over
+  // a 30-word vocab) inflates that per-gram fan-out ~100×, so t17 is
+  // measured at sf0.1 (1.3 s warm vs DuckDB 0.37 s) and excluded
+  // from the sf10 symmetric table like its d09–d11 siblings, where
+  // replication likewise measures the artifact, not the operator
+  // (117 s engine; the DuckDB oracle did not finish in 10 min).
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain, trigramTfPairs}
+    def g3(in: DataFrame): DataFrame = in
+      .select(col("doc_id"), trigramTfPairs(col("text")).as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.t").as("gram"))
+    val evalPairs = g3(docs(s, d).filter(col("doc_id") % 37 === 0))
+      .withColumnRenamed("doc_id", "eval_doc").cache()
+    // sketch sized by PAIR count — an overcount of distinct grams,
+    // which only lowers the fpp (avoids a separate distinct pass)
+    val nUpper = math.max(1L, evalPairs.count())
+    val numBits = math.min(64L << 20,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nUpper, 0.01))
+    val sketch = evalPairs
+      .agg(bloomAgg(xxhash64(col("gram")), nUpper, numBits).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    g3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
+      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
+      .join(evalPairs, Seq("gram")) // exact inner equi — bloom fps die here
+      .groupBy(col("doc_id"), col("eval_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("shared"), (-col("eval_doc")).as("neg"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg")).as("eval_doc"),
+        col("m.shared").as("shared"))
+      .orderBy("doc_id")
+  }
+
+  private val t17Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(ws) - 1),
+      |          i -> array_to_string(ws[i:i+2], ' '))) AS grams
+      |      FROM w),
+      |evp AS (SELECT doc_id AS eval_doc, UNNEST(grams) AS gram
+      |        FROM g WHERE doc_id % 37 = 0),
+      |tr AS (SELECT doc_id, UNNEST(grams) AS gram
+      |       FROM g WHERE doc_id % 37 <> 0),
+      |sh AS (SELECT tr.doc_id, evp.eval_doc, COUNT(*) AS shared
+      |       FROM tr JOIN evp USING (gram) GROUP BY 1, 2),
+      |r AS (SELECT doc_id, eval_doc, shared,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY shared DESC, eval_doc) AS rn
+      |      FROM sh)
+      |SELECT doc_id, eval_doc, shared FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** 3-gram twin of `contaminationCtesSql` (t16's granularity). */
   private val contamination3CtesSql =
     """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
@@ -727,6 +795,7 @@ object CorpusOps extends QueryModule {
     // union of Append emissions exactly the batch report
     "t16_decontamination_stream" ->
       ((s, d) => graft.streaming.StreamingDecontamination.replayGate(s, d)),
+    "t17_contamination_provenance" -> t17,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
     "c01_stratified_sample" -> c01,
@@ -741,6 +810,7 @@ object CorpusOps extends QueryModule {
     "t08_decontamination" -> t08Sql,
     "t16_bloom_decontamination" -> t16Sql,
     "t16_decontamination_stream" -> t16Sql,
+    "t17_contamination_provenance" -> t17Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,
     "c01_stratified_sample" -> c01Sql,

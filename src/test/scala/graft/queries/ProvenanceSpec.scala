@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.etl.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t17 contamination provenance: per train doc, the eval doc sharing
+  * the most distinct 3-grams — ties to the smaller eval doc_id,
+  * no-overlap docs absent.
+  */
+class ProvenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("argmax eval doc, tie to smaller id, no-overlap absent") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_t17").toString
+    Seq(
+      (0L, "a b c d", "ev", 7L),    // eval: {a b c, b c d}
+      (37L, "b c d e", "ev", 7L),   // eval: {b c d, c d e}
+      // shares 2 grams with EACH eval doc -> tie -> eval_doc 0
+      (1L, "a b c d e", "s0", 9L),
+      // shares only "c d e" with eval 37
+      (2L, "z c d e q", "s0", 9L),
+      // no overlap -> absent
+      (3L, "p q r s", "s0", 7L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("t17_contamination_provenance")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 0L, 2L), (2L, 37L, 1L)))
+  }
+}
