@@ -75,24 +75,20 @@ object CorpusOps extends QueryModule {
     // scan-side, and the exact semi join after the probe keeps the
     // result bit-identical (no false negatives), so the oracle is
     // unchanged.
-    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain, fivegramTfPairs}
+    import graft.functions.GraftFunctions.fivegramTfPairs
+    import graft.operators.BloomSketch
     val g = docs(s, d)
       .select(col("doc_id"), col("source"), fivegramTfPairs(col("text")).as("ps"))
       .cache()
     val evalGrams = g.filter(col("doc_id") % 37 === 0)
       .select(explode(col("ps")).as("p")).select(col("p.t").as("gram"))
       .distinct().cache()
-    val nEval = math.max(1L, evalGrams.count())
-    val numBits = math.min(64L << 20,
-      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEval, 0.01))
-    val sketch = evalGrams
-      .agg(bloomAgg(xxhash64(col("gram")), nEval, numBits).as("bf"))
-      .first().getAs[Array[Byte]]("bf")
+    val sketch = BloomSketch.build(evalGrams, "gram")
     val train = g.filter(col("doc_id") % 37 =!= 0)
     val hits = train
       .select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p.t").as("gram"))
-      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
+      .filter(BloomSketch.probe(sketch, col("gram")))
       .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     train
@@ -160,7 +156,8 @@ object CorpusOps extends QueryModule {
   // with the corpus, so the build sizes numBits from a count of the
   // SMALL side and caps at Spark's runtime-filter ceiling of 8 MB).
   private def t16(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain, trigramTfPairs}
+    import graft.functions.GraftFunctions.trigramTfPairs
+    import graft.operators.BloomSketch
     // grams come from the codegen'd trigram_tf_pairs scan kernel (the
     // t15 lesson: split/transform/array_distinct higher-order lambdas
     // are interpreted and dominate the gram build — one byte pass per
@@ -182,18 +179,13 @@ object CorpusOps extends QueryModule {
     // stream is never cached — one scan-side pass, below
     val evalGrams = grams3(docs(s, d).filter(col("doc_id") % 37 === 0))
       .select(col("gram")).distinct().cache()
-    val nEval = math.max(1L, evalGrams.count()) // exact sketch sizing
-    val numBits = math.min(64L << 20, // Spark's runtime-filter max (8 MB)
-      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEval, 0.01))
-    val sketch = evalGrams
-      .agg(bloomAgg(xxhash64(col("gram")), nEval, numBits).as("bf"))
-      .first().getAs[Array[Byte]]("bf") // ONE bounded row: the sketch
+    val sketch = BloomSketch.build(evalGrams, "gram")
     // single train pass: carry (source, n_grams) through the explode
     // so the per-doc report falls out of the hit aggregate directly —
     // no second corpus scan, no doc-keyed profile join. The groupBy
     // keys are doc-determined, so cardinality = reported docs.
     grams3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
-      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
+      .filter(BloomSketch.probe(sketch, col("gram")))
       .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"), col("source"), col("n_grams"))
       .agg(count(lit(1)).as("n_hits"))
@@ -222,7 +214,8 @@ object CorpusOps extends QueryModule {
   // replication likewise measures the artifact, not the operator
   // (117 s engine; the DuckDB oracle did not finish in 10 min).
   private def t17(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain, trigramTfPairs}
+    import graft.functions.GraftFunctions.trigramTfPairs
+    import graft.operators.BloomSketch
     def g3(in: DataFrame): DataFrame = in
       .select(col("doc_id"), trigramTfPairs(col("text")).as("ps"))
       .select(col("doc_id"), explode(col("ps")).as("p"))
@@ -231,14 +224,9 @@ object CorpusOps extends QueryModule {
       .withColumnRenamed("doc_id", "eval_doc").cache()
     // sketch sized by PAIR count — an overcount of distinct grams,
     // which only lowers the fpp (avoids a separate distinct pass)
-    val nUpper = math.max(1L, evalPairs.count())
-    val numBits = math.min(64L << 20,
-      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nUpper, 0.01))
-    val sketch = evalPairs
-      .agg(bloomAgg(xxhash64(col("gram")), nUpper, numBits).as("bf"))
-      .first().getAs[Array[Byte]]("bf")
+    val sketch = BloomSketch.build(evalPairs, "gram")
     g3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
-      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
+      .filter(BloomSketch.probe(sketch, col("gram")))
       .join(evalPairs, Seq("gram")) // exact inner equi — bloom fps die here
       .groupBy(col("doc_id"), col("eval_doc"))
       .agg(count(lit(1)).as("shared"))

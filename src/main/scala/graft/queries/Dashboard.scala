@@ -52,12 +52,16 @@ object Dashboard extends QueryModule {
     * sizeInBytes: driver-side parquet metadata, no job; filters
     * don't shrink it without CBO, which errs toward the scale-safe
     * plan. */
-  private def orderedOut(in: DataFrame, k1: Column, k2: Column)
+  private def orderedOut(in: DataFrame, k1: Column, k2: Column,
+      outCols: Seq[String] = Seq("bucket", "user_id"))
       (aggOf: DataFrame => DataFrame): DataFrame =
+    // outCols must be the OUTPUT names of (k1, k2): the input range
+    // partition co-locates by the keys, the final sort names the
+    // aggregate's columns for them
     if (bigInput(in))
       aggOf(in.repartitionByRange(k1, k2))
-        .sortWithinPartitions("bucket", "user_id")
-    else aggOf(in).orderBy("bucket", "user_id")
+        .sortWithinPartitions(outCols.head, outCols.tail: _*)
+    else aggOf(in).orderBy(outCols.head, outCols.tail: _*)
 
   /** Global sort of a MUCH-SMALLER-than-input result (q01/q04: the
     * per-user aggregate ⋈ dimension, ≤|customer| rows) whose pipeline

@@ -44,7 +44,7 @@ object StreamingDecontamination {
   def overlapReport(stream: DataFrame, evalGrams: DataFrame,
                     sketch: Array[Byte], eventTimeCol: String,
                     watermark: String, windowLen: String = "1 hour"): DataFrame = {
-    import graft.functions.GraftFunctions.{bloomMightContain, trigramTfPairs}
+    import graft.functions.GraftFunctions.trigramTfPairs
     stream
       .withWatermark(eventTimeCol, watermark)
       .select(col(eventTimeCol).as("evt"), col("doc_id"), col("source"),
@@ -53,7 +53,7 @@ object StreamingDecontamination {
         size(col("ps")).cast(LongType).as("n_grams"), explode_outer(col("ps")).as("p"))
       .select(col("evt"), col("doc_id"), col("source"), col("n_grams"),
         col("p.t").as("gram"))
-      .filter(bloomMightContain(lit(sketch), xxhash64(col("gram"))))
+      .filter(graft.operators.BloomSketch.probe(sketch, col("gram")))
       .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(window(col("evt"), windowLen),
         col("doc_id"), col("source"), col("n_grams"))
@@ -65,18 +65,12 @@ object StreamingDecontamination {
     * distinct eval 3-grams (cached — bounded by the benchmark) and
     * their bloom sketch, shared by probe and verify. */
   def evalSide(evalDocs: DataFrame): (DataFrame, Array[Byte]) = {
-    import graft.functions.GraftFunctions.{bloomAgg, trigramTfPairs}
+    import graft.functions.GraftFunctions.trigramTfPairs
     val evalGrams = evalDocs
       .select(trigramTfPairs(col("text")).as("ps"))
       .select(explode(col("ps")).as("p")).select(col("p.t").as("gram"))
       .distinct().cache()
-    val nEval = math.max(1L, evalGrams.count())
-    val numBits = math.min(64L << 20,
-      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEval, 0.01))
-    val sketch = evalGrams
-      .agg(bloomAgg(xxhash64(col("gram")), nEval, numBits).as("bf"))
-      .first().getAs[Array[Byte]]("bf")
-    (evalGrams, sketch)
+    (evalGrams, graft.operators.BloomSketch.build(evalGrams, "gram"))
   }
 
   /** Driver-gate replay: the sf documents table split into `nBatches`
