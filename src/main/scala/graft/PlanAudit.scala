@@ -410,6 +410,19 @@ object PlanAudit {
       }),
       "two hash exchanges max" -> maxHashExchanges(2))
 
+    // t18 importance weights: scoring is word/doc-keyed equi joins
+    // only (the 1-row split-counts broadcast is the sole nested-loop,
+    // bounded by construction); the top-50 is a bounded TakeOrdered,
+    // never a global sort of the per-doc scores; no window anywhere
+    audit("t18_importance_weights")(
+      "tf-pair kernel fused into WSCG scan stage" -> tfPairsFused,
+      "no cartesian product" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.contains("CartesianProduct")),
+      "top-50 is bounded TakeOrdered" -> (_.contains("TakeOrderedAndProject")),
+      "no window operator" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(nodeIs(_, "Window"))))
+
     // w10 EWMA: the whole recursive fold rides ONE user-keyed exchange
     // (zero under the user-bucketed layout) — the collect/sort/fold is
     // per-group aggregate machinery, never a window or a second shuffle

@@ -534,6 +534,95 @@ object TextAnalysis extends QueryModule {
        |  ${rhuSql("SUM(novel)", "SUM(n_grams)", 1000000L)} AS novelty_ppm
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t18: importance-weighted data selection (the DSIR idea — Xie et
+  // al. 2023, "Data Selection for Language Models via Importance
+  // Resampling", arXiv:2302.03169): rank raw/train documents by how
+  // much their word distribution looks like a small target/eval set,
+  // the selection pass a pretraining pipeline runs to pick corpus
+  // slices matching a target domain. Target = doc_id % 37 = 0 (the
+  // t08/t16/t17 eval-split convention), train = the rest.
+  //
+  // Determinism: DSIR's weight is a sum of feature log-likelihood
+  // ratios — a libm log whose last bits differ across engines — so
+  // (the t12/t13 move) this scores with the RATIONAL affinity
+  //   contrib(w) = (tf·tgt_df(w)·n_raw) / (dl·raw_df(w)·n_tgt),
+  // each term a ratio of two exact BIGINT products: length-normalized
+  // term mass weighted by how target-concentrated the word is (the
+  // df ratio tgt_df/raw_df, split-size normalized). Both engines
+  // compute the same int64→double casts, ONE IEEE divide, ×1e6,
+  // floor — bit-identical — then sum the floored longs (order-free)
+  // and divide back at scale 6. Words absent from the target
+  // contribute 0 and are dropped by the inner join. Overflow bound:
+  // tf·tgt_df·n_raw < 2⁶³ up to ~10⁴·10⁶·10⁸; past that the df
+  // factors get a common-divisor reduction at ingest.
+  //
+  // Scale shape: tf/df come pre-aggregated from the WordTfPairs scan
+  // kernel (one byte pass, distinct-per-doc rows straight into
+  // map-side-combining word-keyed aggregates); scoring is word-keyed
+  // equi joins (tgt_df is the small side — AQE broadcasts it; raw_df
+  // stays UNHINTED: the vocabulary grows with the corpus and must not
+  // be force-broadcast at 100 TB), one doc-keyed dl join, the 1-row
+  // split-counts broadcast, and a bounded TakeOrdered top-50.
+  // Everything linear, no cartesian.
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val pairs = docs(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.t").as("word"), col("p.c").as("tf"))
+    val tgtDf = pairs.filter(col("doc_id") % 37 === 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("tgt_df"))
+    val trainTf = pairs.filter(col("doc_id") % 37 =!= 0)
+    val rawDf = trainTf.groupBy(col("word")).agg(count(lit(1)).as("raw_df"))
+    // dl = non-empty token count via the codegen'd word_count kernel
+    // (the t12 idiom — no per-row HOF fold); docs with no words carry
+    // no mass on either side
+    val dlAll = docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordCount(col("text")).as("dl"))
+      .where(col("dl") > 0)
+    val st = dlAll.agg(
+      sum(when(col("doc_id") % 37 === 0, 1L).otherwise(0L)).as("n_tgt"),
+      sum(when(col("doc_id") % 37 =!= 0, 1L).otherwise(0L)).as("n_raw"))
+    val dl = dlAll.filter(col("doc_id") % 37 =!= 0)
+    val num = col("tf") * col("tgt_df") * col("n_raw")
+    val den = col("dl") * col("raw_df") * col("n_tgt")
+    trainTf
+      .join(tgtDf, Seq("word"))
+      .join(rawDf, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        floor(num.cast(DoubleType) / den.cast(DoubleType) * lit(1000000.0d)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("sc"))
+      .orderBy(desc("sc"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_terms"), fixedDec(col("sc"), 6).as("affinity"))
+  }
+
+  private val t18Sql =
+    s"""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf
+       |            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+       |                  FROM documents) x
+       |            WHERE word <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS n_tgt,
+       |              SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END) AS n_raw
+       |       FROM dl),
+       |tgt AS (SELECT word, COUNT(*) AS tgt_df FROM tf WHERE doc_id % 37 = 0 GROUP BY 1),
+       |raw AS (SELECT word, COUNT(*) AS raw_df FROM tf WHERE doc_id % 37 <> 0 GROUP BY 1),
+       |sc AS (SELECT t.doc_id, COUNT(*) AS n_terms,
+       |         SUM(CAST(FLOOR(
+       |           CAST(t.tf * g.tgt_df * st.n_raw AS DOUBLE)
+       |           / CAST(d.dl * r.raw_df * st.n_tgt AS DOUBLE)
+       |           * 1000000.0) AS BIGINT)) AS sc
+       |       FROM tf t JOIN tgt g USING (word) JOIN raw r USING (word)
+       |         JOIN dl d ON d.doc_id = t.doc_id, st
+       |       WHERE t.doc_id % 37 <> 0
+       |       GROUP BY 1)
+       |SELECT doc_id, n_terms, ${fixedDecSql("sc", 6)} AS affinity
+       |FROM sc ORDER BY sc DESC, doc_id LIMIT 50""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -546,12 +635,14 @@ object TextAnalysis extends QueryModule {
     "t12_bm25_topk" -> t12,
     "t13_pmi_collocations" -> t13,
     "t14_zipf_rank_profile" -> t14,
-    "t15_ngram_novelty" -> t15)
+    "t15_ngram_novelty" -> t15,
+    "t18_importance_weights" -> t18)
 
   override def oracle: Map[String, String] = Map(
     "t12_bm25_topk" -> t12Sql,
     "t14_zipf_rank_profile" -> t14Sql,
     "t15_ngram_novelty" -> t15Sql,
+    "t18_importance_weights" -> t18Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_scores" -> t02Sql,
     "t03_lang_id_accuracy" -> t03Sql,
