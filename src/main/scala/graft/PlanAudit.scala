@@ -423,6 +423,20 @@ object PlanAudit {
         !s.split("== Initial Plan ==").head.split("\n")
           .exists(nodeIs(_, "Window"))))
 
+    // c06 quality buckets: the a07 histogram idiom — rank windows run
+    // over the (lang, score) HISTOGRAM keyed by lang, never a
+    // corpus-sized or single-partition window; the corpus is scanned
+    // once into the histogram aggregate (map-side partial), no join
+    // back to documents
+    audit("c06_quality_buckets")(
+      "windows keyed by lang" -> (_.contains("windowspecdefinition(lang#")),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "histogram agg has map-side partial" -> (_.contains("partial_count")),
+      "no join back to the corpus" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => nodeIs(l, "SortMergeJoin") || nodeIs(l, "BroadcastHashJoin") ||
+            nodeIs(l, "ShuffledHashJoin"))))
+
     // w10 EWMA: the whole recursive fold rides ONE user-keyed exchange
     // (zero under the user-bucketed layout) — the collect/sort/fold is
     // per-group aggregate machinery, never a window or a second shuffle

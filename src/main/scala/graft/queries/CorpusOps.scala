@@ -771,8 +771,70 @@ object CorpusOps extends QueryModule {
       |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
       |ORDER BY 1""".stripMargin
 
+  // c06: CCNet-style per-language quality bucketing (Wenzek et al.
+  // 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+  // Web Crawl Data", arXiv:1911.00359): split each language's corpus
+  // into head/middle/tail terciles by a per-doc quality score and
+  // report per-(lang, bucket) document and token mass — the
+  // normalize-quality-within-language pass that precedes
+  // quality-thresholded sampling. Score = stopword hits per 1000
+  // tokens (the t02 heuristic, per-doc); bucket boundaries are
+  // VALUE-terciles: all docs sharing a score value land in the bucket
+  // of that value's first rank (ties never split a bucket), which is
+  // both the deterministic contract and what makes the oracle exact.
+  //
+  // Scale shape — the a07 exact-histogram idiom applied to bucketing:
+  // the corpus is scanned ONCE into a (lang, score) histogram (score
+  // is integer 0..1000, so ≤|langs|·1001 rows; partial+final hash agg,
+  // the only data-sized exchange). Rank arithmetic (exclusive cumsum,
+  // per-lang totals) runs as lang-keyed windows over the HISTOGRAM —
+  // thousands of rows, never the corpus, so the low-cardinality lang
+  // key is not a skew hazard — and the tercile report is a re-agg of
+  // histogram rows. No join back to documents, no doc-level window,
+  // no second corpus pass. The per-doc score divide is the one-IEEE-
+  // divide + floor idiom (t12), bit-identical across engines.
+  private def c06(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast(LongType)
+    val stop = ((length(col("text")) -
+      length(regexp_replace(col("text"), " the ", ""))) / lit(5)).cast(LongType)
+    val h = docs(s, d)
+      .select(col("lang"), toks.as("toks"),
+        floor(stop.cast(DoubleType) * lit(1000.0) / toks.cast(DoubleType)).as("qs"))
+      .groupBy(col("lang"), col("qs"))
+      .agg(count(lit(1)).as("c"), sum(col("toks")).as("t"))
+    val wOrd = Window.partitionBy("lang").orderBy("qs")
+    val wAll = Window.partitionBy("lang")
+    h.withColumn("cumx", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("bucket", least(lit(2L),
+        floor(lit(3.0) * col("cumx").cast(DoubleType) / col("n").cast(DoubleType))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("t")).as("n_tokens"),
+        min(col("qs")).as("min_q"), max(col("qs")).as("max_q"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val c06Sql =
+    s"""WITH q AS (SELECT lang,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks,
+       |    CAST(floor((length(text) - length(replace(text, ' the ', ''))) / 5) AS BIGINT) AS stop
+       |  FROM documents),
+       |q2 AS (SELECT lang, toks, CAST(FLOOR(stop * 1000.0 / toks) AS BIGINT) AS qs FROM q),
+       |h AS (SELECT lang, qs, COUNT(*) AS c, SUM(toks) AS t FROM q2 GROUP BY 1, 2),
+       |ch AS (SELECT lang, qs, c, t,
+       |         SUM(c) OVER (PARTITION BY lang ORDER BY qs) - c AS cumx,
+       |         SUM(c) OVER (PARTITION BY lang) AS n FROM h),
+       |b AS (SELECT lang, qs, c, t,
+       |        LEAST(2, CAST(FLOOR(3.0 * cumx / n) AS BIGINT)) AS bucket FROM ch)
+       |SELECT lang, bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  CAST(SUM(t) AS BIGINT) AS n_tokens, MIN(qs) AS min_q, MAX(qs) AS max_q
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_decontaminated_mixture" -> c05,
+    "c06_quality_buckets" -> c06,
     "d09_span_removal" -> d09,
     "d10_span_removal_text" -> d10,
     "t08_decontamination" -> t08,
@@ -793,6 +855,7 @@ object CorpusOps extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "c05_decontaminated_mixture" -> c05Sql,
+    "c06_quality_buckets" -> c06Sql,
     "d09_span_removal" -> d09Sql,
     "d10_span_removal_text" -> d10Sql,
     "t08_decontamination" -> t08Sql,
