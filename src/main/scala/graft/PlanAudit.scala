@@ -423,6 +423,16 @@ object PlanAudit {
         !s.split("== Initial Plan ==").head.split("\n")
           .exists(nodeIs(_, "Window"))))
 
+    // s08 quantization recall: both top-10 rankings stay keyed by the
+    // bounded query set (q_id windows or the TopK aggregate) — never a
+    // corpus-sized single-partition sort; the overlap join is a
+    // (q_id, vec_id) equi join
+    audit("s08_quant_recall")(
+      "no single-partition window" -> noSinglePartitionWindow,
+      "no corpus-wide global sort before the final 6-row output" ->
+        simpleOnly(s => s.split("== Initial Plan ==").head.split("\n")
+          .count(l => l.contains("Exchange rangepartitioning")) <= 1))
+
     // c06 quality buckets: the a07 histogram idiom — rank windows run
     // over the (lang, score) HISTOGRAM keyed by lang, never a
     // corpus-sized or single-partition window; the corpus is scanned

@@ -534,8 +534,92 @@ object Similarity extends QueryModule {
        |ORDER BY 1""".stripMargin
   }
 
+  // s08: quantization recall evaluation — the acceptance gate every
+  // compressed ANN deployment runs before trading the exact index for
+  // the 4×-smaller int8 one: for a bounded query set (vec_id % 97 =
+  // 0), recall@10 of the s04 int8-dequantized top-10 against the s01
+  // exact-cosine top-10, reported as the per-query overlap count.
+  // Determinism: both rankings order by (cos DESC, vec_id) on
+  // bit-identical left-to-right double folds, so the rank-10 boundary
+  // is the same in both engines and the overlap is exact.
+  //
+  // Scale shape: the query set is BOUNDED (an eval workload, not the
+  // corpus), so it broadcasts — each corpus partition scores its
+  // vectors against all |Q| queries locally (the one nested-loop here
+  // is |Q|-bounded by contract, same as s01's 1-row form); per-query
+  // top-10 is the rank-window form TopKRewrite turns into a bounded
+  // map-side aggregate — no corpus-sized sort, no q_id exchange of
+  // raw scores beyond the bounded (|Q|·10 + survivors) stream; the
+  // recall join is (q_id, vec_id)-keyed over ≤|Q|·10 rows each side.
+  private def s08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    def top10(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    }
+    val isQ = col("vec_id") % 97 === 0
+    val exQ = e.filter(isQ).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exTop = top10(e.crossJoin(broadcast(exQ))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("v"), col("qv")).as("cos")))
+    val deq = e
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("dq", expr(
+        "transform(v, x -> round(x * 127 / amax, 0) * amax / 127)"))
+      .select(col("vec_id"), col("dq"))
+    val dqQ = deq.filter(isQ).select(col("vec_id").as("q_id"), col("dq").as("qv"))
+    val dqTop = top10(deq.crossJoin(broadcast(dqQ))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("dq"), col("qv")).as("cos")))
+    exQ.select(col("q_id"))
+      .join(exTop.join(dqTop, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap")),
+        Seq("q_id"), "left_outer")
+      .na.fill(0L, Seq("n_overlap"))
+      .orderBy("q_id")
+  }
+
+  private val s08Sql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |exq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+      |exs AS (SELECT q.q_id, e.vec_id,
+      |    list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+      |    / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+      |  FROM e, exq q WHERE e.vec_id <> q.q_id),
+      |ext AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      |    FROM exs) x WHERE rn <= 10),
+      |deq AS (SELECT vec_id,
+      |    list_transform(v, x -> ROUND(x * 127 / amax, 0) * amax / 127) AS dq
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) AS amax FROM e) b),
+      |dqq AS (SELECT vec_id AS q_id, dq AS qv FROM deq WHERE vec_id % 97 = 0),
+      |dqs AS (SELECT q.q_id, d.vec_id,
+      |    list_sum(list_transform(range(1, 65), i -> d.dq[i] * q.qv[i]))
+      |    / (sqrt(list_sum(list_transform(d.dq, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+      |  FROM deq d, dqq q WHERE d.vec_id <> q.q_id),
+      |dqt AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      |    FROM dqs) x WHERE rn <= 10),
+      |ov AS (SELECT q_id, COUNT(*) AS n_overlap
+      |       FROM ext JOIN dqt USING (q_id, vec_id) GROUP BY 1)
+      |SELECT q.q_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+      |FROM exq q LEFT JOIN ov USING (q_id) ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute_cosine" -> s01,
+    "s08_quant_recall" -> s08,
     "s02_centroid_norms" -> s02,
     "s03_ivf_ann_topk" -> s03,
     "s04_int8_quant_topk" -> s04,
@@ -545,6 +629,7 @@ object Similarity extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
+    "s08_quant_recall" -> s08Sql,
     "s02_centroid_norms" -> s02Sql,
     "s03_ivf_ann_topk" -> s03Sql,
     "s04_int8_quant_topk" -> s04Sql,
