@@ -536,8 +536,10 @@ object Similarity extends QueryModule {
 
   // s08: quantization recall evaluation — the acceptance gate every
   // compressed ANN deployment runs before trading the exact index for
-  // the 4×-smaller int8 one: for a bounded query set (vec_id % 97 =
-  // 0), recall@10 of the s04 int8-dequantized top-10 against the s01
+  // the 4×-smaller int8 one: for a bounded query set (vec_id % 97 = 0
+  // AND vec_id < 9700 — ≤100 queries at ANY corpus size; a modulus
+  // alone would grow the workload with the corpus and quadratic-ify
+  // the sweep, the 68 s sf10 lesson), recall@10 of the s04 int8-dequantized top-10 against the s01
   // exact-cosine top-10, reported as the per-query overlap count.
   // Determinism: both rankings order by (cos DESC, vec_id) on
   // bit-identical left-to-right double folds, so the rank-10 boundary
@@ -560,7 +562,7 @@ object Similarity extends QueryModule {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
     }
-    val isQ = col("vec_id") % 97 === 0
+    val isQ = col("vec_id") % 97 === 0 && col("vec_id") < 9700
     val exQ = e.filter(isQ).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val exTop = top10(e.crossJoin(broadcast(exQ))
       .filter(col("vec_id") =!= col("q_id"))
@@ -588,7 +590,7 @@ object Similarity extends QueryModule {
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
-      |exq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+      |exq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 0 AND vec_id < 9700),
       |exs AS (SELECT q.q_id, e.vec_id,
       |    list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
       |    / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
@@ -602,7 +604,7 @@ object Similarity extends QueryModule {
       |    list_transform(v, x -> ROUND(x * 127 / amax, 0) * amax / 127) AS dq
       |  FROM (SELECT vec_id, v,
       |          list_max(list_transform(v, x -> abs(x))) AS amax FROM e) b),
-      |dqq AS (SELECT vec_id AS q_id, dq AS qv FROM deq WHERE vec_id % 97 = 0),
+      |dqq AS (SELECT vec_id AS q_id, dq AS qv FROM deq WHERE vec_id % 97 = 0 AND vec_id < 9700),
       |dqs AS (SELECT q.q_id, d.vec_id,
       |    list_sum(list_transform(range(1, 65), i -> d.dq[i] * q.qv[i]))
       |    / (sqrt(list_sum(list_transform(d.dq, x -> x * x)))
