@@ -76,6 +76,17 @@ object Bench {
           graft.operators.IvfIndex.indexDirFor(sfDir))
         Seq("s06_ivf_index_build" -> (System.nanoTime() - t0) / 1e9)
       }
+    // t19 is the same operating mode (static eval side, streaming
+    // corpus): charge its index build separately, measure probe-only
+    val t19Build: Seq[(String, Double)] =
+      if (skip("t19_decontamination_index") ||
+          !only.forall(_("t19_decontamination_index"))) Nil
+      else {
+        val t0 = System.nanoTime()
+        graft.operators.DecontamIndex.build(spark, sfDir,
+          graft.operators.DecontamIndex.indexDirFor(sfDir))
+        Seq("t19_decontamination_index_build" -> (System.nanoTime() - t0) / 1e9)
+      }
     // Streaming-fold throughput (verdict r8 item 8): replay the events
     // table in event-time order through StreamingFunnel and
     // StreamingRetention (the WatermarkOrderedFold twins) and record
@@ -165,7 +176,7 @@ object Bench {
     // suite saw materially different machine conditions across its run
     val contended = cals.max / math.max(cals.min, 1e-9) >= 1.5
     val calJson = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val results = (s06Build ++ timed).sortBy(_._1)
+    val results = (s06Build ++ t19Build ++ timed).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -410,6 +410,15 @@ object PlanAudit {
       }),
       "two hash exchanges max" -> maxHashExchanges(2))
 
+    // t19 persisted decontamination index: the probe must still sit
+    // scan-side and the verify stay an exact semi join, AND the eval
+    // side must come from the persisted index parquet (graft_decon
+    // dir), not a recomputation over documents
+    audit("t19_decontamination_index")(
+      "bloom probe (might_contain) planned" -> (_.contains("might_contain")),
+      "exact verify is a semi join" -> (_.contains("LeftSemi")),
+      "eval grams read from the persisted index" -> (_.contains("graft_decon")))
+
     // t18 importance weights: scoring is word/doc-keyed equi joins
     // only (the 1-row split-counts broadcast is the sole nested-loop,
     // bounded by construction); the top-50 is a bounded TakeOrdered,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted decontamination index — the 100 TB operating mode of the
+  * t16 benchmark-overlap check (the IvfIndex pattern applied to
+  * decontamination): benchmark/eval sets are ~static while the train
+  * corpus streams through, so the eval side is built ONCE — distinct
+  * eval 3-grams as parquet + their bloom sketch as one small binary —
+  * and every corpus batch pays only the probe-and-verify pass. The
+  * report is bit-identical to t16's inline form (same gram kernel,
+  * same sketch contract via [[BloomSketch]], same exact semi-join
+  * verify killing bloom false positives), which is why t16's CTE
+  * oracle checks the persisted pipeline too — the s06/s03 evidence
+  * pattern.
+  *
+  * Layout: `dir/evalgrams/…parquet` (gram) + `dir/sketch.bin` (the
+  * BloomSketch bytes, driver-held at probe time — bounded by the 8 MB
+  * runtime-filter cap, never the grams).
+  */
+object DecontamIndex {
+
+  /** Deterministic per-corpus index location (the IvfIndex keying):
+    * one fixed dir under the JVM temp root, keyed by the documents
+    * table's identity, so repeated gate/bench runs reuse the build
+    * and a data change forces a rebuild in a new dir. */
+  def indexDirFor(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
+    val h = java.lang.Long.toHexString(
+      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_decon_$h").getAbsolutePath
+  }
+
+  /** Build at [[indexDirFor]] unless already complete there. */
+  def ensureBuilt(s: SparkSession, sfDir: String): String = {
+    val dir = indexDirFor(sfDir)
+    val done = new java.io.File(dir, "evalgrams/_SUCCESS").exists &&
+      new java.io.File(dir, "sketch.bin").exists
+    if (!done) build(s, sfDir, dir)
+    dir
+  }
+
+  /** Distinct eval grams → parquet; their sketch → one small file.
+    * Build cost is one pass over the EVAL split only (the corpus is
+    * never read) — the amortization point of the whole design. */
+  def build(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val evalDocs = Tables.load(s, sfDir, "documents")
+      .filter(col("doc_id") % 37 === 0)
+    val evalGrams = graft.queries.CorpusOps.trigrams3(evalDocs)
+      .select(col("gram")).distinct()
+    evalGrams.write.mode("overwrite").parquet(s"$indexDir/evalgrams")
+    // sketch from the WRITTEN grams (one bounded read-back), so probe
+    // and verify provably derive from the same persisted artifact
+    val persisted = s.read.parquet(s"$indexDir/evalgrams")
+    val sketch = BloomSketch.build(persisted, "gram")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "sketch.bin"), sketch)
+  }
+
+  /** The t16 overlap report for the TRAIN split of `sfDir`, served
+    * from the persisted eval side: the sketch file loads driver-side
+    * (bounded), the gram parquet feeds the exact verify join, and the
+    * corpus pays one probe-filtered pass. */
+  def search(s: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    val sketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "sketch.bin"))
+    val evalGrams = s.read.parquet(s"$indexDir/evalgrams")
+    val train = Tables.load(s, sfDir, "documents")
+      .filter(col("doc_id") % 37 =!= 0)
+    graft.queries.CorpusOps.overlapReportFrom(train, evalGrams, sketch)
+  }
+}

@@ -155,42 +155,53 @@ object CorpusOps extends QueryModule {
   // bounded as the corpus grows (the synthetic 1/37 eval split scales
   // with the corpus, so the build sizes numBits from a count of the
   // SMALL side and caps at Spark's runtime-filter ceiling of 8 MB).
-  private def t16(s: SparkSession, d: String): DataFrame = {
+  // grams come from the codegen'd trigram_tf_pairs scan kernel (the
+  // t15 lesson: split/transform/array_distinct higher-order lambdas
+  // are interpreted and dominate the gram build — one byte pass per
+  // doc replaces them; pairs are distinct per doc by construction,
+  // so pair.t is exactly the distinct-3-gram stream and size(pairs)
+  // the distinct count). Kernel output is projected ONCE per branch:
+  // n_grams is computed in the Generate's CHILD projection — a size()
+  // referenced above the explode would pin the whole pair array into
+  // every exploded row. Shared by t16's inline build and the
+  // persisted-index twin (operators.DecontamIndex).
+  private[graft] def trigrams3(in: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.trigramTfPairs
-    import graft.operators.BloomSketch
-    // grams come from the codegen'd trigram_tf_pairs scan kernel (the
-    // t15 lesson: split/transform/array_distinct higher-order lambdas
-    // are interpreted and dominate the gram build — one byte pass per
-    // doc replaces them; pairs are distinct per doc by construction,
-    // so pair.t is exactly the distinct-3-gram stream and size(pairs)
-    // the distinct count). Kernel output is projected ONCE per branch:
-    // n_grams is computed in the Generate's CHILD projection — a size()
-    // referenced above the explode would pin the whole pair array into
-    // every exploded row.
-    def grams3(in: DataFrame): DataFrame = in
-      .select(col("doc_id"), col("source"), trigramTfPairs(col("text")).as("ps"))
+    in.select(col("doc_id"), col("source"), trigramTfPairs(col("text")).as("ps"))
       .select(col("doc_id"), col("source"),
         size(col("ps")).cast(LongType).as("n_grams"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("source"), col("n_grams"),
         col("p.t").as("gram"))
-    // cache ONLY the small side: the distinct eval grams (bounded by
-    // the benchmark, not the corpus) serve the bloom build and the
-    // exact verify join from memory; the corpus-sized train gram
-    // stream is never cached — one scan-side pass, below
-    val evalGrams = grams3(docs(s, d).filter(col("doc_id") % 37 === 0))
-      .select(col("gram")).distinct().cache()
-    val sketch = BloomSketch.build(evalGrams, "gram")
-    // single train pass: carry (source, n_grams) through the explode
-    // so the per-doc report falls out of the hit aggregate directly —
-    // no second corpus scan, no doc-keyed profile join. The groupBy
-    // keys are doc-determined, so cardinality = reported docs.
-    grams3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
+  }
+
+  /** t16's train-side report given the eval side (grams + sketch) from
+    * ANY provenance — built inline (t16) or read from the persisted
+    * index (t19): one bloom-pruned corpus pass, exact semi-join
+    * verify, per-doc aggregate. The groupBy keys are doc-determined,
+    * so cardinality = reported docs. */
+  private[graft] def overlapReportFrom(train: DataFrame, evalGrams: DataFrame,
+      sketch: Array[Byte]): DataFrame = {
+    import graft.operators.BloomSketch
+    trigrams3(train)
       .filter(BloomSketch.probe(sketch, col("gram")))
       .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"), col("source"), col("n_grams"))
       .agg(count(lit(1)).as("n_hits"))
       .select("doc_id", "source", "n_grams", "n_hits")
       .orderBy("doc_id")
+  }
+
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BloomSketch
+    // cache ONLY the small side: the distinct eval grams (bounded by
+    // the benchmark, not the corpus) serve the bloom build and the
+    // exact verify join from memory; the corpus-sized train gram
+    // stream is never cached — one scan-side pass inside
+    // overlapReportFrom.
+    val evalGrams = trigrams3(docs(s, d).filter(col("doc_id") % 37 === 0))
+      .select(col("gram")).distinct().cache()
+    val sketch = BloomSketch.build(evalGrams, "gram")
+    overlapReportFrom(docs(s, d).filter(col("doc_id") % 37 =!= 0), evalGrams, sketch)
   }
 
   // t17: contamination PROVENANCE — for every train doc sharing any
@@ -845,6 +856,13 @@ object CorpusOps extends QueryModule {
     // union of Append emissions exactly the batch report
     "t16_decontamination_stream" ->
       ((s, d) => graft.streaming.StreamingDecontamination.replayGate(s, d)),
+    // the persisted-index twin of t16 (build-once eval side, probe-
+    // many corpus passes): same oracle because the report is
+    // bit-identical by construction — the s06/s03 evidence pattern
+    "t19_decontamination_index" -> ((s, d) => {
+      val dir = graft.operators.DecontamIndex.ensureBuilt(s, d)
+      graft.operators.DecontamIndex.search(s, d, dir)
+    }),
     "t17_contamination_provenance" -> t17,
     "t09_dupspan_profile" -> t09,
     "t11_repetition_profile" -> t11,
@@ -861,6 +879,7 @@ object CorpusOps extends QueryModule {
     "t08_decontamination" -> t08Sql,
     "t16_bloom_decontamination" -> t16Sql,
     "t16_decontamination_stream" -> t16Sql,
+    "t19_decontamination_index" -> t16Sql,
     "t17_contamination_provenance" -> t17Sql,
     "t09_dupspan_profile" -> t09Sql,
     "t11_repetition_profile" -> t11Sql,
