@@ -46,16 +46,39 @@ object DecontamIndex {
   /** Distinct eval grams → parquet; their sketch → one small file.
     * Build cost is one pass over the EVAL split only (the corpus is
     * never read) — the amortization point of the whole design. */
-  def build(s: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val evalDocs = Tables.load(s, sfDir, "documents")
-      .filter(col("doc_id") % 37 === 0)
-    val evalGrams = graft.queries.CorpusOps.trigrams3(evalDocs)
+  def build(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildFrom(s, Tables.load(s, sfDir, "documents")
+      .filter(col("doc_id") % 37 === 0), indexDir)
+
+  /** Build from an explicit eval-doc set (doc_id, source, text …). */
+  def buildFrom(s: SparkSession, evalDocs: DataFrame, indexDir: String): Unit = {
+    graft.queries.CorpusOps.trigrams3(evalDocs)
       .select(col("gram")).distinct()
-    evalGrams.write.mode("overwrite").parquet(s"$indexDir/evalgrams")
-    // sketch from the WRITTEN grams (one bounded read-back), so probe
-    // and verify provably derive from the same persisted artifact
-    val persisted = s.read.parquet(s"$indexDir/evalgrams")
-    val sketch = BloomSketch.build(persisted, "gram")
+      .write.mode("overwrite").parquet(s"$indexDir/evalgrams")
+    refreshSketch(s, indexDir)
+  }
+
+  /** Incremental benchmark onboarding: a NEW eval set's grams are
+    * anti-joined against the persisted ones (the gram store stays
+    * duplicate-free) and APPENDED; the sketch is rebuilt from the
+    * persisted union. Cost is one bounded pass over the EVAL side —
+    * the corpus is never read, and existing gram files are never
+    * rewritten. An appended index is content-equivalent to a fresh
+    * build over the union of eval sets (DecontamIndexSpec proves the
+    * reports equal row-for-row). */
+  def append(s: SparkSession, newEvalDocs: DataFrame, indexDir: String): Unit = {
+    val existing = s.read.parquet(s"$indexDir/evalgrams")
+    graft.queries.CorpusOps.trigrams3(newEvalDocs)
+      .select(col("gram")).distinct()
+      .join(existing, Seq("gram"), "left_anti")
+      .write.mode("append").parquet(s"$indexDir/evalgrams")
+    refreshSketch(s, indexDir)
+  }
+
+  /** Sketch from the WRITTEN grams (one bounded read-back), so probe
+    * and verify provably derive from the same persisted artifact. */
+  private def refreshSketch(s: SparkSession, indexDir: String): Unit = {
+    val sketch = BloomSketch.build(s.read.parquet(s"$indexDir/evalgrams"), "gram")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "sketch.bin"), sketch)
   }
@@ -64,12 +87,15 @@ object DecontamIndex {
     * from the persisted eval side: the sketch file loads driver-side
     * (bounded), the gram parquet feeds the exact verify join, and the
     * corpus pays one probe-filtered pass. */
-  def search(s: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+  def search(s: SparkSession, sfDir: String, indexDir: String): DataFrame =
+    searchFrom(s, Tables.load(s, sfDir, "documents")
+      .filter(col("doc_id") % 37 =!= 0), indexDir)
+
+  /** Same report over an explicit train-doc set. */
+  def searchFrom(s: SparkSession, train: DataFrame, indexDir: String): DataFrame = {
     val sketch = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(indexDir, "sketch.bin"))
     val evalGrams = s.read.parquet(s"$indexDir/evalgrams")
-    val train = Tables.load(s, sfDir, "documents")
-      .filter(col("doc_id") % 37 =!= 0)
     graft.queries.CorpusOps.overlapReportFrom(train, evalGrams, sketch)
   }
 }
