@@ -48,4 +48,48 @@ class DecontamIndexSpec extends AnyFunSuite {
     assert(grams.length == grams.distinct.length)
     assert(grams.count(_ == "q r s") == 1)
   }
+
+  test("streaming corpus probed against the persisted index equals the batch report") {
+    // the 100 TB operating mode end-to-end: a STATIC persisted eval
+    // side (grams parquet + sketch file) serving a STREAMING corpus —
+    // the report must equal the batch searchFrom over the same docs
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+
+    val evalDocs = docs(Seq((100L, "a b c d"), (101L, "x y z w")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream").toString
+    DecontamIndex.buildFrom(spark, evalDocs, dir)
+    val sketch = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "sketch.bin"))
+    val evalGrams = spark.read.parquet(s"$dir/evalgrams")
+
+    val train = Seq((1L, "s0", "p b c d q"), (2L, "s0", "x y z w v"),
+      (3L, "s1", "m n o p q"))
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val report = graft.streaming.StreamingDecontamination.overlapReport(
+      input.toDF().toDF("evt", "doc_id", "source", "text"),
+      evalGrams, sketch, "evt", "10 minutes", "10 minutes")
+    val q = report.writeStream.format("memory").queryName("decon_idx_out")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(train.zipWithIndex.map { case ((id, src, t), i) =>
+        (ts(i), id, src, t) }: _*)
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-02 10:00:00"), 99L, "_flush", ""))
+      q.processAllAvailable()
+      spark.table("decon_idx_out")
+        .select("doc_id", "source", "n_grams", "n_hits")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    val batch = DecontamIndex.searchFrom(spark,
+      docs(train.map { case (id, _, t) => (id, t) }), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed == batch && streamed.map(_._1) == Seq(1L, 2L))
+  }
 }
