@@ -255,6 +255,12 @@ object PlanAudit {
         !s.split("== Initial Plan ==").head.contains("CartesianProduct")))
     audit("c01_stratified_sample")(
       "per-stratum quotas broadcast" -> (_.contains("BroadcastHashJoin")))
+    // temperature mixture reuses c01's rank selection; the τ-weighted
+    // quota table (one row per source) must reach the rank filter as
+    // a broadcast, and the rank window must stay source-keyed
+    audit("c07_temperature_mixture")(
+      "temperature quotas broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no single-partition window" -> noSinglePartitionWindow)
     // the range join must run as an equi join on the time bin — the
     // whole point of the binning is that Spark would otherwise plan
     // the BETWEEN predicate as a nested-loop/cartesian stage
