@@ -256,11 +256,20 @@ object PlanAudit {
     audit("c01_stratified_sample")(
       "per-stratum quotas broadcast" -> (_.contains("BroadcastHashJoin")))
     // temperature mixture reuses c01's rank selection; the τ-weighted
-    // quota table (one row per source) must reach the rank filter as
-    // a broadcast, and the rank window must stay source-keyed
+    // quota table (one row per stratum) must reach the rank filter as
+    // a broadcast, and the rank window must stay lang-keyed
     audit("c07_temperature_mixture")(
       "temperature quotas broadcast" -> (_.contains("BroadcastHashJoin")),
       "no single-partition window" -> noSinglePartitionWindow)
+    // the gate battery is one scan-side projection (kernel + substring
+    // probes) into a |sources|-key aggregate — any join or second
+    // exchange means a rule leaked into a per-doc lookup
+    audit("t20_gopher_gates")(
+      "no joins (single scan aggregate)" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => l.contains("Join"))),
+      "one hash exchange" -> maxHashExchanges(1),
+      "whole-stage codegen" -> codegenCheck)
     // the range join must run as an equi join on the time bin — the
     // whole point of the binning is that Spark would otherwise plan
     // the BETWEEN predicate as a nested-loop/cartesian stage

@@ -442,54 +442,60 @@ object CorpusOps extends QueryModule {
       |WHERE rn <= quota ORDER BY 1, 2""".stripMargin
 
   // c07: temperature-balanced mixture sampling — the mixing rule of
-  // multi-corpus pretraining (WebText/The Pile/XLM-R convention):
-  // source s gets a share ∝ n_s^τ with τ = 1/2, UP-weighting small
-  // sources relative to proportional sampling so a few giant crawls
-  // don't drown the curated tails. τ = 1/2 because sqrt is the one
-  // fractional power that is EXACT cross-engine (IEEE correctly-
-  // rounded, no libm pow/exp): weight = round(sqrt(n_s)·1e9) as a
-  // scaled long (order-free integer sum for the normalizer), quota =
-  // (B·w) div S in pure int64 arithmetic (floor allocation, Σ ≤ B by
-  // construction — the stated contract; B·w ≤ 1e3·1e15 < 2⁶³ up to
-  // 10¹² docs/source). Members are then the c01 Knuth-hash rank
-  // selection under the temperature quota — same reproducible
-  // pseudorandom order, same keyed-window scale shape (and the same
-  // documented hash-threshold O(1)-state alternative at extreme
-  // stratum sizes).
+  // multilingual/multi-corpus pretraining (the XLM-R / mBERT
+  // convention, same rule WebText/Pile apply to sources): stratum s
+  // gets a share ∝ n_s^τ with τ = 1/2, UP-weighting low-resource
+  // strata relative to proportional sampling so the dominant one
+  // (here lang='en', ~44% of the corpus) doesn't drown the tails —
+  // the lang strata are the genuinely skewed ones in this corpus
+  // (sources are uniform by construction, which would make τ a
+  // no-op). τ = 1/2 because sqrt is the one fractional power that is
+  // EXACT cross-engine (IEEE correctly-rounded, no libm pow/exp):
+  // weight = round(sqrt(n_s)·1e9) as a scaled long (order-free
+  // integer sum for the normalizer), quota = (B·w) div S in pure
+  // int64 arithmetic (floor allocation, Σ ≤ B by construction — the
+  // stated contract; B·w ≤ 1e3·1e15 < 2⁶³ up to 10¹² docs/stratum).
+  // B = 200 keeps every quota strictly below its stratum size at all
+  // SFs (√ scaling: quotas grow like √SF while strata grow like SF),
+  // so the rank filter always SELECTS rather than passing a stratum
+  // through whole. Members are then the c01 Knuth-hash rank selection
+  // under the temperature quota — same reproducible pseudorandom
+  // order, same keyed-window scale shape (and the same documented
+  // hash-threshold O(1)-state alternative at extreme stratum sizes).
   private def c07(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val budget = 1000L
-    val per = docs(s, d).groupBy(col("source"))
+    val budget = 200L
+    val per = docs(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
         round(sqrt(col("n_docs").cast(DoubleType)) * lit(1e9)).cast(LongType))
     val tot = per.agg(sum(col("w")).as("stot"))
     val quota = per.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
-      .select(col("source"), col("n_docs"), col("quota"))
+      .select(col("lang"), col("n_docs"), col("quota"))
     val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
-    docs(s, d).select(col("source"), col("doc_id"), skey.as("skey"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+    docs(s, d).select(col("lang"), col("doc_id"), skey.as("skey"))
       .withColumn("rn", row_number().over(w).cast(LongType))
-      .join(broadcast(quota), Seq("source"))
+      .join(broadcast(quota), Seq("lang"))
       .filter(col("rn") <= col("quota"))
-      .select(col("source"), col("n_docs"), col("quota"), col("rn"), col("doc_id"))
-      .orderBy("source", "rn")
+      .select(col("lang"), col("n_docs"), col("quota"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
   }
 
   private val c07Sql =
-    """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+    """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
       |        CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS w
       |      FROM documents GROUP BY 1),
       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS stot FROM per),
-      |q AS (SELECT source, n_docs,
-      |        CAST((1000 * w) // stot AS BIGINT) AS quota FROM per, tot),
-      |r AS (SELECT source, doc_id,
-      |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |q AS (SELECT lang, n_docs,
+      |        CAST((200 * w) // stot AS BIGINT) AS quota FROM per, tot),
+      |r AS (SELECT lang, doc_id,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
       |          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
       |      FROM documents)
-      |SELECT r.source, n_docs, quota, rn, doc_id
-      |FROM r JOIN q ON r.source = q.source
+      |SELECT r.lang, n_docs, quota, rn, doc_id
+      |FROM r JOIN q ON r.lang = q.lang
       |WHERE rn <= quota ORDER BY 1, 4""".stripMargin
 
   // c02: corpus ASSEMBLY — the composition every pipeline actually

@@ -623,6 +623,82 @@ object TextAnalysis extends QueryModule {
        |SELECT doc_id, n_terms, ${fixedDecSql("sc", 6)} AS affinity
        |FROM sc ORDER BY sc DESC, doc_id LIMIT 50""".stripMargin
 
+  // t20: Gopher-style quality-gate battery (Rae et al. 2021, table A1
+  // — the public rule set of large-scale corpus filtering), reported
+  // per source as rule-level failure counts plus the strict (4/4) and
+  // lenient (≥3/4) survivor counts. Four gates, each EXACT integer
+  // arithmetic (cross-multiplied bounds — never a per-row float ratio,
+  // whose rounding ties the engines break differently):
+  //   g1 word count in [50, 100000]          (canonical bounds)
+  //   g2 mean word length in [3, 10]         (3·w ≤ nonspace ≤ 10·w)
+  //   g3 ≥2 distinct stopwords present       (Gopher's "stop word
+  //      filter"; the set is adapted to the synthetic vocabulary —
+  //      {the, a, and, of} — since the canonical 8-word set has one
+  //      member in-vocab and would gate vacuously)
+  //   g4 distinct-word ratio ≥ 1/2           (the repetition proxy;
+  //      Gopher gates on duplicate-line/para fractions, which need
+  //      newlines the corpus doesn't have)
+  // Scale shape: (w, dw) come from the RepetitionStats scan kernel
+  // (one byte pass, no explode), the stopword probes are substring
+  // containment on the same scan, and the only shuffle is the final
+  // |sources|-key aggregate — map-side combined, linear, zero joins.
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val sw = Seq(" the ", " a ", " and ", " of ")
+      .map(t => when(padded.contains(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = docs(s, d)
+      .select(col("source"),
+        graft.functions.GraftFunctions.repetitionStats(col("text")).as("r"),
+        length(regexp_replace(col("text"), " ", "")).cast(LongType).as("ns"),
+        sw.as("sw"))
+      .select(col("source"), col("r").getItem(0).as("w"),
+        col("r").getItem(1).as("dw"), col("ns"), col("sw"))
+    val g1 = when(col("w") >= 50 && col("w") <= 100000L, 1L).otherwise(0L)
+    val g2 = when(col("w") * 3 <= col("ns") && col("ns") <= col("w") * 10, 1L)
+      .otherwise(0L)
+    val g3 = when(col("sw") >= 2, 1L).otherwise(0L)
+    val g4 = when(col("dw") * 2 >= col("w"), 1L).otherwise(0L)
+    per.select(col("source"), g1.as("g1"), g2.as("g2"), g3.as("g3"), g4.as("g4"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("g1")).as("f_words"),
+        sum(lit(1L) - col("g2")).as("f_wordlen"),
+        sum(lit(1L) - col("g3")).as("f_stopword"),
+        sum(lit(1L) - col("g4")).as("f_lexdiv"),
+        sum(col("g1") * col("g2") * col("g3") * col("g4")).as("n_pass_all"),
+        sum(when(col("g1") + col("g2") + col("g3") + col("g4") >= 3, 1L)
+          .otherwise(0L)).as("n_pass_3of4"))
+      .orderBy("source")
+  }
+
+  private val t20Sql =
+    """WITH per AS (
+      | SELECT source,
+      |   len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+      |   len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS dw,
+      |   length(replace(text, ' ', '')) AS ns,
+      |   (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+      |   +CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+      |   +CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+      |   +CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) AS sw
+      | FROM documents),
+      |g AS (SELECT source,
+      |  CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END AS g1,
+      |  CASE WHEN 3*w <= ns AND ns <= 10*w THEN 1 ELSE 0 END AS g2,
+      |  CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS g3,
+      |  CASE WHEN 2*dw >= w THEN 1 ELSE 0 END AS g4
+      | FROM per)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(1-g1) AS BIGINT) AS f_words,
+      |  CAST(SUM(1-g2) AS BIGINT) AS f_wordlen,
+      |  CAST(SUM(1-g3) AS BIGINT) AS f_stopword,
+      |  CAST(SUM(1-g4) AS BIGINT) AS f_lexdiv,
+      |  CAST(SUM(g1*g2*g3*g4) AS BIGINT) AS n_pass_all,
+      |  CAST(SUM(CASE WHEN g1+g2+g3+g4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_3of4
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -636,9 +712,11 @@ object TextAnalysis extends QueryModule {
     "t13_pmi_collocations" -> t13,
     "t14_zipf_rank_profile" -> t14,
     "t15_ngram_novelty" -> t15,
-    "t18_importance_weights" -> t18)
+    "t18_importance_weights" -> t18,
+    "t20_gopher_gates" -> t20)
 
   override def oracle: Map[String, String] = Map(
+    "t20_gopher_gates" -> t20Sql,
     "t12_bm25_topk" -> t12Sql,
     "t14_zipf_rank_profile" -> t14Sql,
     "t15_ngram_novelty" -> t15Sql,
