@@ -260,7 +260,9 @@ object PlanAudit {
     // a broadcast, and the rank window must stay lang-keyed
     audit("c07_temperature_mixture")(
       "temperature quotas broadcast" -> (_.contains("BroadcastHashJoin")),
-      "no single-partition window" -> noSinglePartitionWindow)
+      "bounded TopK aggregate (no rank window)" -> (s =>
+        "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
+          !s.contains("Window")))
     // the gate battery is one scan-side projection (kernel + substring
     // probes) into a |sources|-key aggregate — any join or second
     // exchange means a rule leaked into a per-doc lookup

@@ -458,12 +458,17 @@ object CorpusOps extends QueryModule {
   // B = 200 keeps every quota strictly below its stratum size at all
   // SFs (√ scaling: quotas grow like √SF while strata grow like SF),
   // so the rank filter always SELECTS rather than passing a stratum
-  // through whole. Members are then the c01 Knuth-hash rank selection
-  // under the temperature quota — same reproducible pseudorandom
-  // order, same keyed-window scale shape (and the same documented
-  // hash-threshold O(1)-state alternative at extreme stratum sizes).
+  // through whole. Members are the c01 Knuth-hash rank selection
+  // under the temperature quota, but served by the bounded TopKByScore
+  // aggregate instead of a rank window: quota ≤ B by construction, so
+  // the per-stratum rank never needs more than the B smallest skeys —
+  // map-side k-row buffers, shuffle ≤ partitions × |langs| × B rows,
+  // where the window form would shuffle the ENTIRE corpus into |langs|
+  // partitions (maximally skewed at 100 TB; measured 1.57 s → the
+  // aggregate form at sf10). score = −skey is exact in double (skey <
+  // 2³² < 2⁵³) and (−skey DESC, doc_id ASC) ≡ the c01 (skey ASC,
+  // doc_id ASC) order, so the rank is row_number-identical.
   private def c07(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 200L
     val per = docs(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
@@ -474,9 +479,15 @@ object CorpusOps extends QueryModule {
       .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
       .select(col("lang"), col("n_docs"), col("quota"))
     val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
-    docs(s, d).select(col("lang"), col("doc_id"), skey.as("skey"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
+    val topk = graft.functions.GraftFunctions.topKByScore(
+      (skey * lit(-1L)).cast(DoubleType), col("doc_id"),
+      struct(col("doc_id")), budget.toInt)
+    docs(s, d).select(col("lang"), col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(topk.as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("lang"), (col("i") + 1).cast(LongType).as("rn"),
+        col("e.payload.doc_id").as("doc_id"))
       .join(broadcast(quota), Seq("lang"))
       .filter(col("rn") <= col("quota"))
       .select(col("lang"), col("n_docs"), col("quota"), col("rn"), col("doc_id"))
