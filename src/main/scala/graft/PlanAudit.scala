@@ -263,6 +263,14 @@ object PlanAudit {
       "bounded TopK aggregate (no rank window)" -> (s =>
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
+    // epoch mixture: base replication is a broadcast join + bounded
+    // sequence explode; the rem-extras selection rides the same
+    // bounded TopK aggregate as c07 — never a corpus-wide rank window
+    audit("c08_epoch_mixture")(
+      "per-stratum allocation broadcast" -> (_.contains("BroadcastHashJoin")),
+      "bounded TopK aggregate (no rank window)" -> (s =>
+        "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
+          !s.contains("Window")))
     // the gate battery is one scan-side projection (kernel + substring
     // probes) into a |sources|-key aggregate — any join or second
     // exchange means a rule leaked into a per-doc lookup

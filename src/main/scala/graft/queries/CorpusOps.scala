@@ -509,6 +509,88 @@ object CorpusOps extends QueryModule {
       |FROM r JOIN q ON r.lang = q.lang
       |WHERE rn <= quota ORDER BY 1, 4""".stripMargin
 
+  // c08: epoch-capped upsampled mixture — the Pile's replication rule
+  // (Gao et al. 2020 §2.2: each source is assigned an EPOCH count, up-
+  // sampled by copying, capped so no source repeats more than a few
+  // times). Takes c07's τ=1/2 temperature quota q_s, caps the
+  // effective allocation at cap·n_s (cap = 4 epochs), then realizes
+  // it as exact replication: every doc gets base = eff div n copies
+  // and the rem = eff mod n lowest-Knuth-hash-rank docs get one more —
+  // Σ epochs = eff exactly, reproducibly, no RNG. This is the one
+  // corpus operator whose OUTPUT is deliberately a multiset (epoch
+  // column disambiguates), the shape a packed pretraining shard list
+  // actually has.
+  //
+  // Scale: rem ≤ q_s ≤ B (= 1000, a literal), so the extras selection
+  // is the c07 bounded TopKByScore aggregate — never a corpus-wide
+  // rank window; the base replication is a broadcast join + explode
+  // of a ≤cap-long sequence, map-side, linear. Output ≤ Σ eff ≤ B +
+  // cap·Σn bounded by construction (B rows in the subsample regime,
+  // cap·n in the upsample regime — at sf0.01 the low-resource langs
+  // really do land at base 2 / 2.5 effective epochs while en stays
+  // at 1.4, the Pile behavior).
+  private def c08(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val cap = 4L
+    val per = docs(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(sqrt(col("n_docs").cast(DoubleType)) * lit(1e9)).cast(LongType))
+    val tot = per.agg(sum(col("w")).as("stot"))
+    val qq = per.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
+      .withColumn("eff", least(col("quota"), lit(cap) * col("n_docs")))
+      .withColumn("base", expr("eff div n_docs").cast(LongType))
+      .withColumn("rem", expr("eff % n_docs").cast(LongType))
+      .select(col("lang"), col("n_docs"), col("quota"), col("base"), col("rem"))
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val topk = graft.functions.GraftFunctions.topKByScore(
+      (skey * lit(-1L)).cast(DoubleType), col("doc_id"),
+      struct(col("doc_id")), budget.toInt)
+    val ranked = docs(s, d).select(col("lang"), col("doc_id"))
+      .groupBy(col("lang")).agg(topk.as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("lang"), (col("i") + 1).cast(LongType).as("rn"),
+        col("e.payload.doc_id").as("doc_id"))
+    val basePart = docs(s, d).select(col("lang"), col("doc_id"))
+      .join(broadcast(qq.select(col("lang"), col("base"))), Seq("lang"))
+      .filter(col("base") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("base"))))
+      .select(col("lang"), col("doc_id"), col("epoch"))
+    val extras = ranked
+      .join(broadcast(qq.select(col("lang"), col("base"), col("rem"))), Seq("lang"))
+      .filter(col("rn") <= col("rem"))
+      .select(col("lang"), col("doc_id"), (col("base") + 1L).as("epoch"))
+    basePart.unionByName(extras)
+      .join(broadcast(qq), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("quota"), col("base"),
+        col("rem"), col("doc_id"), col("epoch"))
+      .orderBy("lang", "doc_id", "epoch")
+  }
+
+  private val c08Sql =
+    """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+      |        CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS w
+      |      FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS stot FROM per),
+      |q AS (SELECT lang, n_docs,
+      |        CAST((1000 * w) // stot AS BIGINT) AS quota FROM per, tot),
+      |qq AS (SELECT lang, n_docs, quota,
+      |         CAST(LEAST(quota, 4*n_docs) // n_docs AS BIGINT) AS base,
+      |         CAST(LEAST(quota, 4*n_docs) % n_docs AS BIGINT) AS rem
+      |       FROM q),
+      |r AS (SELECT lang, doc_id,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
+      |      FROM documents),
+      |b AS (SELECT d.lang, d.doc_id, UNNEST(generate_series(1, base)) AS epoch
+      |      FROM documents d JOIN qq USING (lang) WHERE base >= 1),
+      |e AS (SELECT r.lang, r.doc_id, base + 1 AS epoch
+      |      FROM r JOIN qq USING (lang) WHERE rn <= rem)
+      |SELECT u.lang, n_docs, quota, base, rem, doc_id, CAST(epoch AS BIGINT) AS epoch
+      |FROM (SELECT * FROM b UNION ALL SELECT * FROM e) u JOIN qq USING (lang)
+      |ORDER BY 1, 6, 7""".stripMargin
+
   // c02: corpus ASSEMBLY — the composition every pipeline actually
   // runs: drop documents failing the t11 repetition gates (top word
   // > 10% of words, duplicate words > 50%), then take c01's exact
@@ -938,7 +1020,8 @@ object CorpusOps extends QueryModule {
     "c02_clean_sample" -> c02,
     "c03_token_packing" -> c03,
     "c04_mixture_budget" -> c04,
-    "c07_temperature_mixture" -> c07)
+    "c07_temperature_mixture" -> c07,
+    "c08_epoch_mixture" -> c08)
 
   override def oracle: Map[String, String] = Map(
     "c05_decontaminated_mixture" -> c05Sql,
@@ -956,5 +1039,6 @@ object CorpusOps extends QueryModule {
     "c02_clean_sample" -> c02Sql,
     "c03_token_packing" -> c03Sql,
     "c04_mixture_budget" -> c04Sql,
-    "c07_temperature_mixture" -> c07Sql)
+    "c07_temperature_mixture" -> c07Sql,
+    "c08_epoch_mixture" -> c08Sql)
 }
