@@ -263,6 +263,12 @@ object PlanAudit {
       "bounded TopK aggregate (no rank window)" -> (s =>
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
+    // exact mode: two-level histogram aggregate — both exchanges carry
+    // aggregated (group, value) rows, never raw facts, and the argmax
+    // is a struct-min aggregate, not a rank window
+    audit("a09_mode_per_group")(
+      "no window node" -> (s => !s.contains("Window")),
+      "two histogram exchanges max" -> maxHashExchanges(2))
     // epoch mixture: base replication is a broadcast join + bounded
     // sequence explode; the rem-extras selection rides the same
     // bounded TopK aggregate as c07 — never a corpus-wide rank window

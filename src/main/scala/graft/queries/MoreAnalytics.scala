@@ -403,7 +403,43 @@ object MoreAnalytics extends QueryModule {
       |    (acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc) AS ewma
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // a09: exact MODE per group (the SQL aggregate Spark lacks) done
+  // scale-right: most frequent o_custkey per (priority, status),
+  // deterministic tie-break (count DESC, custkey ASC). Spark's own
+  // `mode` expression hashes every distinct value into one aggregation
+  // buffer per group — fine until a group holds billions of distinct
+  // values; this plan is the two-level histogram idiom instead:
+  // (group, value) counts with map-side combine, then a struct-min
+  // argmax — min(struct(−n, value)) picks max-count-then-min-value in
+  // ONE order-free aggregate, no rank window, no value-sized state.
+  // Both exchanges carry aggregated histogram rows, never raw facts.
+  private def a09(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("priority"), col("status"))
+      .agg(sum(col("n")).as("n_orders"),
+        min(struct((col("n") * -1L).as("neg"), col("o_custkey").as("k"))).as("m"))
+      .select(col("priority"), col("status"), col("n_orders"),
+        col("m.k").as("mode_custkey"), (col("m.neg") * -1L).as("mode_n"))
+      .orderBy("priority", "status")
+
+  private val a09Sql =
+    """WITH c AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |             o_custkey, COUNT(*) AS n
+      |           FROM orders GROUP BY 1, 2, 3),
+      |r AS (SELECT priority, status, o_custkey, n,
+      |        CAST(SUM(n) OVER (PARTITION BY priority, status) AS BIGINT) AS n_orders,
+      |        ROW_NUMBER() OVER (PARTITION BY priority, status
+      |          ORDER BY n DESC, o_custkey) AS rn
+      |      FROM c)
+      |SELECT priority, status, n_orders, o_custkey AS mode_custkey,
+      |  CAST(n AS BIGINT) AS mode_n
+      |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a09_mode_per_group" -> a09,
     "a07_exact_quantiles" -> a07,
     "w06_retention_cohorts" -> w06,
     "w07_conversion_funnel" -> w07,
@@ -413,6 +449,7 @@ object MoreAnalytics extends QueryModule {
     "w10_ewma" -> w10)
 
   override def oracle: Map[String, String] = Map(
+    "a09_mode_per_group" -> a09Sql,
     "a07_exact_quantiles" -> a07Sql,
     "w06_retention_cohorts" -> w06Sql,
     "w07_conversion_funnel" -> w07Sql,
