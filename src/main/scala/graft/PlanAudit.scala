@@ -558,6 +558,31 @@ object PlanAudit {
       }
     }
 
+    // t21 BPE: the gate query's visible plan is the driver-local rule
+    // list (per-round lineage is checkpoint-truncated), so audit the
+    // per-round candidate plan directly via BpeTrain.pairArgmax — the
+    // pair explode must feed a partially-aggregated (l, r) count (no
+    // shuffle before the partial agg) and the argmax must be a bounded
+    // TakeOrdered, never a full sort
+    locally {
+      val round = graft.queries.BpeTrain.pairArgmax(
+        graft.queries.BpeTrain.initVocab(spark, sfDir))
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString
+      val fin = plan.split("== Initial Plan ==").head
+      val checks = Seq(
+        "pair round: bounded TakeOrdered argmax" ->
+          fin.contains("TakeOrderedAndProject"),
+        "pair round: partial hash agg (map-side combine)" ->
+          ("HashAggregate".r.findAllIn(fin).size >= 2),
+        "pair round: no window / cartesian" ->
+          (!fin.contains("Window") && !fin.contains("CartesianProduct")))
+      checks.foreach { case (desc, ok) =>
+        if (!ok) failures += 1
+        println(f"[plan] ${if (ok) "PASS" else "FAIL"}%s  t21_bpe_merges               $desc")
+      }
+    }
+
     // AQE skew-join: the w02/q02-shape hot key (one join key holding
     // 80% of the fact) must trigger the sort-merge skew split — the
     // runtime mitigation for skew the static planner can't see. The

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** t21: BPE merge-rule induction — tokenizer vocabulary training, the
+  * one pretraining-pipeline stage the corpus operators didn't cover
+  * (counting t01/t07, quality t02/t20, dedup d01–d11, mixture
+  * c01–c08, decontamination t08/t16–t19 … and now vocabulary
+  * induction). Learns the first R = 6 byte-pair-encoding merges of
+  * the corpus (Sennrich et al. 2016; the GPT-2 trainer is the same
+  * loop word-internally): start from characters, repeatedly take the
+  * globally most frequent adjacent symbol pair — weighted by word
+  * frequency, ties broken (count DESC, left ASC, right ASC) — and
+  * merge it greedily left-to-right non-overlapping in every word.
+  * Output: one row per learned rule (round, l, r, pair_n).
+  *
+  * Distributed shape (the standard trainer decomposition): ONE corpus
+  * aggregate builds the word-frequency table; every round after runs
+  * on VOCAB-sized data — a pair explode (Σ|syms| rows, word-keyed,
+  * map-side combined) into a (l, r)-keyed aggregate, a bounded
+  * TakeOrdered(1) argmax, and a per-row greedy-fold rewrite (a
+  * higher-order `aggregate` — no shuffle at all). The per-round
+  * driver materialization is exactly ONE row (the argmax), the
+  * KCore/a07 bounded-action precedent; lineage is truncated per round
+  * the way KCore does. At 100 TB the corpus pass dominates once and
+  * the rounds cost O(vocab·avg_len) each — the real BPE-at-scale
+  * profile.
+  *
+  * BOUNDED-ROUNDS CONTRACT (the KCore convention): exactly R rounds
+  * are attempted; a round with no remaining pair emits nothing and
+  * leaves the vocabulary unchanged, and the DuckDB oracle unrolls the
+  * same R rounds as no-op-tolerant CTEs, so both sides always compute
+  * the identical rule list.
+  *
+  * Cross-engine exactness: all counts are integers; the greedy
+  * left-to-right non-overlapping merge is realized engine-side as the
+  * fold (merge iff last(acc) = l ∧ x = r) and oracle-side as the
+  * match-run parity rule (keep match positions at even offset within
+  * each maximal run of consecutive matches) — equivalent by
+  * construction: runs of consecutive matches require l = r, and both
+  * rules then take every other position from the left.
+  */
+object BpeTrain extends QueryModule {
+
+  private val rounds = 6
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** One round's candidate ranking as a pure plan: adjacent-pair
+    * explode (word-local, no shuffle) into a (l, r)-keyed aggregate
+    * and a bounded TakeOrdered(1) argmax. Exposed so PlanAudit can
+    * assert the per-round physical shape that t21's checkpoint-
+    * truncated loop would otherwise hide (the KCore.peelRound
+    * convention). */
+  def pairArgmax(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"),
+        explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+          .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(desc("n"), col("l"), col("r"))
+      .limit(1)
+
+  /** The corpus-pass word-frequency vocabulary (the one non-vocab-
+    * sized stage). */
+  def initVocab(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var vocab = initVocab(s, d).localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = pairArgmax(vocab)
+        .collect() // bounded: exactly one row per round
+      if (best.isEmpty) exhausted = true
+      else {
+        val (bl, br, bn) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r.toLong, bl, br, bn))
+        val fold =
+          s"""aggregate(syms, cast(array() as array<string>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) > 0 AND element_at(acc, -1) = '${sq(bl)}'
+             |         AND x = '${sq(br)}'
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |                array(concat('${sq(bl)}', '${sq(br)}')))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin
+        vocab = vocab.withColumn("syms", expr(fold)).localCheckpoint(true)
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("round", "l", "r", "pair_n").orderBy("round")
+  }
+
+  /** One oracle round: pair counts → argmax → parity-kept match
+    * positions → rebuilt symbol lists. All CTEs MATERIALIZED — v/b are
+    * referenced more than once per round and an inlined chain of R
+    * rounds re-executes its prefix exponentially (the s07 lesson). */
+  private def roundSql(k: Int): String =
+    s"""p$k AS MATERIALIZED (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq, syms, UNNEST(range(1, len(syms))) AS i FROM v$k)
+       |  GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (
+       |  SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+       |e$k AS MATERIALIZED (
+       |  SELECT word, freq, i, syms[i] AS s, syms[i+1] AS s2,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT l FROM b$k)
+       |          AND syms[i+1] = (SELECT r FROM b$k) THEN 1 ELSE 0 END AS m
+       |  FROM (SELECT word, freq, syms, UNNEST(range(1, len(syms)+1)) AS i
+       |        FROM v$k)),
+       |k$k AS MATERIALIZED (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, MIN(i) OVER (PARTITION BY word, isl) AS i0
+       |    FROM (SELECT word, i,
+       |            i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+       |          FROM e$k WHERE m = 1))
+       |  WHERE (i - i0) % 2 = 0),
+       |v${k + 1} AS MATERIALIZED (
+       |  SELECT word, ANY_VALUE(freq) AS freq,
+       |    LIST(CASE WHEN kept THEN s || s2 ELSE s END ORDER BY i) AS syms
+       |  FROM (SELECT e.word, e.freq, e.i, e.s, e.s2,
+       |          (ke.i IS NOT NULL) AS kept, (kd.i IS NOT NULL) AS dropped
+       |        FROM e$k e
+       |        LEFT JOIN k$k ke ON e.word = ke.word AND e.i = ke.i
+       |        LEFT JOIN k$k kd ON e.word = kd.word AND e.i = kd.i + 1)
+       |  WHERE NOT dropped GROUP BY word)""".stripMargin
+
+  private val t21Sql = {
+    val roundCtes = (1 to rounds).map(roundSql).mkString(",\n")
+    val unionRows = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, l, r, n AS pair_n FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH v1 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |$roundCtes
+       |SELECT * FROM ($unionRows) ORDER BY round""".stripMargin
+  }
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("t21_bpe_merges" -> t21)
+
+  override def oracle: Map[String, String] =
+    Map("t21_bpe_merges" -> t21Sql)
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.etl.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for t21 BPE merge induction: greedy
+  * non-overlapping merge of an L == R run, multi-round composition
+  * (a learned symbol participating in a later pair), early exhaustion
+  * under the bounded-rounds contract, and the deterministic
+  * (count DESC, l ASC, r ASC) tie-break.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(dir: String): Seq[(Long, String, String, Long)] =
+    graft.SparkEntry.queries("t21_bpe_merges")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("greedy L==R run, composed symbols, early exhaustion") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_t21a").toString
+    // word freqs: aaaa x2, ab x3
+    Seq(
+      (1L, "aaaa ab", "en", "s0", 7L),
+      (2L, "aaaa", "en", "s0", 4L),
+      (3L, "ab ab", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // r1: (a,a) appears 3x in aaaa (freq 2) -> 6, (a,b) 3 -> merge (a,a)
+    //     greedy on a-a-a-a keeps positions 1,3 -> [aa, aa] (never
+    //     [aa, a, a] or an overlapped triple)
+    // r2: (aa,aa) 2 vs (a,b) 3 -> merge (a,b); ab -> [ab]
+    // r3: (aa,aa) 2 -> aaaa -> [aaaa]; composed symbol pair
+    // r4: every word is a single symbol -> exhausted, 3 rows only
+    assert(run(d) == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "aa", 2L)))
+  }
+
+  test("tie-break is (count DESC, l ASC, r ASC)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_t21b").toString
+    // word freqs: cd x2, ce x2 -> round 1 ties (c,d)=(c,e)=2
+    Seq(
+      (1L, "cd ce", "en", "s0", 5L),
+      (2L, "cd ce", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    assert(run(d) == Seq(
+      (1L, "c", "d", 2L),
+      (2L, "c", "e", 2L)))
+  }
+}
