@@ -87,6 +87,18 @@ object Bench {
           graft.operators.DecontamIndex.indexDirFor(sfDir))
         Seq("t19_decontamination_index_build" -> (System.nanoTime() - t0) / 1e9)
       }
+    // t22 is train-once/tokenize-many: charge the tokenizer TRAIN to
+    // its own metric (forced fresh build into the keyed dir), so the
+    // t22 query line measures the apply join over the persisted vocab
+    // — the per-corpus-batch cost a user actually pays.
+    val t22Build: Seq[(String, Double)] =
+      if (skip("t22_bpe_tokenize") || !only.forall(_("t22_bpe_tokenize"))) Nil
+      else {
+        val t0 = System.nanoTime()
+        graft.operators.BpeTokenizer.build(spark, sfDir,
+          graft.operators.BpeTokenizer.tokenizerDirFor(sfDir))
+        Seq("t22_bpe_tokenize_build" -> (System.nanoTime() - t0) / 1e9)
+      }
     // Streaming-fold throughput (verdict r8 item 8): replay the events
     // table in event-time order through StreamingFunnel and
     // StreamingRetention (the WatermarkOrderedFold twins) and record
@@ -176,7 +188,7 @@ object Bench {
     // suite saw materially different machine conditions across its run
     val contended = cals.max / math.max(cals.min, 1e-9) >= 1.5
     val calJson = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val results = (s06Build ++ t19Build ++ timed).sortBy(_._1)
+    val results = (s06Build ++ t19Build ++ t22Build ++ timed).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

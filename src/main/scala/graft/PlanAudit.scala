@@ -583,6 +583,20 @@ object PlanAudit {
       }
     }
 
+    // t22 tokenize-apply: the visible plan is the word-keyed join of
+    // the kernel tf-pairs against the (checkpoint-truncated) trained
+    // vocab — an equi join (AQE picks broadcast while vocab is small;
+    // never force-broadcast), two keyed aggregates, no cartesian
+    audit("t22_bpe_tokenize")(
+      "vocab equi join (no cartesian)" -> (s => {
+        val fin = s.split("== Initial Plan ==").head
+        (fin.contains("BroadcastHashJoin") || fin.contains("SortMergeJoin") ||
+          fin.contains("ShuffledHashJoin")) &&
+          !fin.contains("CartesianProduct") &&
+          !fin.contains("BroadcastNestedLoopJoin")
+      }),
+      "no window node" -> (s => !s.contains("Window")))
+
     // AQE skew-join: the w02/q02-shape hot key (one join key holding
     // 80% of the fact) must trigger the sort-merge skew split — the
     // runtime mitigation for skew the static planner can't see. The

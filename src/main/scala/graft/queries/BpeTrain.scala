@@ -78,8 +78,9 @@ object BpeTrain extends QueryModule {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
 
-  private def t21(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Run the R-round trainer: returns the post-merge vocabulary
+    * (word, freq, syms) and the learned rule list. */
+  def train(s: SparkSession, d: String): (DataFrame, Seq[(Long, String, String, Long)]) = {
     var vocab = initVocab(s, d).localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
@@ -104,7 +105,55 @@ object BpeTrain extends QueryModule {
         r += 1
       }
     }
-    learned.toSeq.toDF("round", "l", "r", "pair_n").orderBy("round")
+    (vocab, learned.toSeq)
+  }
+
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    train(s, d)._2.toDF("round", "l", "r", "pair_n").orderBy("round")
+  }
+
+  // t22: APPLY the learned tokenizer — segment every document with the
+  // R trained merges and report per-source BPE token totals plus the
+  // exact compression ratio (chars per token), the acceptance metric a
+  // tokenizer rollout is judged by. Operating mode is train-once /
+  // tokenize-many (operators.BpeTokenizer, the t19/s06 persisted-
+  // artifact pattern): the gate query builds the persisted tokenizer
+  // if absent and the apply pass reads its vocab parquet — the
+  // training pass is never repeated across corpus batches. The key
+  // scale property of the word-level decomposition: tokenization
+  // joins the per-doc (word, tf) pairs — from the codegen'd
+  // WordTfPairs scan kernel — against the VOCAB-sized (word → token
+  // count) table instead of re-walking every document character
+  // (tokens(doc) = Σ tf(w)·tokens(w)); the vocab join stays unhinted
+  // (AQE broadcasts while it is small; a 100 TB corpus vocabulary
+  // must not be force-broadcast — the t18 rule). Ratio is one sum/sum
+  // division through the Q fixed-point helpers, exact cross-engine.
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.operators.BpeTokenizer.ensureBuilt(s, d)
+    tokenStats(s, d, graft.operators.BpeTokenizer.vocab(s, dir))
+  }
+
+  /** The apply pass against an explicit (word → n_tok) vocabulary —
+    * shared by the persisted-tokenizer gate query and the
+    * inline-equivalence spec. */
+  def tokenStats(s: SparkSession, d: String, tok: DataFrame): DataFrame = {
+    import Q._
+    val pairs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.GraftFunctions.wordTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.t").as("word"), col("p.c").as("tf"))
+    val perDoc = pairs.join(tok, Seq("word"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("tf") * col("n_tok")).as("tokens"),
+        sum(col("tf") * length(col("word")).cast(LongType)).as("chars"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_bpe_tokens"),
+        max(col("tokens")).as("max_doc_tokens"),
+        fixedDec(rhu(sum(col("chars")), sum(col("tokens")), 1000000L), 6)
+          .as("chars_per_token"))
+      .orderBy("source")
   }
 
   /** One oracle round: pair counts → argmax → parity-kept match
@@ -141,23 +190,49 @@ object BpeTrain extends QueryModule {
        |        LEFT JOIN k$k kd ON e.word = kd.word AND e.i = kd.i + 1)
        |  WHERE NOT dropped GROUP BY word)""".stripMargin
 
-  private val t21Sql = {
+  /** The shared R-round CTE chain (v1 … v{R+1}, p/b/e/k per round) —
+    * the WITH body both oracles build on. */
+  private val chainSql = {
     val roundCtes = (1 to rounds).map(roundSql).mkString(",\n")
-    val unionRows = (1 to rounds)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS round, l, r, n AS pair_n FROM b$k")
-      .mkString("\n UNION ALL ")
-    s"""WITH v1 AS MATERIALIZED (
+    s"""v1 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |    list_transform(range(1, length(word)+1), i -> word[i]) AS syms
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY 1),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private val t21Sql = {
+    val unionRows = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, l, r, n AS pair_n FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH $chainSql
        |SELECT * FROM ($unionRows) ORDER BY round""".stripMargin
   }
 
+  private val t22Sql = {
+    import Q._
+    s"""WITH $chainSql,
+       |tok AS MATERIALIZED (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM v${rounds + 1}),
+       |wc AS (SELECT doc_id, source, word, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, source,
+       |               UNNEST(string_split(text, ' ')) AS word FROM documents) x
+       |       WHERE word <> '' GROUP BY 1, 2, 3),
+       |per AS (SELECT source, doc_id,
+       |          CAST(SUM(tf * n_tok) AS BIGINT) AS tokens,
+       |          CAST(SUM(tf * length(word)) AS BIGINT) AS chars
+       |        FROM wc JOIN tok USING (word) GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS total_bpe_tokens,
+       |  CAST(MAX(tokens) AS BIGINT) AS max_doc_tokens,
+       |  ${fixedDecSql(rhuSql("CAST(SUM(chars) AS BIGINT)", "CAST(SUM(tokens) AS BIGINT)", 1000000L), 6)} AS chars_per_token
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("t21_bpe_merges" -> t21)
+    Map("t21_bpe_merges" -> t21, "t22_bpe_tokenize" -> t22)
 
   override def oracle: Map[String, String] =
-    Map("t21_bpe_merges" -> t21Sql)
+    Map("t21_bpe_merges" -> t21Sql, "t22_bpe_tokenize" -> t22Sql)
 }

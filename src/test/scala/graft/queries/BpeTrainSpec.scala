@@ -39,6 +39,28 @@ class BpeTrainSpec extends AnyFunSuite {
       (3L, "aa", "aa", 2L)))
   }
 
+  test("persisted tokenizer apply == training inline and applying") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_t22").toString
+    Seq(
+      (1L, "aaaa ab abab", "en", "s0", 12L),
+      (2L, "aaaa ab", "fr", "s1", 7L),
+      (3L, "ab ab baba", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val dir = graft.operators.BpeTokenizer.ensureBuilt(spark, d)
+    val persisted = BpeTrain
+      .tokenStats(spark, d, graft.operators.BpeTokenizer.vocab(spark, dir))
+      .collect().toSeq
+    val (vocab, _) = BpeTrain.train(spark, d)
+    val inline = BpeTrain.tokenStats(spark, d,
+      vocab.select(col("word"), size(col("syms")).cast(LongType).as("n_tok")))
+      .collect().toSeq
+    assert(persisted == inline && persisted.nonEmpty)
+  }
+
   test("tie-break is (count DESC, l ASC, r ASC)") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_t21b").toString
