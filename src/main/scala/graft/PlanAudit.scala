@@ -558,6 +558,21 @@ object PlanAudit {
       }
     }
 
+    // g06 co-purchase: pair generation must be the order-keyed equi
+    // self-join (quadratic only within a basket), the hot-item cap a
+    // semi join, the result a bounded TakeOrdered — a cartesian or a
+    // full sort means the projection degenerated to all-part-pairs
+    audit("g06_copurchase_pairs")(
+      "streaming pair kernel (no join, no cartesian)" -> (s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("Join")
+      }),
+      // plain layout (this audit) pays the basket co-locating
+      // repartition + the pair exchange; the bucketed layout elides
+      // the first
+      "pair + co-locate exchanges only" -> maxHashExchanges(2),
+      "bounded TakeOrdered result" -> (_.contains("TakeOrderedAndProject")))
+
     // t21 BPE: the gate query's visible plan is the driver-local rule
     // list (per-round lineage is checkpoint-truncated), so audit the
     // per-round candidate plan directly via BpeTrain.pairArgmax — the
