@@ -642,36 +642,50 @@ object TextAnalysis extends QueryModule {
   // (one byte pass, no explode), the stopword probes are substring
   // containment on the same scan, and the only shuffle is the final
   // |sources|-key aggregate — map-side combined, linear, zero joins.
-  private def t20(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc gate flags (source, g1..g4, plus any `carry` columns
+    * passed through) — STATELESS, so the streaming twin maps the same
+    * projection over a live feed. */
+  private[graft] def gateFlags(in: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val sw = Seq(" the ", " a ", " and ", " of ")
       .map(t => when(padded.contains(t), 1L).otherwise(0L))
       .reduce(_ + _)
-    val per = docs(s, d)
-      .select(col("source"),
+    val cs = carry.map(col)
+    val per = in
+      .select(cs ++ Seq(col("source"),
         graft.functions.GraftFunctions.repetitionStats(col("text")).as("r"),
         length(regexp_replace(col("text"), " ", "")).cast(LongType).as("ns"),
-        sw.as("sw"))
-      .select(col("source"), col("r").getItem(0).as("w"),
-        col("r").getItem(1).as("dw"), col("ns"), col("sw"))
+        sw.as("sw")): _*)
+      .select(cs ++ Seq(col("source"), col("r").getItem(0).as("w"),
+        col("r").getItem(1).as("dw"), col("ns"), col("sw")): _*)
     val g1 = when(col("w") >= 50 && col("w") <= 100000L, 1L).otherwise(0L)
     val g2 = when(col("w") * 3 <= col("ns") && col("ns") <= col("w") * 10, 1L)
       .otherwise(0L)
     val g3 = when(col("sw") >= 2, 1L).otherwise(0L)
     val g4 = when(col("dw") * 2 >= col("w"), 1L).otherwise(0L)
-    per.select(col("source"), g1.as("g1"), g2.as("g2"), g3.as("g3"), g4.as("g4"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(lit(1L) - col("g1")).as("f_words"),
-        sum(lit(1L) - col("g2")).as("f_wordlen"),
-        sum(lit(1L) - col("g3")).as("f_stopword"),
-        sum(lit(1L) - col("g4")).as("f_lexdiv"),
-        sum(col("g1") * col("g2") * col("g3") * col("g4")).as("n_pass_all"),
-        sum(when(col("g1") + col("g2") + col("g3") + col("g4") >= 3, 1L)
-          .otherwise(0L)).as("n_pass_3of4"))
-      .orderBy("source")
+    per.select(cs ++ Seq(col("source"),
+      g1.as("g1"), g2.as("g2"), g3.as("g3"), g4.as("g4")): _*)
   }
+
+  /** The per-source counter aggregate over gate flags — every output
+    * is a SUM of per-doc indicators, so it distributes over any
+    * disjoint partition of the docs (the property the streaming twin's
+    * window re-aggregation relies on). */
+  private[graft] def gateAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(lit(1L) - col("g1")).as("f_words"),
+    sum(lit(1L) - col("g2")).as("f_wordlen"),
+    sum(lit(1L) - col("g3")).as("f_stopword"),
+    sum(lit(1L) - col("g4")).as("f_lexdiv"),
+    sum(col("g1") * col("g2") * col("g3") * col("g4")).as("n_pass_all"),
+    sum(when(col("g1") + col("g2") + col("g3") + col("g4") >= 3, 1L)
+      .otherwise(0L)).as("n_pass_3of4"))
+
+  private def t20(s: SparkSession, d: String): DataFrame =
+    gateFlags(docs(s, d))
+      .groupBy(col("source"))
+      .agg(gateAggs.head, gateAggs.tail: _*)
+      .orderBy("source")
 
   private val t20Sql =
     """WITH per AS (
@@ -713,10 +727,16 @@ object TextAnalysis extends QueryModule {
     "t14_zipf_rank_profile" -> t14,
     "t15_ngram_novelty" -> t15,
     "t18_importance_weights" -> t18,
-    "t20_gopher_gates" -> t20)
+    "t20_gopher_gates" -> t20,
+    // streaming twin: per-window Append emissions of the same gate
+    // counters re-aggregated per source — equals batch t20 exactly
+    // (sums over disjoint windows), so the same SQL oracle checks it
+    "t20_gopher_stream" ->
+      ((s, d) => graft.streaming.StreamingQualityGates.replayGate(s, d)))
 
   override def oracle: Map[String, String] = Map(
     "t20_gopher_gates" -> t20Sql,
+    "t20_gopher_stream" -> t20Sql,
     "t12_bm25_topk" -> t12Sql,
     "t14_zipf_rank_profile" -> t14Sql,
     "t15_ngram_novelty" -> t15Sql,
