@@ -263,6 +263,24 @@ object PlanAudit {
       "bounded TopK aggregate (no rank window)" -> (s =>
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
+    // exact correlation: one scan into a |groups|-key aggregate of six
+    // integer sufficient statistics — no joins, no window
+    audit("a10_exact_corr")(
+      "single scan aggregate (no joins)" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => l.contains("Join"))),
+      "one hash exchange" -> maxHashExchanges(1),
+      "no window node" -> (s => !s.contains("Window")))
+    // gap-fill: last-reading pick is a struct-max AGGREGATE (never a
+    // window over raw events); the LOCF window runs over the
+    // span-bounded grid, keyed by type
+    audit("w11_gapfill_locf")(
+      "no single-partition window" -> noSinglePartitionWindow,
+      "grid equi join (no cartesian)" -> (s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") &&
+          !fin.contains("BroadcastNestedLoopJoin")
+      }))
     // exact mode: two-level histogram aggregate — both exchanges carry
     // aggregated (group, value) rows, never raw facts, and the argmax
     // is a struct-min aggregate, not a rank window

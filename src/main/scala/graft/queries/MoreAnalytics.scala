@@ -438,7 +438,132 @@ object MoreAnalytics extends QueryModule {
       |  CAST(n AS BIGINT) AS mode_n
       |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin
 
+  // a10: EXACT distributed correlation + regression slope per group.
+  // Spark's builtin corr/covar aggregates sum doubles in partition
+  // order — the result changes run to run with partitioning — so this
+  // is the exact form: the five sufficient statistics (Σx, Σy, Σxy,
+  // Σx², Σy²) as order-free INTEGER sums (values scaled to cents by
+  // the codegen'd scaledLong kernel), each cast to double ONCE, then
+  // corr/beta as identical IEEE double arithmetic on identical inputs
+  // — bit-identical cross-engine, and identical across any
+  // partitioning. The product sums would overflow int64 at scale
+  // (Σy² ≈ 6e21 at sf10) and Spark's DECIMAL sum is an order of
+  // magnitude slower than a codegen long sum (measured 3.3 s vs
+  // 1.4 s for this scan), so each product is split at 2³¹ into
+  // (quotient, remainder) long sums — both provably in-range up to
+  // ~10¹² rows — and recombined EXACTLY in decimal on the |groups|
+  // output rows before the single double cast, which is the same
+  // nearest-double the oracle's HUGEINT→DOUBLE cast produces. One
+  // scan, one |groups|-key exchange of seven-number partials; corr is
+  // scale-invariant so the cent scaling drops out, and beta's 100/100
+  // cancels likewise.
+  private def a10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.scaledLong
+    val two31 = 1L << 31
+    def dd(c: Column) = c.cast(DoubleType)
+    def splitSums(prod: Column, n: String) = Seq(
+      sum(shiftright(prod, 31)).as(s"${n}_q"),
+      sum(prod.bitwiseAND(lit(two31 - 1))).as(s"${n}_r"))
+    def recomb(n: String) = dd(
+      col(s"${n}_q").cast(DecimalType(38, 0)) * lit(two31) +
+        col(s"${n}_r").cast(DecimalType(38, 0)))
+    val x = scaledLong(col("l_quantity"), 2)
+    val y = scaledLong(col("l_extendedprice"), 2)
+    val num = col("n_items") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n_items") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n_items") * col("syy") - col("sy") * col("sy")
+    val aggs = Seq(count(lit(1)).as("n_items"),
+      sum(col("x")).as("sxl"), sum(col("y")).as("syl")) ++
+      splitSums(col("x") * col("y"), "sxy") ++
+      splitSums(col("x") * col("x"), "sxx") ++
+      splitSums(col("y") * col("y"), "syy")
+    Tables.load(s, d, "lineitem")
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("n_items"),
+        dd(col("sxl")).as("sx"), dd(col("syl")).as("sy"),
+        recomb("sxy").as("sxy"), recomb("sxx").as("sxx"),
+        recomb("syy").as("syy"))
+      .select(col("l_returnflag"), col("n_items"),
+        (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
+        (num / varx).as("beta_price_per_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val a10Sql =
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (SELECT l_returnflag, COUNT(*) AS n_items,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y*y) AS DOUBLE) AS syy
+      |  FROM b GROUP BY 1)
+      |SELECT l_returnflag, n_items,
+      |  (n_items*sxy - sx*sy)
+      |    / (sqrt(n_items*sxx - sx*sx) * sqrt(n_items*syy - sy*sy)) AS corr_qty_price,
+      |  (n_items*sxy - sx*sy) / (n_items*sxx - sx*sx) AS beta_price_per_qty
+      |FROM a ORDER BY 1""".stripMargin
+
+  // w11: gap-filled time series with last-observation-carried-forward
+  // — the resample/interpolate operator every monitoring surface needs
+  // (the reference's dashboards plot per-interval series that simply
+  // have holes where a mountpoint was silent; this materializes the
+  // dense grid). Three scale-shaped stages: (1) last stored reading
+  // per (type, hour) via the struct-max pick — ONE corpus aggregate,
+  // deterministic (ts, event_id) tie-break, never a window over raw
+  // events; (2) the dense hour grid per type from a sequence explode —
+  // sized by the TIME SPAN, not the corpus; (3) LOCF as an ignoreNulls
+  // running last over the GRID rows (span-bounded keyed window — the
+  // few-strata-by-construction c01 precedent). The carried value is a
+  // stored double moved verbatim — no float arithmetic, exact
+  // cross-engine.
+  private def w11(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val hr = Q.bucket(col("ts"), 3600L)
+    val lastIn = ev.select(col("event_type"), hr.as("h"),
+        struct(col("ts"), col("event_id"), col("value")).as("m"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(max(col("m")).as("m"))
+      .select(col("event_type"), col("h"), col("m").getField("value").as("reading"))
+    val grid = lastIn.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastIn, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h"),
+        last(col("reading"), ignoreNulls = true).over(w).as("reading"),
+        when(col("reading").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy("event_type", "h")
+  }
+
+  private val w11Sql =
+    """WITH r AS (SELECT event_type,
+      |        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h, value,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type,
+      |            CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events),
+      |li AS (SELECT event_type, h, value AS reading FROM r WHERE rn = 1),
+      |sp AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM li GROUP BY 1),
+      |g AS (SELECT event_type,
+      |        CAST(UNNEST(generate_series(h0, h1, 3600)) AS BIGINT) AS h FROM sp),
+      |j AS (SELECT g.event_type, g.h, li.reading
+      |      FROM g LEFT JOIN li ON g.event_type = li.event_type AND g.h = li.h)
+      |SELECT event_type, h,
+      |  LAST_VALUE(reading IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading,
+      |  CAST(CASE WHEN reading IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+      |FROM j ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_gapfill_locf" -> w11,
+    "a10_exact_corr" -> a10,
     "a09_mode_per_group" -> a09,
     "a07_exact_quantiles" -> a07,
     "w06_retention_cohorts" -> w06,
@@ -449,6 +574,8 @@ object MoreAnalytics extends QueryModule {
     "w10_ewma" -> w10)
 
   override def oracle: Map[String, String] = Map(
+    "w11_gapfill_locf" -> w11Sql,
+    "a10_exact_corr" -> a10Sql,
     "a09_mode_per_group" -> a09Sql,
     "a07_exact_quantiles" -> a07Sql,
     "w06_retention_cohorts" -> w06Sql,
