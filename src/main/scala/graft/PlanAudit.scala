@@ -281,6 +281,11 @@ object PlanAudit {
         !fin.contains("CartesianProduct") &&
           !fin.contains("BroadcastNestedLoopJoin")
       }))
+    // path mining: user-keyed lag windows (never single-partition),
+    // tiny path-keyed count, bounded TakeOrdered
+    audit("w12_event_paths")(
+      "no single-partition window" -> noSinglePartitionWindow,
+      "bounded TakeOrdered result" -> (_.contains("TakeOrderedAndProject")))
     // exact mode: two-level histogram aggregate — both exchanges carry
     // aggregated (group, value) rows, never raw facts, and the argmax
     // is a struct-min aggregate, not a rank window

@@ -561,7 +561,38 @@ object MoreAnalytics extends QueryModule {
       |  CAST(CASE WHEN reading IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
       |FROM j ORDER BY 1, 2""".stripMargin
 
+  // w12: behavioral path mining — the top event-type TRIGRAM paths
+  // across all users (the "what do users do before X" funnel-path
+  // query): each user's event stream in (ts, event_id) order yields
+  // its consecutive 3-step paths via two lag windows — user-keyed
+  // (~|users| partitions, never global) — then one path-keyed count
+  // (path space ≤ |types|³, tiny) and a bounded TakeOrdered with a
+  // deterministic (n DESC, path) tie-break.
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .withColumn("e3", lag(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e3"), col("e2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(15)
+  }
+
+  private val w12Sql =
+    """WITH t AS (SELECT event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e3 || '>' || e2 || '>' || event_type AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_event_paths" -> w12,
     "w11_gapfill_locf" -> w11,
     "a10_exact_corr" -> a10,
     "a09_mode_per_group" -> a09,
@@ -574,6 +605,7 @@ object MoreAnalytics extends QueryModule {
     "w10_ewma" -> w10)
 
   override def oracle: Map[String, String] = Map(
+    "w12_event_paths" -> w12Sql,
     "w11_gapfill_locf" -> w11Sql,
     "a10_exact_corr" -> a10Sql,
     "a09_mode_per_group" -> a09Sql,
