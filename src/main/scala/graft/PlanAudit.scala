@@ -249,6 +249,13 @@ object PlanAudit {
         !finalPlan.contains("CartesianProduct") &&
           !finalPlan.contains("BroadcastNestedLoopJoin")
       }))
+    // leakage report rides d02's banded pair stream — same guarantee
+    audit("d12_neardup_leakage")(
+      "banded candidates (no cartesian)" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }))
     audit("d08_minhash_dfcap")(
       "DF cap as semi join" -> (_.contains("LeftSemi")),
       "no cartesian stage" -> (s =>

@@ -171,7 +171,11 @@ object Dedup extends QueryModule {
       .groupBy(col("doc_id")).agg(collect_list(col("g")).as("sh"))
   }
 
-  private def d08(s: SparkSession, d: String): DataFrame = {
+  /** d08's DF-capped verified pair stream (doc_a, doc_b, jaccard) —
+    * the SCALE-PATH near-dup pairs (boilerplate shingles capped out,
+    * so salted/replicated corpora don't band-collide quadratically) —
+    * shared by d08 (pair audit) and d12 (leakage report). */
+  private def cappedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = cappedShingled(s, d).cache()
     val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
     val bands = sig.select(col("doc_id"),
@@ -191,8 +195,10 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         Q.fixedDec(Q.rhu(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"),
           size(array_union(col("sh_a"), col("sh_b"))).cast("long"), 1000L), 3).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  private def d08(s: SparkSession, d: String): DataFrame =
+    cappedVerifiedPairs(s, d).orderBy("doc_a", "doc_b")
 
   private val d08Sql =
     """WITH s AS (
@@ -677,7 +683,57 @@ object Dedup extends QueryModule {
       |labels AS (SELECT node, MIN(reach) AS keeper_id FROM walk GROUP BY node)
       |SELECT keeper_id, COUNT(*) AS n_members FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // d12: near-dup LEAKAGE report — which source pairs share verified
+  // near-duplicate documents (the "who copied whom" audit a corpus
+  // curator runs before assigning per-source mixture weights: a
+  // source whose docs near-duplicate another's is double-counting
+  // that content in the mixture). Pure composition over the d08
+  // DF-CAPPED pair stream — the scale path (identical report on the
+  // gate corpus where no shingle hits the cap): two doc-keyed joins
+  // attach the sources, pairs are canonicalized (least, greatest) so
+  // the report is orientation-free, one |sources|²-bounded aggregate.
+  // Same-source internal duplication shows up on the diagonal
+  // (s1 = s2) — kept, it is the per-source self-duplication rate.
+  // sf10-excluded like the whole d02/d08 pair family: the salted
+  // replica gives EVERY doc ~100 near-identical copies, so the
+  // verified pair set is ~50·N by construction — a property of the
+  // synthetic replication, not of a real corpus or of this plan.
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    cappedVerifiedPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("s1"),
+        greatest(col("src_a"), col("src_b")).as("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("s1", "s2")
+  }
+
+  private val d12Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+      |keep AS (SELECT g FROM ex GROUP BY g
+      |         HAVING COUNT(*) <= GREATEST(64, CAST(FLOOR((SELECT COUNT(*) FROM documents) / 1000.0) AS BIGINT))),
+      |cs AS (SELECT doc_id, list(g) AS sh FROM ex
+      |       WHERE g IN (SELECT g FROM keep) GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM cs a JOIN cs b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+      |j AS (
+      |  SELECT LEAST(da.source, db.source) AS s1,
+      |         GREATEST(da.source, db.source) AS s2
+      |  FROM p JOIN documents da ON p.doc_a = da.doc_id
+      |         JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_neardup_leakage" -> d12,
     "d01_exact_dedup_hash" -> d01,
     "d02_minhash_jaccard_pairs" -> d02,
     "d03_lsh_candidates" -> d03,
@@ -705,6 +761,7 @@ object Dedup extends QueryModule {
       |ORDER BY 1, 2""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "d12_neardup_leakage" -> d12Sql,
     "d01_exact_dedup_hash" -> d01Sql,
     "d02_minhash_jaccard_pairs" -> d02Sql,
     "d05_embedding_neardup" -> d05Sql,
