@@ -288,6 +288,15 @@ object PlanAudit {
         !fin.contains("CartesianProduct") &&
           !fin.contains("BroadcastNestedLoopJoin")
       }))
+    // ship-lag quantiles: the merge must not re-sort the facts and the
+    // cumsum windows run over histogram rows keyed by priority
+    audit("h23_shiplag_quantiles")(
+      "no single-partition window" -> noSinglePartitionWindow,
+      "no cartesian / nested loop" -> (s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") &&
+          !fin.contains("BroadcastNestedLoopJoin")
+      }))
     // path mining: user-keyed lag windows (never single-partition),
     // tiny path-keyed count, bounded TakeOrdered
     audit("w12_event_paths")(

@@ -513,7 +513,58 @@ object TpchMore extends QueryModule {
        |                    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // h23: exact ship-lag quantiles per order priority — the fulfilment
+  // SLA report (p50/p90/p99 of order→ship lag in days), done as the
+  // a07 exact-quantile idiom over a BOUNDED-DOMAIN histogram: the
+  // 60 M-row lineitem⋈orders merge rides the orderkey-bucketed layout
+  // (sort-free, exchange-free), the lag-day counts combine map-side
+  // into a (priority, lag) histogram of only a few thousand rows, and
+  // the k-th-smallest resolution (k = ceil(p·n/100), type-1 discrete —
+  // an actual element, engine-independent; ceil as the exact integer
+  // (p·n+99) div 100) is a window cumsum over HISTOGRAM rows, never a
+  // sort of the fact table.
+  private def h23(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lagd = datediff(col("l_shipdate"), col("o_orderdate")).cast(LongType)
+    val hist = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"), lagd.as("lag"))
+      .groupBy(col("priority"), col("lag")).agg(count(lit(1)).as("c"))
+    val wTot = Window.partitionBy(col("priority"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer div: ceil(p·n/100) = (p·n + 99) div 100, no float path
+    def kth(p: Int) = expr(s"(n * $p + 99) div 100")
+    def pick(p: Int) = min(when(col("cum") >= kth(p), col("lag")))
+    hist
+      .withColumn("n", sum(col("c")).over(wTot))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n_items"), pick(50).as("p50_lag_days"),
+        pick(90).as("p90_lag_days"), pick(99).as("p99_lag_days"))
+      .orderBy("priority")
+  }
+
+  private val h23Sql =
+    """WITH h AS (SELECT o_orderpriority AS priority,
+      |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT priority, lag, c,
+      |    CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT) AS n,
+      |    CAST(SUM(c) OVER (PARTITION BY priority ORDER BY lag
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM h)
+      |SELECT priority, MAX(n) AS n_items,
+      |  MIN(CASE WHEN cum >= (n*50 + 99) // 100 THEN lag END) AS p50_lag_days,
+      |  MIN(CASE WHEN cum >= (n*90 + 99) // 100 THEN lag END) AS p90_lag_days,
+      |  MIN(CASE WHEN cum >= (n*99 + 99) // 100 THEN lag END) AS p99_lag_days
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h23_shiplag_quantiles" -> h23,
     "h02_min_supplier_part" -> h02,
     "h07_volume_shipping" -> h07,
     "h08_market_share" -> h08,
@@ -529,6 +580,7 @@ object TpchMore extends QueryModule {
     "h22_dormant_customers" -> h22)
 
   override def oracle: Map[String, String] = Map(
+    "h23_shiplag_quantiles" -> h23Sql,
     "h02_min_supplier_part" -> h02Sql,
     "h07_volume_shipping" -> h07Sql,
     "h08_market_share" -> h08Sql,
