@@ -324,7 +324,7 @@ object GraphOps extends QueryModule {
     // (baskets are ≤ single digits; no pk sort needed), pairs packed
     // while emitting — no per-row boxing, no closures in the hot loop
     def kernel(rows: Iterator[(Long, Long)]): Iterator[Long] = new Iterator[Long] {
-      private val buf = new Array[Long](64)
+      private var buf = new Array[Long](64) // grows with the basket
       private var n = 0
       private var cur = 0L
       private var started = false
@@ -358,7 +358,10 @@ object GraphOps extends QueryModule {
             var i = 0
             var seen = false
             while (i < n && !seen) { seen = buf(i) == pk; i += 1 }
-            if (!seen && n < buf.length) { buf(n) = pk; n += 1 }
+            if (!seen) {
+              if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+              buf(n) = pk; n += 1
+            }
           }
         }
         if (oi >= outLen && !rows.hasNext && started && n > 0) flush()
