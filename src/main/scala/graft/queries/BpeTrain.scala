@@ -231,8 +231,14 @@ object BpeTrain extends QueryModule {
   }
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("t21_bpe_merges" -> t21, "t22_bpe_tokenize" -> t22)
+    Map("t21_bpe_merges" -> t21, "t22_bpe_tokenize" -> t22,
+      // streaming twin: tokenize-at-ingest against the persisted
+      // tokenizer; per-doc Append emissions re-aggregate to the batch
+      // report exactly, so the same full-chain oracle checks it
+      "t22_tokenize_stream" ->
+        ((s, d) => graft.streaming.StreamingBpeTokenize.replayGate(s, d)))
 
   override def oracle: Map[String, String] =
-    Map("t21_bpe_merges" -> t21Sql, "t22_bpe_tokenize" -> t22Sql)
+    Map("t21_bpe_merges" -> t21Sql, "t22_bpe_tokenize" -> t22Sql,
+      "t22_tokenize_stream" -> t22Sql)
 }
