@@ -1273,6 +1273,70 @@ PY_VALIDATORS = {
     "a03_approx_sketches": a03_approx_sketches,
 }
 
+
+
+def m08_audio_decimate(sf_dir):
+    """Audio stride-decimation oracle (m08): same independent WAV
+    reconstruction + stdlib `wave` decode as m03, then the stated
+    contract — every 4th sample of the mono stream — and the m03
+    integer-exact aggregate family over the decimated stream."""
+    import io
+    import struct
+    import wave
+
+    stride = 4
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    per_src = {}
+    for doc_id, text, src in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("text").to_pylist(),
+                                 docs.column("source").to_pylist()):
+        if doc_id % 3 != 1:
+            continue
+        payload = text.encode("utf-8")
+        n = 2000 + (doc_id % 6000) * 8
+        wide = (doc_id // 3) % 2 == 1
+        nbytes = n * 2 if wide else n
+        body = (bytes(payload[i % len(payload)] for i in range(nbytes))
+                if payload else bytes(nbytes))
+        width = 2 if wide else 1
+        wav = (b"RIFF" + struct.pack("<I", 36 + nbytes) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                       8000 * width, width, 8 * width)
+               + b"data" + struct.pack("<I", nbytes) + body)
+        with wave.open(io.BytesIO(wav)) as w:
+            frames = w.readframes(w.getnframes())
+        if wide:
+            samples = list(struct.unpack(f"<{n}h", frames))
+        else:
+            samples = [b - 128 for b in frames]
+        dec = samples[::stride]
+        peak = max((abs(s) for s in dec), default=0)
+        sum_abs = sum(abs(s) for s in dec)
+        sum_sq = sum(abs(s) * abs(s) for s in dec)
+        st = per_src.setdefault(src, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(dec)
+        st[2] = max(st[2], peak)
+        st[3] += sum_sq
+        st[4] += sum_abs
+
+    def rhu(s, c, mul):
+        return (s * 2 * mul + c) // (2 * c)
+
+    srcs = sorted(per_src)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_audio": pa.array([per_src[s][0] for s in srcs], pa.int64()),
+        "total_out_samples": pa.array([per_src[s][1] for s in srcs], pa.int64()),
+        "peak": pa.array([per_src[s][2] for s in srcs], pa.int64()),
+        "energy": pa.array([per_src[s][3] for s in srcs], pa.int64()),
+        "mean_abs": pa.array(
+            [rhu(per_src[s][4] * 1000, per_src[s][1], 1000) / 1e6 for s in srcs],
+            pa.float64()),
+    })
+
+
 PY_ORACLES = {
     "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,
@@ -1281,6 +1345,7 @@ PY_ORACLES = {
     "t06_doc_fingerprints": t06_doc_fingerprints,
     "t07_bpe_token_stats": t07_bpe_token_stats,
     "m03_audio_features": m03_audio_features,
+    "m08_audio_decimate": m08_audio_decimate,
     "m04_image_phash": m04_image_phash,
     "m05_pixel_stats": m05_pixel_stats,
     "m07_frame_pixels": m07_frame_pixels,

@@ -293,6 +293,55 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** m08: integer stride decimation (↓M, M = 4) of the decoded PCM —
+    * the sample-rate-reduction stage of an audio pipeline, done as
+    * the exact-integer choice: a production resampler FIR-filters
+    * before decimating, which is floating-point and implementation-
+    * defined across engines, so the stated contract here is plain
+    * stride decimation (every M-th sample; the synthetic corpus is
+    * mono, so channel interleaving is not disturbed — a multichannel
+    * input would decimate per channel). Reports the m03 integer-exact
+    * aggregate family over the decimated stream, so an independent
+    * decoder + decimator reproduces it bit-for-bit. */
+  def decimationSummary(spark: SparkSession, sfDir: String,
+                        stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val audio = syntheticMedia(spark, sfDir)
+      .filter(col("kind") === "audio")
+      .repartition(8, col("media_id"))
+    val feats = audio.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaCodec.decodeWavSamples(r.content) match {
+            case Some(pcm) =>
+              var sumAbs = 0L; var sumSq = 0L; var peak = 0L; var nOut = 0L
+              var i = 0
+              while (i < pcm.samples.length) {
+                val a = math.abs(pcm.samples(i)).toLong
+                sumAbs += a; sumSq += a * a
+                if (a > peak) peak = a
+                nOut += 1
+                i += stride
+              }
+              (r.media_id, r.source, pcm.sampleRate / stride, nOut,
+                peak, sumAbs, sumSq, true)
+            case None => (r.media_id, r.source, 0, 0L, 0L, 0L, 0L, false)
+          }
+        }
+      }
+    }.toDF("media_id", "source", "out_rate", "n_out", "peak",
+      "sum_abs", "sum_sq", "pcm_real")
+    feats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_audio"),
+        sum(col("n_out")).as("total_out_samples"),
+        max(col("peak")).as("peak"),
+        sum(col("sum_sq")).as("energy"),
+        graft.queries.Q.fixedDec(
+          graft.queries.Q.rhu(sum(col("sum_abs")) * 1000L, sum(col("n_out")), 1000L), 6)
+          .as("mean_abs"))
+      .orderBy("source")
+  }
+
   /** Per-record perceptual hash over REAL decoded pixels (resize →
     * 32×32 luma → sequency-WHT hash, see [[ImageOps]]). */
   final case class ImageHash(

@@ -182,6 +182,8 @@ object MiscQueries extends QueryModule {
     "m05_pixel_stats" -> m05,
     "m06_frame_sample" -> m06,
     "m07_frame_pixels" -> m07,
+    "m08_audio_decimate" -> ((s, d) =>
+      graft.multimodal.Multimodal.decimationSummary(s, d)),
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(
