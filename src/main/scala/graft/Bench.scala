@@ -162,9 +162,17 @@ object Bench {
     }
     calibrate() // warm the sentinel's own codegen/JIT outside the samples
     val cal0 = calibrate()
+    // *_bigpath gate twins re-run a query with its big-input plan
+    // branch pinned on — a CORRECTNESS artifact (the branch is
+    // oracle-hashed at gate SF where the cost probe would never take
+    // it). Benching them would double-count the underlying queries in
+    // every total, so they're excluded by default (still reachable via
+    // SPARK_GRAFT_ONLY for targeted runs) and reported as skipped.
+    val bigpathSkipped = SparkEntry.queries.keys
+      .filter(n => n.endsWith("_bigpath") && only.isEmpty).toSet
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
-      .filterNot { case (name, _) => skip(name) }
+      .filterNot { case (name, _) => skip(name) || bigpathSkipped(name) }
     var calMid = 0.0
     val timed = toRun.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx == toRun.size / 2) calMid = calibrate()
@@ -192,7 +200,8 @@ object Bench {
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skipped = (skip ++ bigpathSkipped).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Baseline comparison column: scripts/bench_duck.py records the
     // DuckDB oracle-side per-query seconds for an SF dir into
     // DUCK_<sfname>.json (committed); embed it so the round artifact

@@ -502,7 +502,18 @@ object Dashboard extends QueryModule {
     "q14_pivot_monthly_lineitem" -> q14,
     "q15_pivot_status_orders" -> q15,
     "q16a_distinct_values" -> q16a,
-    "q16b_in_subquery_semi" -> q16b)
+    "q16b_in_subquery_semi" -> q16b,
+    // big-input-branch gate twins: the cost probe never crosses its
+    // byte threshold at gate SF, so these pin bigInput=true (build-time
+    // conf, Q.forcedBig) and hash the big branch — input range
+    // partition + sortWithinPartitions ≡ orderBy (q02/q05/q09),
+    // staged-shuffle sort + merge-hinted custDim (q01/q04) — against
+    // the SAME oracle SQL as the small branch
+    "q01_bigpath" -> Q.forcedBig(q01),
+    "q02_bigpath" -> Q.forcedBig(q02),
+    "q04_bigpath" -> Q.forcedBig(q04),
+    "q05_bigpath" -> Q.forcedBig(q05),
+    "q09_bigpath" -> Q.forcedBig(q09))
 
   override def oracle: Map[String, String] = Map(
     "q01_rate_avg_2level" -> q01Sql,
@@ -521,5 +532,10 @@ object Dashboard extends QueryModule {
     "q14_pivot_monthly_lineitem" -> q14Sql,
     "q15_pivot_status_orders" -> q15Sql,
     "q16a_distinct_values" -> q16aSql,
-    "q16b_in_subquery_semi" -> q16bSql)
+    "q16b_in_subquery_semi" -> q16bSql,
+    "q01_bigpath" -> q01Sql,
+    "q02_bigpath" -> q02Sql,
+    "q04_bigpath" -> q04Sql,
+    "q05_bigpath" -> q05Sql,
+    "q09_bigpath" -> q09Sql)
 }

@@ -282,6 +282,74 @@ object GraphOps extends QueryModule {
   // would otherwise explode the expansion). The cap list is collected
   // to the driver: BOUNDED BY CONSTRUCTION at < 50 parts (each holds
   // > Σnf/50 of the total), the KCore/a07 bounded-action class.
+  /** g06's streaming pair-expansion kernel over orderkey-clustered,
+    * order-grouped (orderkey, partkey) rows: basket-bounded buffer,
+    * membership dedup (baskets are ≤ single digits; no pk sort
+    * needed), pairs packed into one long while emitting — no per-row
+    * boxing, no closures in the hot loop. Exposed at object level so
+    * the spec can drive it directly (fixture baskets + the bound).
+    *
+    * BASKET BOUND (loud, not silent): C(n,2) is computed in Long —
+    * the Int product overflows to a NEGATIVE array size past ~65k
+    * distinct parts in one basket — and a basket with more than
+    * `maxBasket` distinct parts (2^16 → ≤ ~2.1e9 pairs… far past any
+    * real order, which holds tens of items) throws a named error
+    * instead of materializing a multi-gigabyte pair block per basket.
+    * The hot-item DF cap bounds per-PART frequency, not per-order
+    * distinct-item count, so this guard is the contract, not dead
+    * code. */
+  private[graft] val maxBasket = 1 << 16
+  private[graft] def pairKernel(rows: Iterator[(Long, Long)]): Iterator[Long] =
+    new Iterator[Long] {
+      private var buf = new Array[Long](64) // grows with the basket
+      private var n = 0
+      private var cur = 0L
+      private var started = false
+      private var out: Array[Long] = Array.emptyLongArray
+      private var oi = 0
+      private def flush(): Unit = {
+        if (n > maxBasket) throw new IllegalStateException(
+          s"g06 pair kernel: basket for orderkey=$cur holds $n distinct " +
+            s"parts (> $maxBasket) — C(n,2) pair expansion out of contract")
+        val m = (n.toLong * (n - 1) / 2).toInt // safe: n ≤ 2^16
+        if (out.length < m) out = new Array[Long](m)
+        var k = 0
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val a = buf(i); val b = buf(j)
+            out(k) = if (a < b) (a << 31) | b else (b << 31) | a
+            k += 1; j += 1
+          }
+          i += 1
+        }
+        oi = 0
+        outLen = k
+        n = 0
+      }
+      private var outLen = 0
+      private def advance(): Unit = {
+        while (oi >= outLen && rows.hasNext) {
+          val (ok, pk) = rows.next()
+          if (!started) { started = true; cur = ok; buf(0) = pk; n = 1 }
+          else if (ok != cur) { flush(); cur = ok; buf(0) = pk; n = 1 }
+          else {
+            var i = 0
+            var seen = false
+            while (i < n && !seen) { seen = buf(i) == pk; i += 1 }
+            if (!seen) {
+              if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+              buf(n) = pk; n += 1
+            }
+          }
+        }
+        if (oi >= outLen && !rows.hasNext && started && n > 0) flush()
+      }
+      override def hasNext: Boolean = { advance(); oi < outLen }
+      override def next(): Long = { val v = out(oi); oi += 1; v }
+    }
+
   private def g06(s: SparkSession, d: String): DataFrame = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -320,55 +388,6 @@ object GraphOps extends QueryModule {
         kept.sortWithinPartitions("l_orderkey")
       else kept.repartition(col("l_orderkey")).sortWithinPartitions("l_orderkey")
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    // tight streaming kernel: basket-bounded buffer, membership dedup
-    // (baskets are ≤ single digits; no pk sort needed), pairs packed
-    // while emitting — no per-row boxing, no closures in the hot loop
-    def kernel(rows: Iterator[(Long, Long)]): Iterator[Long] = new Iterator[Long] {
-      private var buf = new Array[Long](64) // grows with the basket
-      private var n = 0
-      private var cur = 0L
-      private var started = false
-      private var out: Array[Long] = Array.emptyLongArray
-      private var oi = 0
-      private def flush(): Unit = {
-        val m = n * (n - 1) / 2
-        if (out.length < m) out = new Array[Long](m)
-        var k = 0
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            val a = buf(i); val b = buf(j)
-            out(k) = if (a < b) (a << 31) | b else (b << 31) | a
-            k += 1; j += 1
-          }
-          i += 1
-        }
-        oi = 0
-        outLen = k
-        n = 0
-      }
-      private var outLen = 0
-      private def advance(): Unit = {
-        while (oi >= outLen && rows.hasNext) {
-          val (ok, pk) = rows.next()
-          if (!started) { started = true; cur = ok; buf(0) = pk; n = 1 }
-          else if (ok != cur) { flush(); cur = ok; buf(0) = pk; n = 1 }
-          else {
-            var i = 0
-            var seen = false
-            while (i < n && !seen) { seen = buf(i) == pk; i += 1 }
-            if (!seen) {
-              if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
-              buf(n) = pk; n += 1
-            }
-          }
-        }
-        if (oi >= outLen && !rows.hasNext && started && n > 0) flush()
-      }
-      override def hasNext: Boolean = { advance(); oi < outLen }
-      override def next(): Long = { val v = out(oi); oi += 1; v }
-    }
     // packed-key count while partkeys fit 31 bits (checked from the
     // freq pass — halves the pair-exchange width); wider keys take the
     // two-column form
@@ -386,7 +405,7 @@ object GraphOps extends QueryModule {
         // spark.sql.shuffle.partitions so a partition's pair slice
         // fits (the spill-discipline note from the brief); the
         // declarative wide-key branch below is the graceful fallback.
-        typed.mapPartitions(kernel _)(Encoders.scalaLong)
+        typed.mapPartitions(pairKernel _)(Encoders.scalaLong)
           .repartition(col("value"))
           .mapPartitions { it =>
             var arr = new Array[Long](1 << 16)

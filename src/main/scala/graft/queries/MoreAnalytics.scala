@@ -449,9 +449,14 @@ object MoreAnalytics extends QueryModule {
   // partitioning. The product sums would overflow int64 at scale
   // (Σy² ≈ 6e21 at sf10) and Spark's DECIMAL sum is an order of
   // magnitude slower than a codegen long sum (measured 3.3 s vs
-  // 1.4 s for this scan), so each product is split at 2³¹ into
-  // (quotient, remainder) long sums — both provably in-range up to
-  // ~10¹² rows — and recombined EXACTLY in decimal on the |groups|
+  // 1.4 s for this scan), so each product is split at 2²³ into
+  // (quotient, remainder) long sums — the split point balances the
+  // two partial ranges near √(max product): with cent-scaled values
+  // ≤ ~1.1e7 the product is ≤ ~1.2e14, so quotient ≤ ~1.5e7/row and
+  // remainder < 2²³ ≈ 8.4e6/row, and both long sums stay in-range
+  // past ~6e11 rows per group (a 2³¹ split's remainder sum would
+  // wrap silently at ~4.3e9 rows/group — below the 100 TB design
+  // point) — and recombined EXACTLY in decimal on the |groups|
   // output rows before the single double cast, which is the same
   // nearest-double the oracle's HUGEINT→DOUBLE cast produces. One
   // scan, one |groups|-key exchange of seven-number partials; corr is
@@ -459,13 +464,13 @@ object MoreAnalytics extends QueryModule {
   // cancels likewise.
   private def a10(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.scaledLong
-    val two31 = 1L << 31
+    val split = 1L << 23
     def dd(c: Column) = c.cast(DoubleType)
     def splitSums(prod: Column, n: String) = Seq(
-      sum(shiftright(prod, 31)).as(s"${n}_q"),
-      sum(prod.bitwiseAND(lit(two31 - 1))).as(s"${n}_r"))
+      sum(shiftright(prod, 23)).as(s"${n}_q"),
+      sum(prod.bitwiseAND(lit(split - 1))).as(s"${n}_r"))
     def recomb(n: String) = dd(
-      col(s"${n}_q").cast(DecimalType(38, 0)) * lit(two31) +
+      col(s"${n}_q").cast(DecimalType(38, 0)) * lit(split) +
         col(s"${n}_r").cast(DecimalType(38, 0)))
     val x = scaledLong(col("l_quantity"), 2)
     val y = scaledLong(col("l_extendedprice"), 2)

@@ -35,7 +35,29 @@ object Q {
     * errs toward the scale-safe plan. */
   val rangeInputMinBytes: Long = 64L << 20
   def bigInput(in: DataFrame): Boolean =
-    in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes
+    in.sparkSession.conf.getOption(forceBigKey) match {
+      // test/gate override: the sf-scaled gate data never crosses the
+      // byte threshold, so without this the big-input branches (input
+      // range partition ≡ total order, w02 range form, custDim merge
+      // hint) would ship oracle-UNVERIFIED — the *_bigpath gate twins
+      // force the branch and hash against the same SQL
+      case Some("true")  => true
+      case Some("false") => false
+      case _ =>
+        in.queryExecution.optimizedPlan.stats.sizeInBytes >= rangeInputMinBytes
+    }
+  val forceBigKey = "spark.graft.forceBigInput"
+
+  /** Gate twin of a cost-based query with the big-input branch pinned
+    * on: the branch choice is taken at BUILD time (every bigInput
+    * caller resolves it while constructing the plan), so setting the
+    * conf around the build fixes the plan and the returned frame can
+    * be lazily executed afterwards. */
+  def forcedBig(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      s.conf.set(forceBigKey, "true")
+      try f(s, d) finally s.conf.unset(forceBigKey)
+    }
 
   /** Tumbling window start, as epoch seconds. Equivalent DuckDB SQL:
     * CAST(floor(epoch(ts)/S)*S AS BIGINT). */

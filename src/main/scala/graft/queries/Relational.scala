@@ -711,6 +711,10 @@ object Relational extends QueryModule {
     "a02_rollup" -> a02,
     "w01_running_total" -> w01,
     "w02_rank_per_group" -> w02,
+    // big-branch gate twin (see Q.forcedBig / Dashboard *_bigpath):
+    // pins the range-partitioned window form so its total-order claim
+    // is oracle-hashed, not just argued
+    "w02_bigpath" -> Q.forcedBig(w02),
     "w03_sessionize_gap" -> w03,
     "w05_topk_per_group" -> w05)
 
@@ -737,5 +741,6 @@ object Relational extends QueryModule {
     "a02_rollup" -> a02Sql,
     "w01_running_total" -> w01Sql,
     "w02_rank_per_group" -> w02Sql,
+    "w02_bigpath" -> w02Sql,
     "w03_sessionize_gap" -> w03Sql)
 }

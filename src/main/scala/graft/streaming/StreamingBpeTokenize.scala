@@ -91,7 +91,7 @@ object StreamingBpeTokenize {
         }
       }
     } finally q.stop()
-    s.read.parquet(outDir.toString)
+    val report = s.read.parquet(outDir.toString)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("total_bpe_tokens"),
@@ -99,5 +99,11 @@ object StreamingBpeTokenize {
         fixedDec(rhu(sum(col("chars")), sum(col("tokens")), 1000000L), 6)
           .as("chars_per_token"))
       .orderBy("source")
+    // materialize before deleting the replay root (staged chunks +
+    // checkpoint + report parquet are corpus-sized — a lazy return
+    // would leak them under /tmp on every gate/bench run)
+    val res = s.createDataFrame(report.collectAsList(), report.schema)
+    StreamingSlidingWindows.deleteRec(root)
+    res
   }
 }

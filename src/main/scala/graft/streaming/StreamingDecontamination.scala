@@ -32,8 +32,15 @@ import org.apache.spark.sql.types.LongType
   * dropped before the event-time stats and the watermark would never
   * advance past the last real window (observed: the report stayed
   * empty). The outer explode keeps every row's event time visible to
-  * the clock; its null-gram rows die at the bloom probe (null predicate
-  * → filtered), which sits safely ABOVE the watermark node.
+  * the clock; its null-gram rows die at the exact LEFT-SEMI join
+  * (null never equi-matches) — NOT at the bloom probe, whose
+  * xxhash64(null) folds to the seed value and can collide to a
+  * might_contain=true. Both operators sit safely ABOVE the watermark
+  * node; do not remove or reorder the semi join without adding an
+  * explicit gram IS NOT NULL filter (kept out today because a
+  * null-filter adjacent to the generate invites Catalyst to rewrite
+  * the outer explode back to the inner form this comment exists to
+  * forbid).
   */
 object StreamingDecontamination {
 

@@ -87,7 +87,7 @@ object StreamingQualityGates {
         }
       }
     } finally q.stop()
-    s.read.parquet(outDir.toString)
+    val report = s.read.parquet(outDir.toString)
       .filter(col("source") =!= "_flush")
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"),
@@ -98,5 +98,11 @@ object StreamingQualityGates {
         sum(col("n_pass_all")).as("n_pass_all"),
         sum(col("n_pass_3of4")).as("n_pass_3of4"))
       .orderBy("source")
+    // materialize before deleting the replay root (staged chunks +
+    // checkpoint + report parquet are corpus-sized — a lazy return
+    // would leak them under /tmp on every gate/bench run)
+    val res = s.createDataFrame(report.collectAsList(), report.schema)
+    StreamingSlidingWindows.deleteRec(root)
+    res
   }
 }

@@ -33,4 +33,22 @@ class CopurchaseSpec extends AnyFunSuite {
     // items instead of growing
     assert(out == (2L to 21L).map(j => (1L, j, 2L)))
   }
+
+  test("pair kernel: C(n,2) in Long, loud error past the basket bound") {
+    // a 4k-part basket: n*(n-1)/2 still fits Int here, but the count
+    // must be exact and every pair must be emitted once, packed
+    val n = 4000
+    val rows = (1 to n).iterator.map(p => (7L, p.toLong))
+    var count = 0L
+    val it = GraphOps.pairKernel(rows)
+    while (it.hasNext) { it.next(); count += 1 }
+    assert(count == n.toLong * (n - 1) / 2)
+    // past maxBasket the kernel throws the named contract error
+    // instead of overflowing C(n,2) to a negative Int array size
+    val big = (1 to GraphOps.maxBasket + 1).iterator.map(p => (9L, p.toLong))
+    val ex = intercept[IllegalStateException] {
+      GraphOps.pairKernel(big).hasNext
+    }
+    assert(ex.getMessage.contains("out of contract"))
+  }
 }
