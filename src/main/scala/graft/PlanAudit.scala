@@ -467,8 +467,15 @@ object PlanAudit {
       }))
 
     // t17 provenance: bloom probe scan-side like t16; the per-train
-    // argmax is a struct-max AGGREGATE, never a rank window; exchange
-    // budget = gram pair agg + train-doc argmax agg
+    // argmax is a struct-max AGGREGATE, never a rank window; CORPUS-
+    // side exchange budget = gram pair agg + train-doc argmax agg.
+    // The benchmark-side eval-df cap (gram-df aggregate + semi join)
+    // lives inside the CACHED evalPairs build — its exchanges run
+    // once at cache materialization over benchmark-bounded data and
+    // print as InMemoryRelation innerChildren BELOW the relation
+    // node, so the corpus budget is counted on the plan truncated at
+    // the first InMemoryRelation line (every corpus-side exchange
+    // sits above the cached-table join in this tree).
     audit("t17_contamination_provenance")(
       "bloom probe (might_contain) planned" -> (_.contains("might_contain")),
       "argmax is an aggregate, no window" -> simpleOnly(s =>
@@ -478,7 +485,11 @@ object PlanAudit {
         val fin = s.split("== Initial Plan ==").head
         !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
       }),
-      "two hash exchanges max" -> maxHashExchanges(2))
+      "two corpus-side hash exchanges max" -> simpleOnly(s =>
+        s.split("== Initial Plan ==").head.split("\n")
+          .takeWhile(!_.contains("InMemoryRelation"))
+          .count(l => l.contains("Exchange hashpartitioning") &&
+            !l.contains("ReusedExchange")) <= 2))
 
     // t19 persisted decontamination index: the probe must still sit
     // scan-side and the verify stay an exact semi join, AND the eval
@@ -614,10 +625,15 @@ object PlanAudit {
 
     // t21 BPE: the gate query's visible plan is the driver-local rule
     // list (per-round lineage is checkpoint-truncated), so audit the
-    // per-round candidate plan directly via BpeTrain.pairArgmax — the
-    // pair explode must feed a partially-aggregated (l, r) count (no
-    // shuffle before the partial agg) and the argmax must be a bounded
-    // TakeOrdered, never a full sort
+    // candidate plan directly via BpeTrain.pairArgmax — the pair
+    // explode must feed a partially-aggregated (l, r) count (no
+    // shuffle before the partial agg) and the argmax must be a
+    // bounded TakeOrdered, never a full sort. The incremental trainer
+    // runs this exact explode+partial-agg kernel once over the full
+    // vocab (round 0) and per round over the AFFECTED slice only
+    // (pairsOf ∘ containsPair — same plan below a pushed predicate),
+    // with the per-round argmax the same TakeOrdered over the
+    // delta-maintained count table (BpeTrainSpec pins R=64 parity).
     locally {
       val round = graft.queries.BpeTrain.pairArgmax(
         graft.queries.BpeTrain.initVocab(spark, sfDir))

@@ -204,26 +204,40 @@ object CorpusOps extends QueryModule {
     overlapReportFrom(docs(s, d).filter(col("doc_id") % 37 =!= 0), evalGrams, sketch)
   }
 
-  // t17: contamination PROVENANCE — for every train doc sharing any
-  // 3-gram with the eval split, WHICH eval doc it overlaps most
-  // (shared distinct-gram count; ties to the smaller eval doc_id).
-  // t16 answers "how contaminated"; t17 answers "which benchmark
-  // leaked" — the audit artifact that decides whether to drop the doc
-  // or the benchmark. Plan: the t16 bloom-pruned train gram stream
-  // joins the (gram, eval_doc) pair table (benchmark-bounded; the
-  // fan-out of a hot gram is bounded by the eval docs containing it),
-  // partial-aggregated to (train, eval) pair counts, then the per-
-  // train argmax is ONE struct-max aggregate — no rank window, no
-  // second shuffle beyond the pair aggregate's.
+  // t17: contamination PROVENANCE — for every train doc sharing a
+  // DISCRIMINATIVE 3-gram with the eval split, WHICH eval doc it
+  // overlaps most (shared discriminative-gram count; ties to the
+  // smaller eval doc_id). t16 answers "how contaminated"; t17 answers
+  // "which benchmark leaked" — the audit artifact that decides whether
+  // to drop the doc or the benchmark.
   //
-  // Cost model: the gram join's fan-out is (train gram instances ×
-  // eval docs containing the gram) — benchmark-bounded in real use.
-  // The synthetic sf10 corpus (100× key-offset TEXT replication over
-  // a 30-word vocab) inflates that per-gram fan-out ~100×, so t17 is
-  // measured at sf0.1 (1.3 s warm vs DuckDB 0.37 s) and excluded
-  // from the sf10 symmetric table like its d09–d11 siblings, where
-  // replication likewise measures the artifact, not the operator
-  // (117 s engine; the DuckDB oracle did not finish in 10 min).
+  // DISCRIMINATIVE = the d08 document-frequency cap applied on the
+  // EVAL side: a gram present in more than K eval docs (K =
+  // max(8, ⌈n_eval/2⌉)) carries no provenance signal — a stopword run
+  // shared with half the benchmark suite doesn't tell you WHICH
+  // benchmark leaked — so it is dropped from the candidate stream
+  // before the join. This is also the operator's scale bound: the
+  // gram join's fan-out per train gram instance is the gram's
+  // eval-doc df, which the cap holds ≤ K, so worst-case join size is
+  // (train gram instances) × K instead of × n_eval — on a real
+  // 100 TB corpus a ubiquitous trigram appears in essentially every
+  // eval doc and the uncapped fan-out is the product of two corpus-
+  // scale factors. Invariance contract (ProvenanceSpec fixtures):
+  // when a capped gram is NON-DECISIVE — present in every eval doc —
+  // dropping it subtracts the same count from every candidate, so the
+  // per-train argmax (and the tie rule) is unchanged; a train doc
+  // whose overlap is ONLY capped grams is absent from the report (no
+  // provenance signal is the finding). When a capped gram is decisive
+  // (in >K but not all eval docs), the capped count IS the defined
+  // semantics — the oracle applies the identical rule.
+  //
+  // Plan: the eval (gram, eval_doc) pair table is benchmark-bounded;
+  // its df cap is one benchmark-side aggregate + semi join, cached —
+  // the corpus-sized train side still makes ONE bloom-pruned pass
+  // (the sketch is built from the CAPPED gram set, so capped grams
+  // die scan-side with the rest), then the pair aggregate and one
+  // struct-max argmax aggregate — no rank window.
+  private[graft] val t17CapFloor = 8L
   private def t17(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.trigramTfPairs
     import graft.operators.BloomSketch
@@ -231,11 +245,23 @@ object CorpusOps extends QueryModule {
       .select(col("doc_id"), trigramTfPairs(col("text")).as("ps"))
       .select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p.t").as("gram"))
-    val evalPairs = g3(docs(s, d).filter(col("doc_id") % 37 === 0))
+    val evalAll = g3(docs(s, d).filter(col("doc_id") % 37 === 0))
       .withColumnRenamed("doc_id", "eval_doc").cache()
+    // K from the benchmark side only (bounded): one countDistinct on
+    // the cached pairs — the KCore/a07 bounded-action class
+    val nEval = evalAll.agg(countDistinct(col("eval_doc"))).head().getLong(0)
+    val k = math.max(t17CapFloor, (nEval + 1) / 2)
+    // g3 emits DISTINCT grams per doc (tf pairs), so count(*) per
+    // gram = its eval-doc df
+    val keep = evalAll.groupBy(col("gram"))
+      .agg(count(lit(1)).as("edf")).filter(col("edf") <= k).select("gram")
+    val evalPairs = evalAll.join(keep, Seq("gram"), "left_semi").cache()
     // sketch sized by PAIR count — an overcount of distinct grams,
-    // which only lowers the fpp (avoids a separate distinct pass)
+    // which only lowers the fpp (avoids a separate distinct pass);
+    // building it materializes the capped cache, after which the
+    // uncapped parent can go
     val sketch = BloomSketch.build(evalPairs, "gram")
+    evalAll.unpersist()
     g3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
       .filter(BloomSketch.probe(sketch, col("gram")))
       .join(evalPairs, Seq("gram")) // exact inner equi — bloom fps die here
@@ -257,10 +283,15 @@ object CorpusOps extends QueryModule {
       |      FROM w),
       |evp AS (SELECT doc_id AS eval_doc, UNNEST(grams) AS gram
       |        FROM g WHERE doc_id % 37 = 0),
+      |keep AS (SELECT gram FROM evp GROUP BY gram
+      |         HAVING COUNT(*) <= GREATEST(8,
+      |           ((SELECT COUNT(DISTINCT eval_doc) FROM evp) + 1) // 2)),
+      |evpk AS (SELECT eval_doc, gram FROM evp
+      |         WHERE gram IN (SELECT gram FROM keep)),
       |tr AS (SELECT doc_id, UNNEST(grams) AS gram
       |       FROM g WHERE doc_id % 37 <> 0),
-      |sh AS (SELECT tr.doc_id, evp.eval_doc, COUNT(*) AS shared
-      |       FROM tr JOIN evp USING (gram) GROUP BY 1, 2),
+      |sh AS (SELECT tr.doc_id, evpk.eval_doc, COUNT(*) AS shared
+      |       FROM tr JOIN evpk USING (gram) GROUP BY 1, 2),
       |r AS (SELECT doc_id, eval_doc, shared,
       |        ROW_NUMBER() OVER (PARTITION BY doc_id
       |          ORDER BY shared DESC, eval_doc) AS rn

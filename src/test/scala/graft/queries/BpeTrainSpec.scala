@@ -61,6 +61,63 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(persisted == inline && persisted.nonEmpty)
   }
 
+  /** Reference BPE loop on the driver (plain Scala): the oracle for
+    * the incremental trainer's delta-maintained pair counts at an R
+    * far past the unrolled-SQL oracle's reach. */
+  private def refBpe(words: Seq[(String, Long)],
+                     rounds: Int): Seq[(Long, String, String, Long)] = {
+    def greedyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r) {
+          out.remove(out.length - 1); out += (l + r)
+        } else out += x
+      }
+      out.toVector
+    }
+    var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 1
+        while (i < syms.length) {
+          val k = (syms(i - 1), syms(i))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        learned += ((round.toLong, l, r, n))
+        vocab = vocab.map { case (syms, f) => (greedyMerge(syms, l, r), f) }
+        round += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  test("incremental rounds match a driver recompute at R = 64") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real sf data (30-word vocabulary, hundreds of merge rounds
+    // available) — far past the R = 6 the unrolled CTE oracle covers,
+    // so the delta maintenance (affected-word rewrite + pair-count
+    // update) is exercised across composed symbols, L == R runs, and
+    // pair exhaustion/retirement
+    val d = "/root/testdata/sf0.001"
+    val words = BpeTrain.initVocab(spark, d)
+      .select(col("word"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = refBpe(words, 64)
+    val got = BpeTrain.train(spark, d, 64)._2
+    assert(got == expected)
+    assert(got.size > 20, s"corpus exhausted after ${got.size} rounds — fixture too small")
+  }
+
   test("tie-break is (count DESC, l ASC, r ASC)") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_t21b").toString
