@@ -316,6 +316,15 @@ object PlanAudit {
       "bounded TopK aggregate (no rank window)" -> (s =>
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
+    // corpus shard manifest: the global pseudorandom rank must come
+    // from the pid-keyed window over the static hash-uniform range
+    // split (+ driver prefix offsets) — NEVER a single-partition
+    // window or a global sort of the corpus; exchange budget = the
+    // pid window's clustering + the shard_id aggregate
+    audit("c09_corpus_shards")(
+      "rank window keyed by pid" -> (_.contains("windowspecdefinition(pid#")),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "pid window + shard agg exchanges only" -> maxHashExchanges(2))
     // the gate battery is one scan-side projection (kernel + substring
     // probes) into a |sources|-key aggregate — any join or second
     // exchange means a rule leaked into a per-doc lookup

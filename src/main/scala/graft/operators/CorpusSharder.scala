@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus shuffle + shard emission — the terminal stage of a
+  * pretraining-data pipeline (after gates → dedup → decontamination →
+  * mixture → packing → tokenize): put the corpus in a DETERMINISTIC
+  * pseudorandom total order and cut it into fixed-size shards, each
+  * written as one sorted file plus a manifest row, so training jobs
+  * stream shards sequentially while reading an unbiased sample of the
+  * whole mixture from shard 0 onward.
+  *
+  * Reference scope: the reference (NTRIPmonitor) has no corpus
+  * assembly at all — this operator extends the engine's LLM-pipeline
+  * surface (SURVEY §2 extension family, like c01–c08).
+  *
+  * Determinism without an RNG (the c01 idiom): order key = Knuth
+  * multiplicative hash of doc_id, skey = (doc_id·2654435761) mod 2³²
+  * — pseudorandom, reproducible, engine-independent pure-integer
+  * arithmetic; ties (possible only past 2³² docs) break by doc_id.
+  *
+  * Global rank without a global sort (the w04 idiom, made cheaper):
+  * skey is uniform on [0, 2³²) BY CONSTRUCTION (odd multiplier → a
+  * bijection mod 2³²), so the range split needs no sampling pass at
+  * all — pid = skey >> 27 gives 32 hash-uniform ranges, a 32-row
+  * count collect gives exclusive prefix offsets (bounded driver
+  * state, the a07/KCore class), and rank = per-pid row_number +
+  * offset is EXACT for any split. No single-partition window
+  * anywhere; shard_id = (rank−1) div shardSize (integer division —
+  * exact at any rank).
+  *
+  * 100 TB shape: one pass for the 32 range counts, one for the
+  * ranked/sharded rows; the writer's one exchange clusters by
+  * shard_id so each shard lands as ONE sorted file. Shard size is the
+  * operator's knob — fix docs/shard so manifest size = n/S stays
+  * driver-irrelevant (the manifest is an output table, never
+  * collected).
+  */
+object CorpusSharder {
+
+  /** (input columns…, n_tok, skey, rank, shard_id) for every doc: the
+    * deterministic total order and its shard assignment. Payload
+    * columns ride through the one ranked pass — no second join. */
+  def assignments(docs: DataFrame, shardSize: Long): DataFrame = {
+    val keyed = docs
+      // non-empty whitespace token count (the t01 convention)
+      .withColumn("n_tok",
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast(LongType))
+      .withColumn("skey",
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("pid", shiftright(col("skey"), 27).cast("int"))
+    // exclusive prefix offsets from the 32 range counts — the only
+    // driver-side state, bounded by construction
+    val perPid = keyed.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = perPid.keys.toSeq.sorted
+    val offsets = pids.zip(
+      pids.scanLeft(0L)((acc, pid) => acc + perPid(pid)).dropRight(1)).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("rank", row_number().over(w).cast(LongType) + offExpr)
+      .withColumn("shard_id",
+        expr(s"cast((rank - 1) div ${shardSize}L as bigint)"))
+      .drop("pid")
+  }
+
+  /** Manifest rows of an assignment frame. */
+  def manifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("rank")).as("first_rank"),
+        max(col("rank")).as("last_rank"))
+      .orderBy("shard_id")
+
+  /** Write the sharded corpus: one sorted parquet file per shard
+    * under `out/shards/shard_id=K/` plus `out/manifest` — the
+    * training-consumable artifact. The one exchange clusters rows by
+    * shard so each shard is exactly one writer task's sorted output. */
+  def write(docs: DataFrame, shardSize: Long, out: String): Unit = {
+    val assigned = assignments(docs, shardSize)
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("rank"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$out/shards")
+    manifest(assigned).write.mode("overwrite").parquet(s"$out/manifest")
+  }
+}

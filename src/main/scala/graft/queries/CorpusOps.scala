@@ -622,6 +622,35 @@ object CorpusOps extends QueryModule {
       |FROM (SELECT * FROM b UNION ALL SELECT * FROM e) u JOIN qq USING (lang)
       |ORDER BY 1, 6, 7""".stripMargin
 
+  // c09: corpus SHUFFLE + SHARD manifest — the pipeline's terminal
+  // stage (operators.CorpusSharder): deterministic pseudorandom total
+  // order (the c01 Knuth-hash key), fixed-size shards of 100 docs,
+  // manifest = per-shard doc/token counts + rank range. The engine
+  // computes the global rank WITHOUT a global sort: skey is hash-
+  // uniform by construction, so pid = skey >> 27 range-partitions
+  // statically (no sampling job), a 32-row count collect gives exact
+  // prefix offsets (bounded driver state), and rank = pid-local
+  // row_number + offset. The oracle states the same rule as one
+  // ROW_NUMBER over the full order — DuckDB's single-node sort is
+  // exactly what the distributed form avoids. ShardWriterSpec covers
+  // the file-emission half (one sorted file per shard ≡ manifest).
+  private def c09(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusSharder.manifest(
+      graft.operators.CorpusSharder.assignments(docs(s, d), 100L))
+
+  private val c09Sql =
+    """WITH k AS (SELECT doc_id,
+      |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS skey,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tok,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rnk
+      |  FROM k)
+      |SELECT CAST((rnk - 1) // 100 AS BIGINT) AS shard_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(rnk) AS first_rank, MAX(rnk) AS last_rank
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // c02: corpus ASSEMBLY — the composition every pipeline actually
   // runs: drop documents failing the t11 repetition gates (top word
   // > 10% of words, duplicate words > 50%), then take c01's exact
@@ -1052,7 +1081,8 @@ object CorpusOps extends QueryModule {
     "c03_token_packing" -> c03,
     "c04_mixture_budget" -> c04,
     "c07_temperature_mixture" -> c07,
-    "c08_epoch_mixture" -> c08)
+    "c08_epoch_mixture" -> c08,
+    "c09_corpus_shards" -> c09)
 
   override def oracle: Map[String, String] = Map(
     "c05_decontaminated_mixture" -> c05Sql,
@@ -1071,5 +1101,6 @@ object CorpusOps extends QueryModule {
     "c03_token_packing" -> c03Sql,
     "c04_mixture_budget" -> c04Sql,
     "c07_temperature_mixture" -> c07Sql,
-    "c08_epoch_mixture" -> c08Sql)
+    "c08_epoch_mixture" -> c08Sql,
+    "c09_corpus_shards" -> c09Sql)
 }
