@@ -75,6 +75,10 @@ object GraftFunctions {
     * t08/c05 contamination core. */
   def fivegramTfPairs(text: Column): Column = c(FivegramTfPairs(ex(text)))
 
+  /** Per-doc adjacent code-point pair counts — the char-bigram LM
+    * scan kernel behind the t23 perplexity filter. */
+  def charBigramTfPairs(text: Column): Column = c(CharBigramTfPairs(ex(text)))
+
   /** Non-empty word count (the tf-pair tokenizer's token count) —
     * codegen'd; value-identical to folding word_tf_pairs with a
     * higher-order aggregate, without the CodegenFallback break. */

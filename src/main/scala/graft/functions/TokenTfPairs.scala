@@ -79,6 +79,42 @@ case class FivegramTfPairs(child: Expression) extends TokenTfBase {
     copy(child = newChild)
 }
 
+/** Adjacent CODE-POINT pair counts per document — the char-bigram
+  * LM granularity (the t10 transition model / t23 perplexity filter).
+  * Returns the same array<struct<t,c>> shape as the token kernels:
+  * each distinct adjacent character pair with its in-document count.
+  *
+  * Why a kernel: the declarative form (split(text, '') → sequence/
+  * transform → explode → GROUP BY) materializes one row per
+  * TRANSITION (~corpus chars); this emits the already-collapsed
+  * per-doc pair counts in one byte pass, so the model build's
+  * map-side combine sees ≤ min(len−1, |alphabet|²) rows per doc and
+  * the scoring pass weights each distinct pair by its count instead
+  * of re-walking every transition.
+  *
+  * Character contract: pairs are UTF-8 CODE POINTS (continuation
+  * bytes `10xxxxxx` never start a character). On the synthetic
+  * corpora (ASCII) this is byte-identical to both Spark's
+  * `split(text, '')` (UTF-16 code units) and DuckDB's
+  * `string_split(text, '')` — the t10 parity precedent; restate if
+  * the corpus ever grows astral-plane characters.
+  */
+case class CharBigramTfPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenTfPairs.OutType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TokenTfPairs.computeCharBigrams(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TokenTfPairs.computeCharBigrams($t);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `word_count(text)` — the number of NON-EMPTY single-space-separated
   * tokens (the [[TokenTfPairs]] word tokenizer's count), as a plain
   * byte scan. Value-identical to `aggregate(word_tf_pairs(text), 0L,
@@ -214,6 +250,81 @@ object TokenTfPairs {
           val last = k + ng - 1
           UTF8String.fromBytes(b, starts(k), starts(last) + lens(last) - starts(k))
         } else UTF8String.fromBytes(b, starts(k), lens(k))
+      out(d) = new GenericInternalRow(Array[Any](str, cnt(p)))
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct adjacent code-point pairs with counts, first-occurrence
+    * order (see [[CharBigramTfPairs]]). One byte pass + one
+    * open-addressed probe per transition. */
+  def computeCharBigrams(text: UTF8String): GenericArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    // code-point start offsets (+ end sentinel)
+    var nCp = 0
+    var i = 0
+    while (i < n) { if ((b(i) & 0xc0) != 0x80) nCp += 1; i += 1 }
+    val starts = new Array[Int](nCp + 1)
+    var c = 0
+    i = 0
+    while (i < n) {
+      if ((b(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nCp) = n
+    val nBig = math.max(nCp - 1, 0)
+
+    var cap = 8
+    while (cap < nBig * 2) cap <<= 1
+    val mask = cap - 1
+    val slot = new Array[Int](cap) // bigram index = first code point idx
+    java.util.Arrays.fill(slot, -1)
+    val cnt = new Array[Long](cap)
+    val order = new Array[Int](math.max(nBig, 1))
+    var nDistinct = 0
+
+    @inline def bgHash(k: Int): Int = {
+      var h = 0x811c9dc5
+      var j = starts(k)
+      val e = starts(k + 2)
+      while (j < e) { h = (h ^ (b(j) & 0xff)) * 0x01000193; j += 1 }
+      h
+    }
+    @inline def bgEq(a: Int, k: Int): Boolean = {
+      val la = starts(a + 2) - starts(a)
+      if (la != starts(k + 2) - starts(k)) return false
+      var j = 0
+      while (j < la) {
+        if (b(starts(a) + j) != b(starts(k) + j)) return false
+        j += 1
+      }
+      true
+    }
+
+    var t = 0
+    while (t < nBig) {
+      var p = bgHash(t) & mask
+      var done = false
+      while (!done) {
+        val r = slot(p)
+        if (r == -1) {
+          slot(p) = t; cnt(p) = 1L
+          order(nDistinct) = p; nDistinct += 1
+          done = true
+        } else if (bgEq(r, t)) { cnt(p) += 1; done = true }
+        else p = (p + 1) & mask
+      }
+      t += 1
+    }
+
+    val out = new Array[Any](nDistinct)
+    var d = 0
+    while (d < nDistinct) {
+      val p = order(d)
+      val k = slot(p)
+      val str = UTF8String.fromBytes(b, starts(k), starts(k + 2) - starts(k))
       out(d) = new GenericInternalRow(Array[Any](str, cnt(p)))
       d += 1
     }

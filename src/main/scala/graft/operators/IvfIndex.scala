@@ -107,6 +107,97 @@ object IvfIndex {
       }
       .start()
 
+  /** FILTERED probe-pruned search — the metadata-constrained ANN mode
+    * (neighbors of the query vector WITHIN its own label class, the
+    * "same-source near-dup" query a curation pipeline asks). The
+    * label predicate COMPOSES with the index layout: cid pruning cuts
+    * the directory listing to `nprobe` buckets, and the label
+    * equality is a parquet pushed filter inside those buckets' scans
+    * (row-group stats skip non-matching groups) — the scan touches
+    * neither other buckets' files nor, mostly, other labels' row
+    * groups. The standard filtered-ANN recall trade is stated, not
+    * hidden: a selective predicate empties probed cells, so callers
+    * raise nprobe relative to the unfiltered query (s09 probes 4
+    * where s03/s06 probe 2). */
+  def searchFiltered(s: SparkSession, sfDir: String, indexDir: String,
+                     nprobe: Int, k: Int): DataFrame = {
+    val cb = s.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2)
+    val q = graft.Tables.load(s, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvemb"),
+        col("label").cast(LongType).as("qlab"),
+        expr("transform(embedding, x -> cast(x as double))").as("qvd"))
+    val qRow = q.collect()(0)
+    val qv = qRow.getSeq[Double](2)
+    val qlab = qRow.getLong(1)
+    val probes = Similarity.probeIds(cb, qv, nprobe)
+    s.read.parquet(s"$indexDir/postings")
+      .filter(col("cid").isin(probes: _*))
+      .filter(col("label") === qlab && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.select(col("qvemb"))))
+      .select(col("vec_id"), col("label"),
+        round(GraftFunctions.cosineSimilarity(col("embedding"), col("qvemb")), 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** BATCH probe-pruned search — every real retrieval workload is
+    * many queries, not one. The `nQueries` query vectors (vec_id <
+    * nQueries — bounded by construction, the s08 lesson) rank their
+    * probes against the driver-held codebook; the postings scan reads
+    * the UNION of all probed cid partitions ONCE (partition pruning
+    * on the combined IN-list), the (q_id, cid, query-embedding) probe
+    * table (nQueries·nprobe rows) broadcast-joins on cid, and
+    * per-query top-k is the rank-window idiom (plans.TopKRewrite →
+    * bounded map-side aggregate, never a global sort). A vector lives
+    * in exactly one cid partition and the probe table is distinct on
+    * (q_id, cid), so each (query, candidate) pair is scored at most
+    * once. Per-query cost stays O(corpus/nlist · nprobe); the batch
+    * amortizes the scan setup across queries. */
+  def searchBatch(s: SparkSession, sfDir: String, indexDir: String,
+                  nprobe: Int, k: Int, nQueries: Int): DataFrame = {
+    val cb = s.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2)
+    val qRows = graft.Tables.load(s, sfDir, "embeddings")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x as double))").as("qvd"))
+      .collect()
+    import s.implicits._
+    val probePairs = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qemb = r.getSeq[Float](1).toArray
+      Similarity.probeIds(cb, r.getSeq[Double](2), nprobe).map(cid => (qid, cid, qemb))
+    }
+    val pr = probePairs.toDF("q_id", "cid", "qemb")
+    val allCids = probePairs.map(_._2).distinct
+    // per-query top-k as the native bounded TopKByScore aggregate
+    // (the w05 idiom): a rank window here would shuffle every probed
+    // posting into |queries| partitions; the aggregate keeps a k-row
+    // buffer per query map-side
+    val topk = GraftFunctions.topKByScore(col("cos_sim"), col("vec_id"),
+      struct(col("vec_id"), col("label")), k)
+    s.read.parquet(s"$indexDir/postings")
+      .filter(col("cid").isin(allCids: _*))
+      .join(broadcast(pr), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(GraftFunctions.cosineSimilarity(col("embedding"), col("qemb")), 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(topk.as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast(LongType).as("rnk"),
+        col("e.payload.vec_id").as("vec_id"),
+        col("e.payload.label").as("label"),
+        col("e.score").as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Probe-pruned top-k search for the corpus query vector vec_id=0
     * (the s03 contract): loads the codebook, ranks probes on the
     * driver, and reads ONLY the probed cid partitions. */

@@ -262,15 +262,21 @@ object CorpusOps extends QueryModule {
     // uncapped parent can go
     val sketch = BloomSketch.build(evalPairs, "gram")
     evalAll.unpersist()
-    g3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
-      .filter(BloomSketch.probe(sketch, col("gram")))
-      .join(evalPairs, Seq("gram")) // exact inner equi — bloom fps die here
-      .groupBy(col("doc_id"), col("eval_doc"))
-      .agg(count(lit(1)).as("shared"))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("shared"), (-col("eval_doc")).as("neg"))).as("m"))
-      .select(col("doc_id"), (-col("m.neg")).as("eval_doc"),
-        col("m.shared").as("shared"))
+    // The (doc_id, eval_doc) pairs out of the join are NEAR-UNIQUE
+    // (sf10: 734 M joined rows, ~0.5 B distinct pairs), so the
+    // declarative pair count + struct-max argmax double-builds
+    // reduce-nothing aggregate maps — 71 s of the query's 126 s at
+    // sf10. operators.PackedPairArgmax replaces both aggregates with
+    // one exchange of packed 8-byte keys, Spark's spillable external
+    // sort, and a constant-memory streaming fold: 126 s → 56 s,
+    // ahead of the single-node baseline (stage ladder + A/B:
+    // tools.T17Lab, BENCH_NOTES round 12). Pack contract holds by
+    // data shape (doc ids < 2³¹) and is guard-checked in the kernel.
+    graft.operators.PackedPairArgmax(
+      g3(docs(s, d).filter(col("doc_id") % 37 =!= 0))
+        .filter(BloomSketch.probe(sketch, col("gram")))
+        .join(evalPairs, Seq("gram")), // exact inner equi — bloom fps die here
+      "doc_id", "eval_doc", "doc_id", "eval_doc", "shared")
       .orderBy("doc_id")
   }
 

@@ -472,7 +472,61 @@ object GraphOps extends QueryModule {
       |SELECT p1, p2, n_pairs FROM p WHERE n_pairs >= 2
       |ORDER BY n_pairs DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // g07: community detection by LABEL PROPAGATION on the g02
+  // customer–supplier trade graph (same node encoding: 2·custkey /
+  // 2·suppkey+1). Four exact synchronous rounds, plurality label
+  // with ties to the smallest (operators.LabelPropagation — see its
+  // scaladoc for why a fixed round count with a total tie order is
+  // the oracle-comparable contract for LPA). Report = community
+  // roster sizes split by node side.
+  //
+  // Scale shape: the edge distinct is one shuffle; each round is a
+  // labels→edges ship (broadcast under 1M nodes, else the cached
+  // src partitioning lines up), a (dst, lbl) count whose map-side
+  // combine collapses same-label neighbor duplicates, and a dst-keyed
+  // struct-max — no window, no driver state. The report is one
+  // lbl-keyed aggregate over n_nodes rows. The oracle unrolls the
+  // same four rounds as CTEs (the g02/g05 pattern).
+  private def g07(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+    graft.operators.LabelPropagation.run(edges, "src", "dst", rounds = 4)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(pmod(col("node"), lit(2)) === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(pmod(col("node"), lit(2)) === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy("community")
+  }
+
+  private val g07Sql = {
+    def round(r: Int): String =
+      s"""c$r AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+         |      FROM edges e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$r AS (SELECT node, lbl FROM (
+         |        SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |          ORDER BY c DESC, lbl) AS rn FROM c$r) WHERE rn = 1)""".stripMargin
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS p
+       |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |          UNION ALL SELECT p, c FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+       |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_label_propagation" -> g07,
     "g02_pagerank" -> g02,
     "g03_connected_components" -> g03,
     "g04_triangle_census" -> g04,
@@ -480,6 +534,7 @@ object GraphOps extends QueryModule {
     "g06_copurchase_pairs" -> g06)
 
   override def oracle: Map[String, String] = Map(
+    "g07_label_propagation" -> g07Sql,
     "g02_pagerank" -> g02Sql,
     "g04_triangle_census" -> g04Sql,
     "g05_kcore" -> g05Sql,

@@ -425,6 +425,75 @@ object Similarity extends QueryModule {
     graft.operators.IvfIndex.search(s, d, dir, nprobe = 2, k = 10)
   }
 
+  // s09: FILTERED ANN over the persisted index — neighbors of the
+  // query vector restricted to its own label class (the metadata-
+  // constrained query every curation pipeline runs: near-dups within
+  // a source/class, not across the corpus). Engine-side the label
+  // equality composes with the index layout — cid partition pruning +
+  // a parquet pushed filter on label inside the probed buckets (see
+  // operators.IvfIndex.searchFiltered for the recall trade and why
+  // nprobe rises to 4). The oracle restates the same training chain
+  // as s03 with the probe LIMIT at 4 and the label predicate on the
+  // final rescore — one contract covering build→prune→filter→search.
+  private def s09(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.operators.IvfIndex.ensureBuilt(s, d)
+    graft.operators.IvfIndex.searchFiltered(s, d, dir, nprobe = 4, k = 10)
+  }
+
+  private val s09Sql: String = {
+    s"""${kmeansAssignCtes()},
+       |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+       |             embedding AS qe, CAST(label AS BIGINT) AS qlab
+       |      FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM c$KMeansIters c, q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, cid LIMIT 4)
+       |SELECT e.vec_id, e.label, CAST(CAST(ROUND(
+       |    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+       |FROM afinal e JOIN probes p USING (cid), q
+       |WHERE e.vec_id <> 0 AND e.label = q.qlab
+       |ORDER BY 3 DESC, 1 LIMIT 10""".stripMargin
+  }
+
+  // s10: BATCH ANN over the persisted index — the 32 query vectors
+  // (vec_id < 32, bounded by construction) answered in ONE postings
+  // pass: probes ranked per query against the driver-held codebook,
+  // the union of probed partitions read once, the (q_id, cid, query
+  // embedding) table broadcast, per-query top-5 via the rank-window
+  // idiom (TopKRewrite → bounded map-side aggregate). The oracle
+  // restates probe ranking as a per-query ROW_NUMBER ≤ 4 over the
+  // final codebook and the same decimal-rounded rescore.
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.operators.IvfIndex.ensureBuilt(s, d)
+    graft.operators.IvfIndex.searchBatch(s, d, dir, nprobe = 4, k = 5, nQueries = 32)
+  }
+
+  private val s10Sql: String = {
+    s"""${kmeansAssignCtes()},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |       FROM embeddings WHERE vec_id < 32),
+       |pp AS (SELECT q_id, cid, qe FROM (
+       |    SELECT qs.q_id, c.cid, qs.qe,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.q_id
+       |        ORDER BY ${cosSql("qs.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM qs, c$KMeansIters c) WHERE rn <= 4),
+       |sc AS (SELECT pp.q_id, e.vec_id, e.label, CAST(CAST(ROUND(
+       |    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pp.qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(pp.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+       |  FROM afinal e JOIN pp USING (cid) WHERE e.vec_id <> pp.q_id)
+       |SELECT q_id, rnk, vec_id, label, cos_sim FROM (
+       |  SELECT q_id, vec_id, label, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 5
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // s07: MMR (maximal marginal relevance) diversity re-rank — the
   // retrieval-for-curation operator: from the top-32 cosine candidates
   // for the query vector, greedily select 8 maximizing
@@ -627,7 +696,9 @@ object Similarity extends QueryModule {
     "s04_int8_quant_topk" -> s04,
     "s05_pq_adc_topk" -> s05,
     "s06_ivf_index_search" -> s06,
-    "s07_mmr_rerank" -> s07)
+    "s07_mmr_rerank" -> s07,
+    "s09_filtered_ann" -> s09,
+    "s10_batch_ann" -> s10)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
@@ -638,5 +709,7 @@ object Similarity extends QueryModule {
     // the persisted index must return exactly what the in-query
     // training returns — one oracle states both pipelines
     "s06_ivf_index_search" -> s03Sql,
-    "s07_mmr_rerank" -> s07Sql)
+    "s07_mmr_rerank" -> s07Sql,
+    "s09_filtered_ann" -> s09Sql,
+    "s10_batch_ann" -> s10Sql)
 }

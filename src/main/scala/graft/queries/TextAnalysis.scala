@@ -239,6 +239,86 @@ object TextAnalysis extends QueryModule {
        |  ${rhuSql("SUM(q)", "COUNT(*)", 1L)} AS avg_prob_e6
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t23: CCNet-style PERPLEXITY terciles — the c06 bucketing contract
+  // driven by the real CCNet scorer (Wenzek et al. 2020 buckets web
+  // text by LM perplexity, head/middle/tail; c06 used the stopword
+  // heuristic as the score). Score = per-DOC average char-bigram
+  // transition micro-probability under the corpus's own transition
+  // model (the t10 LM), quantized to per-mille (0..1000) with the
+  // one-IEEE-divide floor idiom, then the per-language value-tercile
+  // histogram machinery (ties never split a bucket).
+  //
+  // Scale shape — two corpus scans, zero corpus-sized exchanges:
+  // (1) model build: the codegen charBigramTfPairs kernel emits
+  // per-doc collapsed (pair, count) arrays, so the explode feeds the
+  // (bg) aggregate at ≤ min(len−1, |alphabet|²) rows per doc and the
+  // partial agg collapses to alphabet² rows per partition — the
+  // model tables (bg→bcnt, first-char→ucnt) are broadcast-sized by
+  // construction. (2) scoring: the same kernel's pairs broadcast-join
+  // the model (map-side, stays in the scan's WSCG span) and aggregate
+  // per (doc_id, lang) — count-weighted Σ cnt·q ≡ the oracle's
+  // per-transition Σ q exactly (integers) — collapsing map-side to
+  // ~n_docs thin rows, the only data-sized exchange. Bucketing then
+  // runs on the (lang, score) HISTOGRAM (≤ |langs|·1001 rows), never
+  // the corpus — the c06/a07 idiom. Exact while 2·bcnt·10⁶ < 2⁵³
+  // (t10's bound) and per-doc Σq < 2⁵³ (chars/doc < 9e9).
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.charBigramTfPairs
+    import org.apache.spark.sql.expressions.Window
+    def pg = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(charBigramTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.t").as("bg"), col("p.c").as("cnt"))
+    val bc = pg.groupBy(col("bg")).agg(sum(col("cnt")).as("bcnt"))
+    val uc = bc.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("bcnt")).as("ucnt"))
+    val q = bc.join(uc, substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("bg").as("qbg"), rhu(col("bcnt"), col("ucnt"), 1000000L).as("q"))
+    val perDoc = pg.join(broadcast(q), col("bg") === col("qbg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt") * col("q")).as("sq"), sum(col("cnt")).as("ntr"))
+    val h = perDoc
+      .select(col("lang"), col("ntr"),
+        floor(col("sq").cast(DoubleType) /
+          (col("ntr").cast(DoubleType) * lit(1000.0))).as("qs"))
+      .groupBy(col("lang"), col("qs"))
+      .agg(count(lit(1)).as("c"), sum(col("ntr")).as("t"))
+    val wOrd = Window.partitionBy("lang").orderBy("qs")
+    val wAll = Window.partitionBy("lang")
+    h.withColumn("cumx", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("bucket", least(lit(2L),
+        floor(lit(3.0) * col("cumx").cast(DoubleType) / col("n").cast(DoubleType))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("t")).as("n_trans"),
+        min(col("qs")).as("min_q"), max(col("qs")).as("max_q"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val t23Sql =
+    s"""WITH cs AS (SELECT doc_id, lang, string_split(text, '') AS c FROM documents),
+       |tr AS (SELECT doc_id, lang, c[i] || c[i+1] AS bg, c[i] AS c1
+       |       FROM cs, UNNEST(range(1, len(c))) AS t(i)),
+       |bc AS (SELECT bg, COUNT(*) AS bcnt FROM tr GROUP BY 1),
+       |uc AS (SELECT c1, COUNT(*) AS ucnt FROM tr GROUP BY 1),
+       |sc AS (SELECT tr.doc_id, tr.lang,
+       |         CAST(SUM(${rhuSql("bcnt", "ucnt", 1000000L)}) AS BIGINT) AS sq,
+       |         COUNT(*) AS ntr
+       |       FROM tr JOIN bc USING (bg) JOIN uc USING (c1) GROUP BY 1, 2),
+       |q2 AS (SELECT lang, ntr,
+       |         CAST(FLOOR(CAST(sq AS DOUBLE) / (CAST(ntr AS DOUBLE) * 1000.0)) AS BIGINT) AS qs
+       |       FROM sc),
+       |h AS (SELECT lang, qs, COUNT(*) AS c, SUM(ntr) AS t FROM q2 GROUP BY 1, 2),
+       |ch AS (SELECT lang, qs, c, t,
+       |         SUM(c) OVER (PARTITION BY lang ORDER BY qs) - c AS cumx,
+       |         SUM(c) OVER (PARTITION BY lang) AS n FROM h),
+       |b AS (SELECT lang, qs, c, t,
+       |        LEAST(2, CAST(FLOOR(3.0 * cumx / n) AS BIGINT)) AS bucket FROM ch)
+       |SELECT lang, bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  CAST(SUM(t) AS BIGINT) AS n_trans, MIN(qs) AS min_q, MAX(qs) AS max_q
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // t12: BM25 retrieval — the quality-retrieval / nearest-document
   // operator of a text corpus store (rank documents against a query
   // term set by tf·idf with the BM25 saturation curve, k1=1.2,
@@ -732,7 +812,8 @@ object TextAnalysis extends QueryModule {
     // counters re-aggregated per source — equals batch t20 exactly
     // (sums over disjoint windows), so the same SQL oracle checks it
     "t20_gopher_stream" ->
-      ((s, d) => graft.streaming.StreamingQualityGates.replayGate(s, d)))
+      ((s, d) => graft.streaming.StreamingQualityGates.replayGate(s, d)),
+    "t23_perplexity_buckets" -> t23)
 
   override def oracle: Map[String, String] = Map(
     "t20_gopher_gates" -> t20Sql,
@@ -747,5 +828,6 @@ object TextAnalysis extends QueryModule {
     "t04_word_frequency" -> t04Sql,
     "t05_bigram_profile" -> t05Sql,
     "t10_char_lm_quality" -> t10Sql,
-    "t13_pmi_collocations" -> t13Sql)
+    "t13_pmi_collocations" -> t13Sql,
+    "t23_perplexity_buckets" -> t23Sql)
 }

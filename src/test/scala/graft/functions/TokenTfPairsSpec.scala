@@ -35,6 +35,39 @@ class TokenTfPairsSpec extends AnyFunSuite {
     }.toMap
   }
 
+  private def refCharBigrams(text: String): Map[String, Long] = {
+    // code-point pairs (the kernel contract)
+    val cps = text.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    cps.sliding(2).filter(_.length == 2).map(_.mkString)
+      .toSeq.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+  }
+
+  private def viaCharKernel(text: String): Map[String, Long] = {
+    val arr = TokenTfPairs.computeCharBigrams(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      r.getUTF8String(0).toString -> r.getLong(1)
+    }.toMap
+  }
+
+  test("char-bigram hand cases") {
+    for (t <- Seq("", " ", "a", "ab", "aba", "aa aa", "abcabc",
+      "éüé", "日本語日本", "mississippi", "a b"))
+      assert(viaCharKernel(t) == refCharBigrams(t), s"char bigrams <$t>")
+  }
+
+  test("char-bigram randomized sweep") {
+    val rnd = new Random(7)
+    val alpha = "ab cdé日ÿ"
+    for (_ <- 1 to 2000) {
+      val t = (1 to rnd.nextInt(40))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(viaCharKernel(t) == refCharBigrams(t), s"char bigrams <$t>")
+    }
+  }
+
   test("hand cases") {
     for (t <- Seq("", " ", "a", "a a b", "a  b", " x y x ", "é ü é",
       "w w w w", "one two one two three")) {
