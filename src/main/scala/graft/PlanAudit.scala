@@ -648,6 +648,15 @@ object PlanAudit {
       }),
       "edge list served from cache" -> (_.contains("InMemoryTableScan")))
 
+    // t10 char-LM: same kernel + broadcast-model contract as t23
+    // (round 12 moved t10's transition counts onto the codegen
+    // char-bigram kernel)
+    audit("t10_char_lm_quality")(
+      "char-bigram scan kernel planned" -> (s =>
+        s.toLowerCase.contains("charbigramtfpairs")),
+      "model joins broadcast (no shuffle join)" -> (s =>
+        s.contains("BroadcastHashJoin") && !s.contains("SortMergeJoin")))
+
     // t23 perplexity terciles: the per-doc score comes off the codegen
     // char-bigram kernel; the model tables are alphabet²-bounded and
     // must reach the scoring pass as BROADCASTS (a shuffle join here

@@ -16,19 +16,23 @@ import org.apache.spark.sql.functions._
   * window. Nodes keep the round-r label even if their own label won
   * no plurality elsewhere (labels are values, not owners).
   *
-  * Execution shape (the PageRank Pregel pattern): the edge list is
-  * hash-partitioned on `src` once and cached; each round is one join
-  * of the (node, lbl) table against that fixed layout, one
-  * (dst, lbl)-keyed count, and one dst-keyed struct-max argmax —
-  * O(edges) per round. The labels table is one (long, long) row per
-  * node, so it ships to the edges (broadcast under the same 1M-node
-  * bound PageRank uses), never the reverse. At 100 TB: edges stay
-  * partitioned across the cluster; per-round traffic is the
-  * contribution count's shuffle, whose partial aggregation collapses
-  * per-partition duplicates of the SAME (dst, lbl) map-side — as
-  * communities form, rounds get cheaper, not costlier.
+  * Execution shape (the PageRank Pregel pattern, with the t17
+  * lesson): the edge list is hash-partitioned on `src` once and
+  * cached; each round is one join of the (node, lbl) table against
+  * that fixed layout, then ONE [[PackedPairArgmax]] pass — the
+  * plurality-with-min-tie rule is exactly that kernel's contract,
+  * and the (dst, lbl) pairs are near-unique in early rounds, the
+  * reduce-nothing shape where count + argmax aggregates double-build
+  * giant maps. O(edges) per round, one exchange of packed 8-byte
+  * keys. The labels table is one (long, long) row per node, so it
+  * ships to the edges (broadcast while it hashes small), never the
+  * reverse. At 100 TB: edges stay partitioned across the cluster;
+  * per-round traffic is the packed-pair shuffle — as communities
+  * form, the label diversity per dst collapses and rounds get
+  * cheaper, not costlier.
   *
-  * Labels must be non-negative longs (the −label tie encoding).
+  * Node ids must fit the kernel's pack contract (< 2³¹ — labels are
+  * node ids and ride the low half; guard-checked, fails loudly).
   */
 object LabelPropagation {
   /** `edges`: one row per directed edge (integral `srcCol`,
@@ -42,16 +46,31 @@ object LabelPropagation {
       .repartition(col("src"))
       .cache()
     val nodes = ed.select(col("src").as("node")).distinct().cache()
-    val small = nodes.count() < 1000000L
+    // broadcast bound is higher than PageRank's 1M: a labels row is
+    // two longs (~26 MB hashed at 1.6M nodes — comfortably inside the
+    // bench heap), and it keeps each round to one stage up to the
+    // argmax. Beyond the bound the shuffle join path keeps the cached
+    // src partitioning aligned with the previous round's output.
+    val small = nodes.count() < 4000000L
     var labels = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to rounds) {
       val rhs = if (small) broadcast(labels) else labels
-      labels = ed.join(rhs, ed("src") === rhs("node"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("lbl"))
+      // The round rule — per dst, the plurality label with ties to
+      // the smallest — IS PackedPairArgmax's contract, and the
+      // (dst, lbl) pairs entering it are NEAR-UNIQUE in early rounds
+      // (round 1: every neighbor carries a distinct self-label, so
+      // distinct pairs ≈ directed edges), the reduce-nothing shape
+      // where count + argmax AGGREGATES double-build giant maps.
+      // Measured at sf10 (1.6M nodes / 12.6M directed edges, 4
+      // rounds): declarative pair-count + struct-max 46.4 s → packed
+      // kernel 22.0 s, ahead of the single-node baseline (34.8 s).
+      // Labels are node ids, so the kernel's b < 2³¹
+      // contract bounds supported node ids (guard-checked; g07's
+      // encoded keys stay far inside it).
+      labels = PackedPairArgmax(
+        ed.join(rhs, ed("src") === rhs("node")).select(col("dst"), col("lbl")),
+        "dst", "lbl", "node", "lbl", "c")
+        .select(col("node"), col("lbl"))
     }
     labels
   }

@@ -199,18 +199,24 @@ object TextAnalysis extends QueryModule {
   // distinct; this form's joins and distinct are alphabet-bounded
   // (measured 2.6 s → 0.6 s at sf0.1, identical output).
   private def t10(s: SparkSession, d: String): DataFrame = {
+    // transition counts off the codegen char-bigram kernel (round 12;
+    // built for t23): the explode feeds the (lang, bg) aggregate with
+    // per-doc COLLAPSED (pair, count) rows — ≤ min(len−1, |alphabet|²)
+    // per doc instead of one row per transition, and the scan stays in
+    // one WSCG span (the interpreted transform/slice/sequence explode
+    // was the query's dominant cost). A doc has ≥1 kernel pair iff it
+    // has ≥2 chars, so the n_docs gate reads the same projection.
+    import graft.functions.GraftFunctions.charBigramTfPairs
     val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), "").as("cs"))
+      .select(col("lang"), charBigramTfPairs(col("text")).as("ps"))
     val lb = base
-      .select(col("lang"), explode(expr(
-        "transform(slice(sequence(0, size(cs)), 1, greatest(size(cs) - 1, 0)), " +
-          "i -> concat(cs[i], cs[i+1]))")).as("bg"))
-      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), explode(col("ps")).as("p"))
+      .groupBy(col("lang"), col("p.t").as("bg")).agg(sum(col("p.c")).as("cnt"))
     val bc = lb.groupBy(col("bg").as("bck")).agg(sum(col("cnt")).as("bcnt"))
     val uc = bc.groupBy(substring(col("bck"), 1, 1).as("uck"))
       .agg(sum(col("bcnt")).as("ucnt"))
     val nd = base
-      .filter(size(col("cs")) >= 2)
+      .filter(size(col("ps")) >= 1)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     lb.join(broadcast(bc), col("bg") === col("bck"))
       .join(broadcast(uc), substring(col("bg"), 1, 1) === col("uck"))
