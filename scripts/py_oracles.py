@@ -324,17 +324,18 @@ def _resize_luma(rgb, w, h):
     return out
 
 
-def m04_image_phash(sf_dir):
-    """Image pHash oracle: reconstructs the PIXELS the engine's
-    PNG/BMP decoders must produce from the deterministic construction
-    rule (Multimodal.syntheticMedia / MediaCodec.buildPng+buildBmp:
-    PNG = payload cycled row-major RGB; BMP = payload cycled over
-    padded bottom-up BGR rows), then recomputes resize+WHT-hash. The
-    engine side went through real inflate/unfilter (PNG) and row-flip
-    (BMP) decode — a pixel off anywhere changes the hash."""
+def _png_bmp_phashes(sf_dir):
+    """(doc_id, source, fmt, phash) for every png/bmp synthetic image:
+    reconstructs the PIXELS the engine's PNG/BMP decoders must produce
+    from the deterministic construction rule (Multimodal.syntheticMedia
+    / MediaCodec.buildPng+buildBmp: PNG = payload cycled row-major RGB;
+    BMP = payload cycled over padded bottom-up BGR rows), then
+    recomputes resize+WHT-hash. The engine side went through real
+    inflate/unfilter (PNG) and row-flip (BMP) decode — a pixel off
+    anywhere changes the hash. Shared by m04 and m09."""
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
-    per_key = {}
+    out = []
     for doc_id, text, src in zip(docs.column("doc_id").to_pylist(),
                                  docs.column("text").to_pylist(),
                                  docs.column("source").to_pylist()):
@@ -357,7 +358,14 @@ def m04_image_phash(sf_dir):
                     b, g, r = data[src_row + 3 * x: src_row + 3 * x + 3]
                     px[(y * w + x) * 3: (y * w + x) * 3 + 3] = bytes((r, g, b))
             rgb = bytes(px)
-        ph = _phash_bits(_resize_luma(rgb, w, h))
+        out.append((doc_id, src, fmt, _phash_bits(_resize_luma(rgb, w, h))))
+    return out
+
+
+def m04_image_phash(sf_dir):
+    """Image pHash profile oracle (see _png_bmp_phashes)."""
+    per_key = {}
+    for _, src, fmt, ph in _png_bmp_phashes(sf_dir):
         st = per_key.setdefault((src, fmt), [0, set(), 0])
         st[0] += 1
         st[1].add(ph)
@@ -369,6 +377,36 @@ def m04_image_phash(sf_dir):
         "n_images": pa.array([per_key[k][0] for k in keys], pa.int64()),
         "n_distinct_phash": pa.array([len(per_key[k][1]) for k in keys], pa.int64()),
         "set_bits": pa.array([per_key[k][2] for k in keys], pa.int64()),
+    })
+
+
+def m09_image_neardup(sf_dir):
+    """Image near-dup oracle: the engine's exact banding rule
+    (4 x 16-bit pHash bands -> candidate on any shared (band, value),
+    near-dup iff hamming <= 10) recomputed in pure Python over the
+    independently reconstructed hashes (_png_bmp_phashes)."""
+    hashes = [(doc_id, ph) for doc_id, _, _, ph in _png_bmp_phashes(sf_dir)]
+    buckets = {}
+    for doc_id, ph in hashes:
+        for b in range(4):
+            buckets.setdefault((b, (ph >> (16 * b)) & 0xFFFF), []).append(doc_id)
+    phash = dict(hashes)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    nd = [(a, b) for a, b in cand
+          if bin(phash[a] ^ phash[b]).count("1") <= 10]
+    dup_ids = {x for p in nd for x in p}
+    rows = sorted([("n_images", len(hashes)),
+                   ("n_candidate_pairs", len(cand)),
+                   ("n_neardup_pairs", len(nd)),
+                   ("n_dup_images", len(dup_ids))])
+    return pa.table({
+        "metric": pa.array([r[0] for r in rows], pa.string()),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
     })
 
 
@@ -1347,6 +1385,7 @@ PY_ORACLES = {
     "m03_audio_features": m03_audio_features,
     "m08_audio_decimate": m08_audio_decimate,
     "m04_image_phash": m04_image_phash,
+    "m09_image_neardup": m09_image_neardup,
     "m05_pixel_stats": m05_pixel_stats,
     "m07_frame_pixels": m07_frame_pixels,
     "s05_pq_adc_topk": s05_pq_adc_topk,

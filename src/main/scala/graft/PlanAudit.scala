@@ -691,6 +691,15 @@ object PlanAudit {
         s.split("\n").exists(l =>
           l.contains("PartitionFilters") && l.contains("cid"))))
 
+    // m09 image near-dup: the candidate generation must stay the
+    // banded (band, value) equi self-join — a cartesian or nested
+    // loop means it degenerated to all-pairs hamming
+    audit("m09_image_neardup")(
+      "band join is equi (no cartesian / nested loop)" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }))
+
     // t21 BPE: the gate query's visible plan is the driver-local rule
     // list (per-round lineage is checkpoint-truncated), so audit the
     // candidate plan directly via BpeTrain.pairArgmax — the pair

@@ -390,6 +390,60 @@ object Multimodal {
       .orderBy("source", "format")
   }
 
+  /** m09: image NEAR-DUP detection — the dedup family's LSH banding
+    * (d03) applied to m04's perceptual hashes over REAL decoded
+    * pixels: the 64-bit pHash splits into 4 × 16-bit bands; CANDIDATE
+    * pairs share at least one (band, value); verified near-dups have
+    * hamming(pHash_a, pHash_b) ≤ 10. Banding bounds the pair space by
+    * band-bucket co-membership (never all-pairs — at corpus scale the
+    * candidate join is bucket-local exactly like d03's), and recall
+    * is exact for hamming ≤ 3 by pigeonhole (4 bands, ≤ 3 differing
+    * bits leave ≥ 1 band untouched); past that it is the standard
+    * probabilistic LSH recall trade, stated not hidden. Scoped to the
+    * png/bmp records like m04 so the Python oracle can reconstruct
+    * the pixels without a second JPEG decoder; the oracle recomputes
+    * decode→resize→hash→bands→hamming independently.
+    */
+  def imageNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val images = syntheticMedia(spark, sfDir)
+      .filter(col("kind") === "image")
+      .repartition(8, col("media_id"))
+    val hashes = imageHashes(images).toDF()
+      .filter(col("format").isin("png", "bmp"))
+      .select(col("media_id"), col("phash")).cache()
+    val bands = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bid"),
+          shiftrightunsigned(col("phash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bd"))
+      .select(col("media_id"), col("phash"),
+        col("bd.bid").as("bid"), col("bd.bval").as("bval"))
+    // a pair matching in several bands must count once: distinct on
+    // ids (phash is id-determined, carried through for the verify)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+    val isDup = bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 10
+    val nd = cand.filter(isDup)
+    val dupIds = nd.select(col("id_a").as("id"))
+      .union(nd.select(col("id_b").as("id"))).distinct()
+    // (metric, value) rows via union — a single-row crossJoin
+    // assembly would plan two CartesianProducts and trip the
+    // no-cartesian audit the candidate join is held to
+    hashes.agg(count(lit(1)).as("v"))
+      .select(lit("n_images").as("metric"), col("v"))
+      .union(cand
+        .agg(count(lit(1)).as("c"), sum(when(isDup, 1L).otherwise(0L)).as("n"))
+        .selectExpr("stack(2, 'n_candidate_pairs', c, 'n_neardup_pairs', n) " +
+          "as (metric, v)"))
+      .union(dupIds.agg(count(lit(1)).as("v"))
+        .select(lit("n_dup_images").as("metric"), col("v")))
+      .orderBy("metric")
+  }
+
   /** Per-record integer pixel sums over REAL decoded pixels — the
     * mean-color/luma feature stage of an image pipeline with
     * order-independent integer arithmetic (sums, not means, so the

@@ -184,6 +184,11 @@ object MiscQueries extends QueryModule {
     "m07_frame_pixels" -> m07,
     "m08_audio_decimate" -> ((s, d) =>
       graft.multimodal.Multimodal.decimationSummary(s, d)),
+    // m09: near-dup detection over decoded-pixel perceptual hashes —
+    // d03's banding on m04's pHash; Python-oracle (py_oracles.py
+    // recomputes decode→resize→hash→bands→hamming independently)
+    "m09_image_neardup" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageNearDups(s, d)),
     "g01_grafana_macro_sql" -> g01)
 
   override def oracle: Map[String, String] = Map(
