@@ -185,10 +185,20 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val first = once()
-        name -> (best match {
+        val t = best match {
           case Some(n) => (first +: Seq.fill(n - 1)(once())).min
           case None => if (warm) once() else first
-        })
+        }
+        // Each query's caches are its OWN (built in run 1, warm for
+        // runs 2..n — the warm-best-of-N contract); letting them
+        // accumulate across a full-suite sweep crowds the heap until
+        // an unrelated later query OOMs the executor (observed: the
+        // round-12 109-query sf10 sweep died inside t17's external
+        // sort with ~80 cached relations resident). Dropping them
+        // between queries keeps every measurement self-contained and
+        // equal to its targeted-run number.
+        spark.sharedState.cacheManager.clearCache()
+        name -> t
       }
     val calEnd = calibrate()
     val cals = Seq(cal0, calMid, calEnd)
