@@ -174,21 +174,33 @@ object Bench {
       .filter { case (name, _) => only.forall(_(name)) }
       .filterNot { case (name, _) => skip(name) || bigpathSkipped(name) }
     var calMid = 0.0
+    val failedRuns = scala.collection.mutable.Map.empty[String, Int]
     val timed = toRun.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx == toRun.size / 2) calMid = calibrate()
-        def once(): Double = {
+        // A failed run returns None — it must NEVER enter the
+        // best-of-N min: time-to-abort reads as a fast SUCCESS (the
+        // round-12 t17 "13.4 s" artifact was exactly this — two of
+        // three runs died in SparkOutOfMemoryError and the min kept
+        // the time-to-failure). Failures surface in the "failed"
+        // field; a query with zero successful runs is excluded from
+        // the totals entirely.
+        def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failedRuns(name) = failedRuns.getOrElse(name, 0) + 1
+            None
           }
-          (System.nanoTime() - t0) / 1e9
         }
         val first = once()
-        val t = best match {
-          case Some(n) => (first +: Seq.fill(n - 1)(once())).min
-          case None => if (warm) once() else first
+        val runs = best match {
+          case Some(n) => first +: Seq.fill(n - 1)(once())
+          case None => if (warm) Seq(once()) else Seq(first)
         }
+        val t = runs.flatten.minOption.getOrElse(Double.NaN)
         // Each query's caches are its OWN (built in run 1, warm for
         // runs 2..n — the warm-best-of-N contract); letting them
         // accumulate across a full-suite sweep crowds the heap until
@@ -206,12 +218,17 @@ object Bench {
     // suite saw materially different machine conditions across its run
     val contended = cals.max / math.max(cals.min, 1e-9) >= 1.5
     val calJson = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val results = (s06Build ++ t19Build ++ t22Build ++ timed).sortBy(_._1)
+    // queries whose every run failed carry NaN — reported under
+    // "failed", never as a seconds row
+    val results = (s06Build ++ t19Build ++ t22Build ++ timed)
+      .filterNot(_._2.isNaN).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skipped = (skip ++ bigpathSkipped).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedRuns.toSeq.sorted
+      .map { case (k, n) => "\"" + k + s"""":$n""" }.mkString("{", ",", "}")
     // Baseline comparison column: scripts/bench_duck.py records the
     // DuckDB oracle-side per-query seconds for an SF dir into
     // DUCK_<sfname>.json (committed); embed it so the round artifact
@@ -231,7 +248,7 @@ object Bench {
     val rowsJson = tableRows
       .map { case (k, v) => "\"" + k + s"""":$v""" }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calJson,"contended":$contended,"table_rows":$rowsJson,"queries":${jmap(results)},"skipped":$skipped,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calJson,"contended":$contended,"table_rows":$rowsJson,"queries":${jmap(results)},"skipped":$skipped,"failed":$failedJson,"sf":"$sfDir"${foldMetrics.map(m => s""","streaming_fold":$m""").getOrElse("")}${duckRaw.map(d => s""","duckdb":$d""").getOrElse("")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(detail)

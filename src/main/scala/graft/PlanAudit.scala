@@ -260,6 +260,25 @@ object PlanAudit {
       "DF cap as semi join" -> (_.contains("LeftSemi")),
       "no cartesian stage" -> (s =>
         !s.split("== Initial Plan ==").head.contains("CartesianProduct")))
+    // leakage-safe split: clustering + assignment stay equi-joined;
+    // the only nested-loop stage allowed is the single-row audit
+    // broadcast (leaked_pairs attached to the 3-row report)
+    audit("c10_leakage_safe_split")(
+      "no cartesian product" -> (s =>
+        !s.split("== Initial Plan ==").head.contains("CartesianProduct")),
+      "only the 1-row audit broadcast is nested-loop" -> simpleOnly(s =>
+        s.split("== Initial Plan ==").head.split("\n")
+          .count(l => l.contains("BroadcastNestedLoopJoin") &&
+            !l.contains("ReusedExchange")) <= 1),
+      "rep assignment is a left equi join" -> (_.contains("LeftOuter")))
+    // time-to-convert: quantiles resolve over HISTOGRAM rows (domain-
+    // bounded), never a per-user sort; one user exchange feeds every
+    // funnel stage, histogram agg + its cohort window are the rest
+    audit("w13_time_to_convert")(
+      "no single-partition window" -> noSinglePartitionWindow,
+      "user exchange + histogram agg + cohort window only" -> maxHashExchanges(3),
+      "quantile windows keyed by cohort" ->
+        (_.contains("windowspecdefinition(cohort_day#")))
     audit("c01_stratified_sample")(
       "per-stratum quotas broadcast" -> (_.contains("BroadcastHashJoin")))
     // temperature mixture reuses c01's rank selection; the τ-weighted

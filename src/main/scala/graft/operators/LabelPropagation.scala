@@ -49,11 +49,15 @@ object LabelPropagation {
     // broadcast bound is higher than PageRank's 1M: a labels row is
     // two longs (~26 MB hashed at 1.6M nodes — comfortably inside the
     // bench heap), and it keeps each round to one stage up to the
-    // argmax. Beyond the bound the shuffle join path keeps the cached
-    // src partitioning aligned with the previous round's output.
+    // argmax. Beyond the bound the plain shuffle join path keeps the
+    // cached src partitioning aligned with the previous round's
+    // output. (A shuffle_hash hint is NOT the fallback: 32 concurrent
+    // per-task hash builds are unspillable consumers and exhaust the
+    // pool the kernel's sorts share — measured 3/3 OOM at sf10 where
+    // the broadcast form passes.)
     val small = nodes.count() < 4000000L
     var labels = nodes.withColumn("lbl", col("node"))
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val rhs = if (small) broadcast(labels) else labels
       // The round rule — per dst, the plurality label with ties to
       // the smallest — IS PackedPairArgmax's contract, and the
@@ -63,14 +67,25 @@ object LabelPropagation {
       // where count + argmax AGGREGATES double-build giant maps.
       // Measured at sf10 (1.6M nodes / 12.6M directed edges, 4
       // rounds): declarative pair-count + struct-max 46.4 s → packed
-      // kernel 22.0 s, ahead of the single-node baseline (34.8 s).
+      // kernel 20.1 s, ahead of the single-node baseline (44.5 s).
       // Labels are node ids, so the kernel's b < 2³¹
       // contract bounds supported node ids (guard-checked; g07's
       // encoded keys stay far inside it).
-      labels = PackedPairArgmax(
+      val next = PackedPairArgmax(
         ed.join(rhs, ed("src") === rhs("node")).select(col("dst"), col("lbl")),
         "dst", "lbl", "node", "lbl", "c")
         .select(col("node"), col("lbl"))
+      // Materialize every round but the last (the ConnectedComponents
+      // /PageRank pattern; labels are value-deterministic). Without
+      // this the k rounds execute as ONE nested DAG whose earlier
+      // rounds' broadcast relations stay pinned while the final
+      // round's concurrent external sorts reserve pages — observed
+      // intermittent UNABLE_TO_ACQUIRE_MEMORY at sf10 on the 8 g
+      // bench heap. A labels round is two longs per node (~26 MB at
+      // 1.6 M nodes), so the per-round materialization is free. The
+      // LAST round stays lazy so callers (and the plan audit) see the
+      // real join + kernel plan rather than a checkpoint scan.
+      labels = if (round < rounds) next.localCheckpoint(true) else next
     }
     labels
   }

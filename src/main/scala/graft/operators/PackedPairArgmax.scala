@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * O(1) task memory — no buffering, no aggregate map. Sorted order
   * gives b ascending within each a, so strict-greater keeps the
   * smallest b on count ties. Measured (BENCH_NOTES round 12): full
-  * t17 126 s → 56 s at sf10, ahead of the single-node baseline; an
-  * array-buffering variant of the same fold OOMs the 8g bench heap at
-  * this fan-out, which is why the sort is delegated to Spark's
-  * spill-aware machinery rather than done in the task.
+  * t17 126 s → 56 s at sf10 from the kernel, → 44 s once the kernel
+  * exchange was sized at 4× the session parallelism (below), ahead of
+  * the single-node baseline's 64.8 s; an array-buffering variant of
+  * the same fold OOMs the 8g bench heap at this fan-out, which is why
+  * the sort is delegated to Spark's spill-aware machinery rather than
+  * done in the task.
   *
   * At 100 TB the same plan holds: one shuffle of 8-byte rows,
   * per-task external sort, constant-memory fold. A single hot `a`
@@ -50,10 +52,21 @@ object PackedPairArgmax {
         lit(s"$aCol < 2^32 and 0 <= $bCol < 2^31, got ("),
         a.cast("string"), lit(", "), b.cast("string"), lit(")"))))
       .otherwise(shiftleft(a, 31) + b)
+    // 4× the session's shuffle parallelism: partition count does not
+    // change how many sorts run CONCURRENTLY (that's the core count),
+    // it divides each one's footprint — at sf10 the 32-partition form
+    // left 32 full-width concurrent sorter reservations racing the
+    // surrounding plan's consumers for the pool and intermittently
+    // died in UNABLE_TO_ACQUIRE_MEMORY; quartering the per-task
+    // working set removes the contention without touching the plan
+    // shape. At cluster scale this is the standard "shuffle partitions
+    // ≫ cores" sizing rule, applied where the operator knows its
+    // exchange is the wide one.
+    val parts = 4 * pairs.sparkSession.sessionState.conf.numShufflePartitions
     pairs
       .select(guarded.as("pk"))
       .as[Long](Encoders.scalaLong)
-      .repartition(shiftright(col("pk"), 31))
+      .repartition(parts, shiftright(col("pk"), 31))
       .sortWithinPartitions(col("pk"))
       .mapPartitions { it =>
         new Iterator[(Long, Long, Long)] {

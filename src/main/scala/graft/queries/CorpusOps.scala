@@ -268,8 +268,9 @@ object CorpusOps extends QueryModule {
     // reduce-nothing aggregate maps — 71 s of the query's 126 s at
     // sf10. operators.PackedPairArgmax replaces both aggregates with
     // one exchange of packed 8-byte keys, Spark's spillable external
-    // sort, and a constant-memory streaming fold: 126 s → 56 s,
-    // ahead of the single-node baseline (stage ladder + A/B:
+    // sort, and a constant-memory streaming fold: 126 s → 56 s, then
+    // 44 s with the kernel exchange sized at 4× session parallelism —
+    // ahead of the single-node baseline's 64.8 s (stage ladder + A/B:
     // tools.T17Lab, BENCH_NOTES round 12). Pack contract holds by
     // data shape (doc ids < 2³¹) and is guard-checked in the kernel.
     graft.operators.PackedPairArgmax(

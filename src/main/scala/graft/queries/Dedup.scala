@@ -628,7 +628,11 @@ object Dedup extends QueryModule {
   // blowup it replaces). Clustering is distributed min-label
   // propagation (operators.ConnectedComponents); the oracle states
   // the all-pairs fixpoint with a recursive CTE.
-  private def d07(s: SparkSession, d: String): DataFrame = {
+  /** The bucket-sparsified, exact-verified near-dup edge list behind
+    * d07 (keeper sets) and c10 (leakage-safe split): rep + chain edges
+    * per LSH bucket (≤ 2 per member), exact-Jaccard ≥ 0.9 on just
+    * those. Returns (doc_a, doc_b). */
+  private def sparseVerifiedEdges(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).cache()
     val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
     val bands = sig.select(col("doc_id"),
@@ -653,17 +657,19 @@ object Dedup extends QueryModule {
       .select(col("e.doc_a"), col("e.doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
-    val verified = sparseEdges
+    sparseEdges
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
         size(array_union(col("sh_a"), col("sh_b"))) >= 0.9)
       .select(col("doc_a"), col("doc_b"))
-    graft.operators.ConnectedComponents.components(verified)
+  }
+
+  private def d07(s: SparkSession, d: String): DataFrame =
+    graft.operators.ConnectedComponents.components(sparseVerifiedEdges(s, d))
       .groupBy(col("keeper").as("keeper_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("keeper_id")
-  }
 
   private val d07Sql =
     """WITH RECURSIVE s AS (
@@ -732,7 +738,92 @@ object Dedup extends QueryModule {
       |SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // c10: leakage-safe train/val/test split — the dataset-split stage
+  // of corpus assembly. A per-document hash split (the naive rule)
+  // LEAKS: two near-duplicate documents hash independently, so one
+  // lands in train and its twin in test, and the eval measures
+  // memorization (GPT-3's appendix on train-test overlap documents
+  // exactly this failure; Dodge et al. 2021 found it throughout C4's
+  // users' benchmarks). The fix is to make the NEAR-DUP CLUSTER the
+  // unit of assignment: every member inherits its component
+  // representative's hash, so a cluster moves atomically and
+  // cross-split near-dup pairs are zero BY CONSTRUCTION — audited
+  // here over the exhaustive verified pair stream (d02's contract),
+  // not assumed. Composition, all existing machinery: cluster =
+  // sparseVerifiedEdges + ConnectedComponents (d07's linear path —
+  // docs outside any cluster are their own representative via the
+  // LEFT join + coalesce), split key = c01's Knuth multiplicative
+  // hash of the representative, mod-10 buckets → 80/10/10.
+  // Scale: one near-dup clustering (linear, the d07 argument), one
+  // doc_id-keyed join of corpus against the label set (labels only
+  // cover clustered docs — at real-corpus dup rates a small fraction),
+  // a map-side split assignment, a 3-row aggregate, and a pair-stream
+  // audit that is itself LSH-bounded. sf10-excluded with the d02/d07
+  // family (the salted replica makes every doc a ~100-copy cluster —
+  // a property of the synthetic corpus, not the plan).
+  private def c10(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.operators.ConnectedComponents
+      .components(sparseVerifiedEdges(s, d))
+    val asg = docs(s, d).select(col("doc_id"), col("n_chars"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("keeper"), col("doc_id")))
+      .withColumn("bkt",
+        pmod(pmod(col("rep") * lit(2654435761L), lit(4294967296L)), lit(10L)))
+      .withColumn("split", when(col("bkt") < 8, lit("train"))
+        .when(col("bkt") === 8, lit("val")).otherwise(lit("test")))
+      .select(col("doc_id"), col("n_chars"), col("rep"), col("split"))
+      .cache()
+    // the audit runs over the FULL verified pair set (what the
+    // guarantee is about), not the sparse edge subset the clustering
+    // used — same set the oracle audits
+    val leaked = verifiedPairs(s, d)
+      .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    asg.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("n_chars")).as("sum_chars"))
+      .crossJoin(broadcast(leaked))
+      .orderBy("split")
+  }
+
+  private val c10Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |walk(node, reach) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach),
+      |labels AS (SELECT node, MIN(reach) AS keeper_id FROM walk GROUP BY node),
+      |sp AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |         COALESCE(l.keeper_id, d.doc_id) AS rep,
+      |         CASE WHEN (COALESCE(l.keeper_id, d.doc_id) * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+      |              WHEN (COALESCE(l.keeper_id, d.doc_id) * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+      |leak AS (
+      |  SELECT COUNT(*) AS leaked_pairs
+      |  FROM p JOIN sp x ON p.a = x.doc_id JOIN sp y ON p.b = y.doc_id
+      |  WHERE x.split <> y.split)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  (SELECT CAST(leaked_pairs AS BIGINT) FROM leak) AS leaked_pairs
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,
     "d01_exact_dedup_hash" -> d01,
     "d02_minhash_jaccard_pairs" -> d02,
@@ -761,6 +852,7 @@ object Dedup extends QueryModule {
       |ORDER BY 1, 2""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "c10_leakage_safe_split" -> c10Sql,
     "d12_neardup_leakage" -> d12Sql,
     "d01_exact_dedup_hash" -> d01Sql,
     "d02_minhash_jaccard_pairs" -> d02Sql,

@@ -486,7 +486,7 @@ object GraphOps extends QueryModule {
   // PackedPairArgmax pass — the plurality/min-tie rule is the
   // kernel's contract, and the round's (dst, lbl) pairs are
   // near-unique early (the t17 shape; declarative aggregates 46.4 s
-  // → kernel 22.0 s at sf10, ahead of DuckDB's 34.8 s on the
+  // → kernel 20.1 s at sf10, ahead of DuckDB's 44.5 s on the
   // unrolled oracle). No window, no driver state; the report is one
   // lbl-keyed aggregate over n_nodes rows. The oracle unrolls the
   // same four rounds as CTEs (the g02/g05 pattern).

@@ -596,7 +596,73 @@ object MoreAnalytics extends QueryModule {
       |FROM t WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
 
+  // w13: time-to-convert distribution — the product-analytics twin of
+  // w07's funnel counts: for every user whose first purchase STRICTLY
+  // follows their first view (w07's qualifying contract), the elapsed
+  // time, reported as exact p50/p90/p99 minutes per first-view cohort
+  // day. The quantile is the h23 bounded-domain histogram idiom, NOT a
+  // per-user sort: deltas are bucketed to minutes (the operator's
+  // stated resolution — the observation window bounds the domain, here
+  // ≤ 30 d ≈ 43 200 keys), counts combine map-side into a
+  // (cohort_day, minute) histogram whose size is domain-bounded and
+  // corpus-INDEPENDENT, and the k-th-smallest resolution (type-1
+  // discrete, same integer-ceil contract as h23/a07) is a window
+  // cumsum over histogram rows. Per-user first-event times ride w07's
+  // single user_id exchange (bucketed layout ⇒ exchange-free).
+  private def w13(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = userClustered(s, d,
+      col("user_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .cache()
+    val v = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("us") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"), min(col("tv")).as("tv"))
+    val hist = p
+      .select(expr("tv div 86400000000").as("cohort_day"),
+        expr("(tp - tv) div 60000000").as("m"))
+      .groupBy(col("cohort_day"), col("m")).agg(count(lit(1)).as("c"))
+    val wTot = Window.partitionBy(col("cohort_day"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def kth(q: Int) = expr(s"(n * $q + 99) div 100")
+    def pick(q: Int) = min(when(col("cum") >= kth(q), col("m")))
+    hist
+      .withColumn("n", sum(col("c")).over(wTot))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .groupBy(col("cohort_day"))
+      .agg(max(col("n")).as("n_converted"), pick(50).as("p50_ttc_min"),
+        pick(90).as("p90_ttc_min"), pick(99).as("p99_ttc_min"))
+      .orderBy("cohort_day")
+  }
+
+  private val w13Sql =
+    """WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |              WHERE event_type IN ('view', 'purchase')),
+      |v AS (SELECT user_id, MIN(us) AS tv FROM base
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT b.user_id, MIN(b.us) AS tp, MIN(v.tv) AS tv FROM base b
+      |      JOIN v ON b.user_id = v.user_id
+      |      WHERE b.event_type = 'purchase' AND b.us > v.tv GROUP BY 1),
+      |h AS (SELECT tv // 86400000000 AS cohort_day,
+      |        (tp - tv) // 60000000 AS m, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2),
+      |w AS (SELECT cohort_day, m, c,
+      |        CAST(SUM(c) OVER (PARTITION BY cohort_day) AS BIGINT) AS n,
+      |        CAST(SUM(c) OVER (PARTITION BY cohort_day ORDER BY m
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM h)
+      |SELECT cohort_day, MAX(n) AS n_converted,
+      |  MIN(CASE WHEN cum >= (n*50 + 99) // 100 THEN m END) AS p50_ttc_min,
+      |  MIN(CASE WHEN cum >= (n*90 + 99) // 100 THEN m END) AS p90_ttc_min,
+      |  MIN(CASE WHEN cum >= (n*99 + 99) // 100 THEN m END) AS p99_ttc_min
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_time_to_convert" -> w13,
     "w12_event_paths" -> w12,
     "w11_gapfill_locf" -> w11,
     "a10_exact_corr" -> a10,
@@ -610,6 +676,7 @@ object MoreAnalytics extends QueryModule {
     "w10_ewma" -> w10)
 
   override def oracle: Map[String, String] = Map(
+    "w13_time_to_convert" -> w13Sql,
     "w12_event_paths" -> w12Sql,
     "w11_gapfill_locf" -> w11Sql,
     "a10_exact_corr" -> a10Sql,

@@ -117,6 +117,28 @@ class MoreAnalyticsSpec extends AnyFunSuite {
       (1L, 0L, 1L), (1L, 1L, 1L), (1L, 14L, 1L)))
   }
 
+  test("w13: time-to-convert quantiles — purchase must follow first view; minutes, type-1 kth") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_w13").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      // user 1: purchase at 400 precedes the first view (1000) and
+      // must NOT qualify; the 1600 purchase does — delta 600 s = 10 min
+      (1L, "purchase", ts(400)), (1L, "view", ts(1000)), (1L, "purchase", ts(1600)),
+      (2L, "view", ts(2000)), (2L, "purchase", ts(5600)),   // 60 min
+      (3L, "view", ts(500)), (3L, "purchase", ts(590)),     // 1 min (90 s)
+      // cohort day 1
+      (4L, "view", ts(86500)), (4L, "purchase", ts(86620)), // 2 min
+      (5L, "view", ts(100)),                                // never converts
+      (6L, "purchase", ts(100)))                            // no view
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val rows = graft.SparkEntry.queries("w13_time_to_convert")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // cohort 0 deltas sorted [1, 10, 60]: n=3, k50=2→10, k90=k99=3→60
+    assert(rows.toSeq == Seq((0L, 3L, 10L, 60L, 60L), (1L, 1L, 2L, 2L, 2L)), s"got ${rows.toSeq}")
+  }
+
   test("w08: each event lands in exactly the 4 hop windows covering it") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_w08").toString
