@@ -279,6 +279,18 @@ object PlanAudit {
       "user exchange + histogram agg + cohort window only" -> maxHashExchanges(3),
       "quantile windows keyed by cohort" ->
         (_.contains("windowspecdefinition(cohort_day#")))
+    // the e2e funnel composes audited stage shapes: decon grams die
+    // scan-side at the bloom probe, the mixture rank is the bounded
+    // TopK aggregate (never a corpus window), dedup/decon/mixture
+    // survivor filtering is semi/anti equi joins
+    audit("c11_pipeline_e2e")(
+      "bloom probe reaches the gram scan" -> (_.contains("might_contain")),
+      "mixture rank is the bounded TopK aggregate (no corpus window)" ->
+        (s => !s.contains("windowspecdefinition")),
+      "no cartesian product" -> (s =>
+        !s.split("== Initial Plan ==").head.contains("CartesianProduct")),
+      "survivor filters are semi/anti joins" -> (s =>
+        s.contains("LeftSemi") && s.contains("LeftAnti")))
     audit("c01_stratified_sample")(
       "per-stratum quotas broadcast" -> (_.contains("BroadcastHashJoin")))
     // temperature mixture reuses c01's rank selection; the τ-weighted

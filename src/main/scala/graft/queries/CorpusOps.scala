@@ -1060,7 +1060,170 @@ object CorpusOps extends QueryModule {
        |  CAST(SUM(t) AS BIGINT) AS n_tokens, MIN(qs) AS min_q, MAX(qs) AS max_q
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // c11: the END-TO-END corpus-prep funnel — every stage a user of
+  // this library would chain to turn a raw crawl into a training
+  // mixture, composed as ONE plan and reported as the stage-by-stage
+  // manifest a data engineer actually reviews: raw → Gopher gate
+  // (t20's battery, lenient ≥3/4) → exact dedup (d01's min-keeper
+  // rule) → benchmark decontamination (t08's 5-gram rule against the
+  // held-out eval split, bloom-pruned scan-side like t16) →
+  // temperature mixture (c07's τ=1/2 exact integer quotas, B = 200)
+  // → hash split (c10's Knuth rule, 80/10/10; exact-dup leakage is
+  // impossible downstream of the dedup stage — NEAR-dup-atomic
+  // assignment stays c10's dedicated contract). Every stage reuses
+  // the proven operator's exact arithmetic, so the composed oracle is
+  // the same CTE chain; the output is (stage, n_docs, n_chars).
+  //
+  // Scale: each stage is its operator's audited shape (scan-kernel
+  // grams, bloom scan-side pruning, bounded TopK mixture — never a
+  // corpus window), chained through cached intermediates; at 100 TB
+  // the caches become materialized parquet between stages (c09's
+  // sharded write is the terminal form), which changes nothing about
+  // the per-stage plans. The funnel is intentionally held-out-aware:
+  // the eval split (doc_id % 37 == 0) feeds ONLY the decon sketch.
+  private def c11(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{fivegramTfPairs, topKByScore}
+    import graft.operators.BloomSketch
+    val all = docs(s, d)
+    val evalGrams = all.filter(col("doc_id") % 37 === 0)
+      .select(explode(fivegramTfPairs(col("text"))).as("p"))
+      .select(col("p.t").as("gram")).distinct().cache()
+    val sketch = BloomSketch.build(evalGrams, "gram")
+    val raw = all.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .cache()
+    val gated = TextAnalysis
+      .gateFlags(raw, carry = Seq("doc_id", "text", "lang", "n_chars"))
+      .filter(col("g1") + col("g2") + col("g3") + col("g4") >= 3)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .cache()
+    val keepers = gated
+      .groupBy(xxhash64(col("text")).as("xh"),
+        crc32(col("text").cast(BinaryType)).as("cc"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi").cache()
+    val grams = deduped
+      .select(col("doc_id"), fivegramTfPairs(col("text")).as("ps"))
+    val contaminated = grams
+      .select(col("doc_id"), size(col("ps")).cast(LongType).as("n_grams"),
+        col("ps"))
+      .select(col("doc_id"), col("n_grams"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("n_grams"), col("p.t").as("gram"))
+      .filter(BloomSketch.probe(sketch, col("gram")))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("n_grams")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") * 10 >= col("n_grams"))
+      .select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti").cache()
+    val budget = 200L
+    val per = clean.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        round(sqrt(col("n").cast(DoubleType)) * lit(1e9)).cast(LongType))
+    val tot = per.agg(sum(col("w")).as("stot"))
+    val quota = per.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
+      .select(col("lang"), col("quota"))
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val topk = topKByScore((skey * lit(-1L)).cast(DoubleType), col("doc_id"),
+      struct(col("doc_id")), budget.toInt)
+    val picked = clean.select(col("lang"), col("doc_id"))
+      .groupBy(col("lang")).agg(topk.as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("lang"), (col("i") + 1).cast(LongType).as("rn"),
+        col("e.payload.doc_id").as("doc_id"))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id")
+    // picked ≤ |langs|·B rows by construction — broadcast-able
+    val mixture = clean.join(broadcast(picked), Seq("doc_id"), "left_semi")
+      .cache()
+    val bkt = pmod(skey, lit(10L))
+    val split = mixture
+      .withColumn("stage", concat(lit("5_"), when(bkt < 8, "train")
+        .when(bkt === 8, "val").otherwise("test")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    def st(name: String, df: DataFrame) = df
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+      .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+    st("0_raw", raw)
+      .unionByName(st("1_gated", gated))
+      .unionByName(st("2_deduped", deduped))
+      .unionByName(st("3_decontaminated", clean))
+      .unionByName(st("4_mixture", mixture))
+      .unionByName(split)
+      .orderBy("stage")
+  }
+
+  private val c11Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT UNNEST(list_distinct(list_transform(
+      |      range(1, len(string_split(text,' ')) - 3),
+      |      i -> array_to_string(string_split(text,' ')[i:i+4], ' ')))) AS gram
+      |  FROM documents
+      |  WHERE doc_id % 37 = 0 AND len(string_split(text,' ')) >= 5),
+      |raw AS (SELECT doc_id, text, lang, source, n_chars
+      |        FROM documents WHERE doc_id % 37 <> 0),
+      |per AS (SELECT doc_id, text, lang, source, n_chars,
+      |    len(list_filter(string_split(text,' '), x -> x <> '')) AS w,
+      |    len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS dw,
+      |    length(replace(text,' ','')) AS ns,
+      |    (CASE WHEN contains(' '||text||' ',' the ') THEN 1 ELSE 0 END
+      |    +CASE WHEN contains(' '||text||' ',' a ') THEN 1 ELSE 0 END
+      |    +CASE WHEN contains(' '||text||' ',' and ') THEN 1 ELSE 0 END
+      |    +CASE WHEN contains(' '||text||' ',' of ') THEN 1 ELSE 0 END) AS sw
+      |  FROM raw),
+      |gated AS (SELECT doc_id, text, lang, source, n_chars FROM per
+      |  WHERE (CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END
+      |       + CASE WHEN 3*w <= ns AND ns <= 10*w THEN 1 ELSE 0 END
+      |       + CASE WHEN sw >= 2 THEN 1 ELSE 0 END
+      |       + CASE WHEN 2*dw >= w THEN 1 ELSE 0 END) >= 3),
+      |dd AS (SELECT doc_id, text, lang, source, n_chars FROM gated
+      |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+      |gr AS (SELECT doc_id, list_distinct(list_transform(
+      |      range(1, len(string_split(text,' ')) - 3),
+      |      i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS grams
+      |  FROM dd WHERE len(string_split(text,' ')) >= 5),
+      |hx AS (SELECT doc_id, COUNT(*) AS n_hits
+      |       FROM (SELECT doc_id, UNNEST(grams) AS gram FROM gr) x
+      |       WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
+      |cont AS (SELECT gr.doc_id FROM gr JOIN hx ON gr.doc_id = hx.doc_id
+      |         WHERE hx.n_hits * 10 >= len(gr.grams)),
+      |clean AS (SELECT * FROM dd
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |perl AS (SELECT lang, COUNT(*) AS n,
+      |    CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS w
+      |  FROM clean GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS stot FROM perl),
+      |qq AS (SELECT lang, CAST((200 * w) // stot AS BIGINT) AS quota
+      |       FROM perl, tot),
+      |r AS (SELECT doc_id, lang, n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
+      |  FROM clean),
+      |mix AS (SELECT r.doc_id, r.n_chars FROM r JOIN qq ON r.lang = qq.lang
+      |        WHERE rn <= quota),
+      |sp AS (SELECT doc_id, n_chars,
+      |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN '5_train'
+      |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN '5_val'
+      |         ELSE '5_test' END AS stage FROM mix)
+      |SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM raw
+      |UNION ALL SELECT '1_gated', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT) FROM gated
+      |UNION ALL SELECT '2_deduped', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT) FROM dd
+      |UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT) FROM clean
+      |UNION ALL SELECT '4_mixture', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT) FROM mix
+      |UNION ALL SELECT stage, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT) FROM sp GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_pipeline_e2e" -> c11,
     "c05_decontaminated_mixture" -> c05,
     "c06_quality_buckets" -> c06,
     "d09_span_removal" -> d09,
@@ -1092,6 +1255,7 @@ object CorpusOps extends QueryModule {
     "c09_corpus_shards" -> c09)
 
   override def oracle: Map[String, String] = Map(
+    "c11_pipeline_e2e" -> c11Sql,
     "c05_decontaminated_mixture" -> c05Sql,
     "c06_quality_buckets" -> c06Sql,
     "d09_span_removal" -> d09Sql,
