@@ -194,8 +194,13 @@ object TokenTfPairs {
     }
 
     val nKeys = if (ng > 1) math.max(nTok - ng + 1, 0) else nTok
+    // size in Long: near Int.MaxValue keys, `nKeys * 2` wraps negative
+    // and the loop would exit at cap = 8 — the table then has no empty
+    // slot once full and the linear probe never terminates (hung task,
+    // not an error). 2^30 slots cover every key count a 2 GiB
+    // UTF8String can produce.
     var cap = 8
-    while (cap < nKeys * 2) cap <<= 1
+    while (cap < math.min(nKeys.toLong * 2, 1L << 30)) cap <<= 1
     val mask = cap - 1
     val slot = new Array[Int](cap)
     java.util.Arrays.fill(slot, -1)
@@ -276,8 +281,11 @@ object TokenTfPairs {
     starts(nCp) = n
     val nBig = math.max(nCp - 1, 0)
 
+    // Long-sized like compute()'s table: `nBig * 2` wraps negative for
+    // ≥2^30-code-point documents, leaving an 8-slot table whose linear
+    // probe never finds an empty slot — a hung task, not an error
     var cap = 8
-    while (cap < nBig * 2) cap <<= 1
+    while (cap < math.min(nBig.toLong * 2, 1L << 30)) cap <<= 1
     val mask = cap - 1
     val slot = new Array[Int](cap) // bigram index = first code point idx
     java.util.Arrays.fill(slot, -1)

@@ -46,9 +46,11 @@ object CorpusSharder {
     * columns ride through the one ranked pass — no second join. */
   def assignments(docs: DataFrame, shardSize: Long): DataFrame = {
     val keyed = docs
-      // non-empty whitespace token count (the t01 convention)
+      // non-empty whitespace token count (the t01 convention, via the
+      // codegen byte-scan kernel — the interpreted filter-lambda form
+      // pays per-element lambda evaluation in the scan projection)
       .withColumn("n_tok",
-        expr("size(filter(split(text, ' '), x -> x != ''))").cast(LongType))
+        graft.functions.GraftFunctions.wordCount(col("text")).cast(LongType))
       .withColumn("skey",
         pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
       .withColumn("pid", shiftright(col("skey"), 27).cast("int"))
@@ -84,12 +86,23 @@ object CorpusSharder {
     * training-consumable artifact. The one exchange clusters rows by
     * shard so each shard is exactly one writer task's sorted output. */
   def write(docs: DataFrame, shardSize: Long, out: String): Unit = {
-    val assigned = assignments(docs, shardSize)
-    assigned
-      .repartition(col("shard_id"))
-      .sortWithinPartitions(col("rank"))
-      .write.mode("overwrite").partitionBy("shard_id")
-      .parquet(s"$out/shards")
-    manifest(assigned).write.mode("overwrite").parquet(s"$out/manifest")
+    // pin the ranked assignment so the shards write and the manifest
+    // write share ONE ranked pass (uncached, each write re-runs the
+    // scan + pid window — the most expensive stage, silently doubled)
+    val assigned = assignments(docs, shardSize).cache()
+    try {
+      assigned
+        .repartition(col("shard_id"))
+        // shard_id FIRST: the partitionBy writer REQUIRES ordering by
+        // its partition columns and inserts its own (not
+        // stability-guaranteed) sort when the incoming order isn't a
+        // prefix match — a rank-only sort here produced rank-shuffled
+        // shard files once the cached relation changed the planner's
+        // view (caught by CorpusSharderSpec)
+        .sortWithinPartitions(col("shard_id"), col("rank"))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .parquet(s"$out/shards")
+      manifest(assigned).write.mode("overwrite").parquet(s"$out/manifest")
+    } finally assigned.unpersist()
   }
 }

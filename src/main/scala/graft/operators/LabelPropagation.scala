@@ -87,6 +87,13 @@ object LabelPropagation {
       // real join + kernel plan rather than a checkpoint scan.
       labels = if (round < rounds) next.localCheckpoint(true) else next
     }
+    // nodes fed only round 1, and rounds 1..k-1 just materialized
+    // eagerly above — release it now. `ed` stays cached: the returned
+    // final round is deliberately LAZY (so callers and the plan audit
+    // see the real join+kernel plan, not a checkpoint scan) and its
+    // execution reads ed; the cache lives until the session drops it
+    // (Bench clears caches between queries; gate corpora are small).
+    nodes.unpersist()
     labels
   }
 }

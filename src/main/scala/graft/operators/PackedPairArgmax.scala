@@ -46,11 +46,17 @@ object PackedPairArgmax {
             outA: String, outB: String, outCnt: String): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // isNull is part of the guard: a null key would otherwise make the
+    // WHEN condition null, fall through to a null packed key, and die
+    // later in Dataset[Long] deserialization with an NPE that names
+    // neither the operator nor the column
     val guarded = when(
-      a < 0L || a >= (1L << 32) || b < 0L || b >= (1L << 31),
-      raise_error(concat(lit("PackedPairArgmax contract: need 0 <= "),
+      a.isNull || b.isNull ||
+        a < 0L || a >= (1L << 32) || b < 0L || b >= (1L << 31),
+      raise_error(concat(lit("PackedPairArgmax contract: need non-null 0 <= "),
         lit(s"$aCol < 2^32 and 0 <= $bCol < 2^31, got ("),
-        a.cast("string"), lit(", "), b.cast("string"), lit(")"))))
+        coalesce(a.cast("string"), lit("null")), lit(", "),
+        coalesce(b.cast("string"), lit("null")), lit(")"))))
       .otherwise(shiftleft(a, 31) + b)
     // 4× the session's shuffle parallelism: partition count does not
     // change how many sorts run CONCURRENTLY (that's the core count),
