@@ -62,6 +62,15 @@ object IvfIndex {
     e.withColumn("cid",
       GraftFunctions.argMaxCosine(col("v"), cents.map(_.toArray)))
       .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+      // cluster by cid before the partitioned write: straight off the
+      // vec_id-partitioned cache every task holds every cell, so the
+      // writer emits tasks × nlist tiny files (~14k at nlist=448) —
+      // the dominant build cost, and extra per-file overhead on every
+      // probed read. One exchange makes it one file per cell. The
+      // explicit cid sort satisfies the writer's required ordering
+      // (same prefix rule as CorpusSharder.write).
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/postings")
     import s.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c) }
