@@ -609,18 +609,12 @@ object MoreAnalytics extends QueryModule {
   // discrete, same integer-ceil contract as h23/a07) is a window
   // cumsum over histogram rows. Per-user first-event times ride w07's
   // single user_id exchange (bucketed layout ⇒ exchange-free).
-  private def w13(s: SparkSession, d: String): DataFrame = {
+  /** The w13 report tail over per-user (tv, tp) conversion rows —
+    * shared with the streaming twin (StreamingTimeToConvert, which
+    * emits the same rows at ingest): minute-bucketed bounded-domain
+    * histogram, type-1 k-th over histogram cumsums. */
+  private[graft] def ttcReport(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = userClustered(s, d,
-      col("user_id"), col("event_type"),
-      expr("unix_micros(cast(ts as timestamp))").as("us"))
-      .filter(col("event_type").isin("view", "purchase"))
-      .cache()
-    val v = base.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
-    val p = base.filter(col("event_type") === "purchase")
-      .join(v, Seq("user_id")).filter(col("us") > col("tv"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("tp"), min(col("tv")).as("tv"))
     val hist = p
       .select(expr("tv div 86400000000").as("cohort_day"),
         expr("(tp - tv) div 60000000").as("m"))
@@ -637,6 +631,20 @@ object MoreAnalytics extends QueryModule {
       .agg(max(col("n")).as("n_converted"), pick(50).as("p50_ttc_min"),
         pick(90).as("p90_ttc_min"), pick(99).as("p99_ttc_min"))
       .orderBy("cohort_day")
+  }
+
+  private def w13(s: SparkSession, d: String): DataFrame = {
+    val base = userClustered(s, d,
+      col("user_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .cache()
+    val v = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("us") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"), min(col("tv")).as("tv"))
+    ttcReport(p)
   }
 
   private val w13Sql =
@@ -663,6 +671,11 @@ object MoreAnalytics extends QueryModule {
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w13_time_to_convert" -> w13,
+    // streaming twin: conversions emitted at ingest by the
+    // watermark-ordered fold, the same report tail, the same oracle —
+    // stream == batch end-to-end (the w08/t16 gate pattern)
+    "w13_ttc_stream" ->
+      ((s, d) => graft.streaming.StreamingTimeToConvert.replayGate(s, d)),
     "w12_event_paths" -> w12,
     "w11_gapfill_locf" -> w11,
     "a10_exact_corr" -> a10,
@@ -677,6 +690,7 @@ object MoreAnalytics extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "w13_time_to_convert" -> w13Sql,
+    "w13_ttc_stream" -> w13Sql,
     "w12_event_paths" -> w12Sql,
     "w11_gapfill_locf" -> w11Sql,
     "a10_exact_corr" -> a10Sql,

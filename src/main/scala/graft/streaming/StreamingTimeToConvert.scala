@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Live conversion-latency tracking — the streaming twin of the batch
+  * w13 query: for every user whose first purchase strictly follows
+  * their first view, emit ONE (user, first-view, first-purchase) row
+  * at the moment the qualifying purchase folds; the quantile report is
+  * the batch tail over the emitted conversions.
+  *
+  * Correctness rides [[WatermarkOrderedFold]]: the fold sees each
+  * user's events in event-time order once the watermark passes them,
+  * so when a purchase at time t folds, every earlier view has already
+  * folded and the machine's `tv` IS the user's global first-view time
+  * — the emitted pair equals the batch per-user (min view, first
+  * qualifying purchase) row, and it is final on emission (clean
+  * Append, no retraction).
+  *
+  * State per user: two longs plus the watermark-bounded buffer the
+  * fold core owns; converted users collapse to a done-flag until idle
+  * eviction. The report side consumes conversion ROWS (one per
+  * converted user, ever), so the downstream histogram is the batch
+  * w13's — corpus-size-independent per cohort.
+  */
+object StreamingTimeToConvert {
+
+  final case class Conversion(user_id: Long, tv: Long, tp: Long)
+  final case class M(tv: Long, tp: Long)
+
+  private val Unset = Long.MinValue
+  val FlushType = "ZZFLUSH"
+
+  private[streaming] def step(uid: Long, m: M, t: Long,
+                              typ: String): (M, List[Conversion]) =
+    typ match {
+      case "view" if m.tv == Unset => (m.copy(tv = t), Nil)
+      case "purchase" if m.tp == Unset && m.tv != Unset && t > m.tv =>
+        (m.copy(tp = t), List(Conversion(uid, m.tv, t)))
+      case _ => (m, Nil)
+    }
+
+  /** Conversion stream from an events stream with `user_id`,
+    * `event_type` and a timestamp column. */
+  def run(stream: DataFrame, eventTimeCol: String, watermark: String,
+          idleEvictMs: Long): Dataset[Conversion] = {
+    implicit val stateEnc = Encoders.product[WatermarkOrderedFold.FoldState[M]]
+    implicit val mEnc = Encoders.product[M]
+    implicit val outEnc = Encoders.product[Conversion]
+    WatermarkOrderedFold.run[M, Conversion](
+      stream, "user_id", eventTimeCol, "event_type", watermark, idleEvictMs)(
+      M(Unset, Unset))(step)
+  }
+
+  /** Replay the events table through a FILE-SOURCE stream in event-time
+    * chunks (arrival order = event-time order across chunks, the
+    * StreamingSlidingWindows idiom — executor-side staging, file sink
+    * for the conversions, only the report is collected), flush the
+    * watermark with a far-future sentinel, and return the w13 report
+    * over the emitted conversions — hash-checked against the batch
+    * w13 oracle SQL by the gate. */
+  def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 4,
+                 delay: String = "1 hour"): DataFrame = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val evs = graft.Tables.load(s, sfDir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("user_id"), col("event_type"))
+    val bounds = evs.agg(min(col("us")), max(col("us"))).head()
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (maxUs - minUs) / nBatches + 1
+    val root = Files.createTempDirectory("graft-w13-replay")
+    val staged = root.resolve("staged")
+    val watch = Files.createDirectories(root.resolve("in"))
+    val outDir = root.resolve("conversions")
+    evs.withColumn("chunk",
+        expr(s"cast((us - ${minUs}L) div ${width}L as int)"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
+    import s.implicits._
+    Seq((maxUs + 3L * 3600L * 1000000L, -1L, FlushType))
+      .toDF("us", "user_id", "event_type").coalesce(1)
+      .write.parquet(staged.resolve(s"chunk=$nBatches").toString)
+    val stream = s.readStream
+      .schema("us LONG, user_id LONG, event_type STRING")
+      .parquet(watch.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      // idle-eviction horizon must exceed the replayed corpus span
+      // (30 d of events): an evicted user's machine restarts and a
+      // later view→purchase pair would emit a SECOND conversion with
+      // the wrong first-view time — the StreamingDedup horizon trade,
+      // which the gate's exact-parity contract can't accept
+      run(stream, "ts", delay, 90L * 24 * 3600 * 1000).writeStream
+        .format("parquet").option("path", outDir.toString)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    try {
+      (0 to nBatches).foreach { i =>
+        val chunkDir = staged.resolve(s"chunk=$i")
+        if (Files.isDirectory(chunkDir)) {
+          Files.list(chunkDir).forEach { f: Path =>
+            if (f.getFileName.toString.endsWith(".parquet"))
+              Files.move(f, watch.resolve(s"b$i-${f.getFileName}"),
+                StandardCopyOption.ATOMIC_MOVE)
+          }
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    val report = graft.queries.MoreAnalytics.ttcReport(
+      s.read.schema("user_id LONG, tv LONG, tp LONG").parquet(outDir.toString))
+    val res = s.createDataFrame(report.collectAsList(), report.schema)
+    StreamingSlidingWindows.deleteRec(root)
+    res
+  }
+}
