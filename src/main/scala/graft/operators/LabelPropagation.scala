@@ -88,12 +88,14 @@ object LabelPropagation {
       labels = if (round < rounds) next.localCheckpoint(true) else next
     }
     // nodes fed only round 1, and rounds 1..k-1 just materialized
-    // eagerly above — release it now. `ed` stays cached: the returned
-    // final round is deliberately LAZY (so callers and the plan audit
-    // see the real join+kernel plan, not a checkpoint scan) and its
-    // execution reads ed; the cache lives until the session drops it
-    // (Bench clears caches between queries; gate corpora are small).
-    nodes.unpersist()
+    // eagerly above — release it now (unless rounds == 1, where the
+    // still-lazy final round IS round 1 and reads it). `ed` stays
+    // cached: the returned final round is deliberately LAZY (so
+    // callers and the plan audit see the real join+kernel plan, not a
+    // checkpoint scan) and its execution reads ed; the cache lives
+    // until the session drops it (Bench clears caches between
+    // queries; gate corpora are small).
+    if (rounds > 1) nodes.unpersist()
     labels
   }
 }

@@ -60,63 +60,72 @@ object StreamingTimeToConvert {
     * watermark with a far-future sentinel, and return the w13 report
     * over the emitted conversions — hash-checked against the batch
     * w13 oracle SQL by the gate. */
+  /** @param delayMinutes watermark disorder bound; the flush sentinel
+    *        is derived from it (2× + 1 h margin), so any delay keeps
+    *        the final watermark past the last real event — a fixed
+    *        sentinel offset would silently drop the corpus tail for
+    *        delays beyond it. */
   def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 4,
-                 delay: String = "1 hour"): DataFrame = {
+                 delayMinutes: Int = 60): DataFrame = {
     import java.nio.file.{Files, Path, StandardCopyOption}
     val evs = graft.Tables.load(s, sfDir, "events")
       .filter(col("event_type").isin("view", "purchase"))
       .select(expr("unix_micros(cast(ts as timestamp))").as("us"),
-        col("user_id"), col("event_type"))
+        col("user_id").cast("long").as("user_id"), col("event_type"))
     val bounds = evs.agg(min(col("us")), max(col("us"))).head()
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
     val width = (maxUs - minUs) / nBatches + 1
     val root = Files.createTempDirectory("graft-w13-replay")
-    val staged = root.resolve("staged")
-    val watch = Files.createDirectories(root.resolve("in"))
-    val outDir = root.resolve("conversions")
-    evs.withColumn("chunk",
-        expr(s"cast((us - ${minUs}L) div ${width}L as int)"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
-    import s.implicits._
-    Seq((maxUs + 3L * 3600L * 1000000L, -1L, FlushType))
-      .toDF("us", "user_id", "event_type").coalesce(1)
-      .write.parquet(staged.resolve(s"chunk=$nBatches").toString)
-    val stream = s.readStream
-      .schema("us LONG, user_id LONG, event_type STRING")
-      .parquet(watch.toString)
-      .withColumn("ts", timestamp_micros(col("us")))
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      // idle-eviction horizon must exceed the replayed corpus span
-      // (30 d of events): an evicted user's machine restarts and a
-      // later view→purchase pair would emit a SECOND conversion with
-      // the wrong first-view time — the StreamingDedup horizon trade,
-      // which the gate's exact-parity contract can't accept
-      run(stream, "ts", delay, 90L * 24 * 3600 * 1000).writeStream
-        .format("parquet").option("path", outDir.toString)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try {
-      (0 to nBatches).foreach { i =>
-        val chunkDir = staged.resolve(s"chunk=$i")
-        if (Files.isDirectory(chunkDir)) {
-          Files.list(chunkDir).forEach { f: Path =>
-            if (f.getFileName.toString.endsWith(".parquet"))
-              Files.move(f, watch.resolve(s"b$i-${f.getFileName}"),
-                StandardCopyOption.ATOMIC_MOVE)
+      val staged = root.resolve("staged")
+      val watch = Files.createDirectories(root.resolve("in"))
+      val outDir = root.resolve("conversions")
+      evs.withColumn("chunk",
+          expr(s"cast((us - ${minUs}L) div ${width}L as int)"))
+        .repartition(col("chunk"))
+        .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
+      import s.implicits._
+      val sentinelUs = maxUs + (2L * delayMinutes + 60L) * 60L * 1000000L
+      Seq((sentinelUs, -1L, FlushType))
+        .toDF("us", "user_id", "event_type").coalesce(1)
+        .write.parquet(staged.resolve(s"chunk=$nBatches").toString)
+      val stream = s.readStream
+        .schema("us LONG, user_id LONG, event_type STRING")
+        .parquet(watch.toString)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        // idle-eviction horizon must exceed the replayed corpus span
+        // (30 d of events): an evicted user's machine restarts and a
+        // later view→purchase pair would emit a SECOND conversion with
+        // the wrong first-view time — the StreamingDedup horizon trade,
+        // which the gate's exact-parity contract can't accept
+        run(stream, "ts", s"$delayMinutes minutes", 90L * 24 * 3600 * 1000)
+          .writeStream
+          .format("parquet").option("path", outDir.toString)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      try {
+        (0 to nBatches).foreach { i =>
+          val chunkDir = staged.resolve(s"chunk=$i")
+          if (Files.isDirectory(chunkDir)) {
+            val ls = Files.list(chunkDir) // close: leaks a dir fd per chunk otherwise
+            try ls.forEach { f: Path =>
+              if (f.getFileName.toString.endsWith(".parquet"))
+                Files.move(f, watch.resolve(s"b$i-${f.getFileName}"),
+                  StandardCopyOption.ATOMIC_MOVE)
+            } finally ls.close()
+            q.processAllAvailable()
           }
-          q.processAllAvailable()
         }
-      }
-    } finally q.stop()
-    val report = graft.queries.MoreAnalytics.ttcReport(
-      s.read.schema("user_id LONG, tv LONG, tp LONG").parquet(outDir.toString))
-    val res = s.createDataFrame(report.collectAsList(), report.schema)
-    StreamingSlidingWindows.deleteRec(root)
-    res
+      } finally q.stop()
+      val report = graft.queries.MoreAnalytics.ttcReport(
+        s.read.schema("user_id LONG, tv LONG, tp LONG").parquet(outDir.toString))
+      s.createDataFrame(report.collectAsList(), report.schema)
+    } finally StreamingSlidingWindows.deleteRec(root) // also on failure: the
+    // staged copy of the filtered events table must not outlive the replay
   }
 }
