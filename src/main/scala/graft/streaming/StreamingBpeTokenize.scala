@@ -82,11 +82,7 @@ object StreamingBpeTokenize {
       (0 to nBatches).foreach { i =>
         val chunkDir = staged.resolve(s"chunk=$i")
         if (Files.isDirectory(chunkDir)) {
-          Files.list(chunkDir).forEach { f: Path =>
-            if (f.getFileName.toString.endsWith(".parquet"))
-              Files.move(f, watch.resolve(s"b$i-${f.getFileName}"),
-                StandardCopyOption.ATOMIC_MOVE)
-          }
+          StreamingSlidingWindows.moveChunk(chunkDir, watch, i)
           q.processAllAvailable()
         }
       }

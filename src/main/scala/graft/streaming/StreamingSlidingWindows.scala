@@ -129,11 +129,7 @@ object StreamingSlidingWindows {
       (0 to nBatches).foreach { i =>
         val chunkDir = staged.resolve(s"chunk=$i")
         if (Files.isDirectory(chunkDir)) {
-          Files.list(chunkDir).forEach { f: Path =>
-            if (f.getFileName.toString.endsWith(".parquet"))
-              Files.move(f, watch.resolve(s"b$i-${f.getFileName}"),
-                StandardCopyOption.ATOMIC_MOVE)
-          }
+          moveChunk(chunkDir, watch, i)
           q.processAllAvailable()
         }
       }
@@ -184,8 +180,25 @@ object StreamingSlidingWindows {
   }
 
   private[streaming] def deleteRec(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(deleteRec)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val ls = java.nio.file.Files.list(p) // close: leaks a dir fd otherwise
+      try ls.forEach(deleteRec) finally ls.close()
+    }
     java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Move a staged chunk's parquet files into the watched source dir —
+    * the shared step of every chunked-file replay gate (w08/t16/t20/
+    * t22/w13). Closes the directory stream (Files.list holds an fd
+    * until closed; the long-lived driver JVM accumulates them across
+    * best-of-N replays otherwise). */
+  private[streaming] def moveChunk(chunkDir: java.nio.file.Path,
+                                   watch: java.nio.file.Path, batch: Int): Unit = {
+    val ls = java.nio.file.Files.list(chunkDir)
+    try ls.forEach { f: java.nio.file.Path =>
+      if (f.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.move(f, watch.resolve(s"b$batch-${f.getFileName}"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally ls.close()
   }
 }

@@ -112,12 +112,7 @@ object StreamingTimeToConvert {
         (0 to nBatches).foreach { i =>
           val chunkDir = staged.resolve(s"chunk=$i")
           if (Files.isDirectory(chunkDir)) {
-            val ls = Files.list(chunkDir) // close: leaks a dir fd per chunk otherwise
-            try ls.forEach { f: Path =>
-              if (f.getFileName.toString.endsWith(".parquet"))
-                Files.move(f, watch.resolve(s"b$i-${f.getFileName}"),
-                  StandardCopyOption.ATOMIC_MOVE)
-            } finally ls.close()
+            StreamingSlidingWindows.moveChunk(chunkDir, watch, i)
             q.processAllAvailable()
           }
         }
