@@ -48,58 +48,22 @@ object StreamingBpeTokenize {
     * final report = per-source re-aggregation of the per-doc
     * emissions = batch t22 exactly. */
   def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 3): DataFrame = {
-    import s.implicits._
-    import java.nio.file.{Files, Path, StandardCopyOption}
     import graft.queries.Q._
     val tokDir = graft.operators.BpeTokenizer.ensureBuilt(s, sfDir)
     val vocab = graft.operators.BpeTokenizer.vocab(s, tokDir)
     val all = graft.Tables.load(s, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val maxId = all.agg(max(col("doc_id"))).head().getLong(0)
-    val width = maxId / nBatches + 1
-    val root = Files.createTempDirectory("graft-t22-replay")
-    val staged = root.resolve("staged")
-    val watch = Files.createDirectories(root.resolve("in"))
-    val outDir = root.resolve("report")
-    all.withColumn("chunk", expr(s"cast(doc_id div ${width}L as int)"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
-    Seq((maxId * 2 + 7L * 24 * 3600, "", "_flush"))
-      .toDF("doc_id", "text", "source").select("doc_id", "source", "text")
-      .coalesce(1).write.parquet(staged.resolve(s"chunk=$nBatches").toString)
-    val stream = s.readStream.schema(all.schema).parquet(watch.toString)
-      .withColumn("evt", expr("timestamp_seconds(1700000000L + doc_id)"))
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      tokenRows(stream, vocab, "evt", "1 hour")
-        .writeStream.format("parquet").option("path", outDir.toString)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    try {
-      (0 to nBatches).foreach { i =>
-        val chunkDir = staged.resolve(s"chunk=$i")
-        if (Files.isDirectory(chunkDir)) {
-          StreamingSlidingWindows.moveChunk(chunkDir, watch, i)
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
-    val report = s.read.parquet(outDir.toString)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("tokens")).as("total_bpe_tokens"),
-        max(col("tokens")).as("max_doc_tokens"),
-        fixedDec(rhu(sum(col("chars")), sum(col("tokens")), 1000000L), 6)
-          .as("chars_per_token"))
-      .orderBy("source")
-    // materialize before deleting the replay root (staged chunks +
-    // checkpoint + report parquet are corpus-sized — a lazy return
-    // would leak them under /tmp on every gate/bench run)
-    val res = s.createDataFrame(report.collectAsList(), report.schema)
-    StreamingSlidingWindows.deleteRec(root)
-    res
+    // the zero-word flush doc never joins the vocab, so it cannot reach
+    // the per-doc rows; its only job is advancing the watermark
+    ReplayHarness.runDocGate(s, "graft-t22-replay", nBatches, all,
+      stream => tokenRows(stream, vocab, "evt", "1 hour"),
+      (sp, out) => sp.read.parquet(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_bpe_tokens"),
+          max(col("tokens")).as("max_doc_tokens"),
+          fixedDec(rhu(sum(col("chars")), sum(col("tokens")), 1000000L), 6)
+            .as("chars_per_token"))
+        .orderBy("source"))
   }
 }

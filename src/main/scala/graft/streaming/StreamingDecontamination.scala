@@ -89,50 +89,16 @@ object StreamingDecontamination {
     * collected. Result = batch t16's report exactly, which is why the
     * same CTE oracle checks this query. */
   def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 3): DataFrame = {
-    import s.implicits._
-    import java.nio.file.{Files, Path, StandardCopyOption}
     val all = graft.Tables.load(s, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val (evalGrams, sketch) =
       evalSide(all.filter(col("doc_id") % 37 === 0))
     val train = all.filter(col("doc_id") % 37 =!= 0)
-    val maxId = train.agg(max(col("doc_id"))).head().getLong(0)
-    val width = maxId / nBatches + 1
-    val root = Files.createTempDirectory("graft-t16-replay")
-    val staged = root.resolve("staged")
-    val watch = Files.createDirectories(root.resolve("in"))
-    val outDir = root.resolve("report")
-    train.withColumn("chunk", expr(s"cast(doc_id div ${width}L as int)"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
-    // flush doc: empty text (zero grams — never reaches the report),
-    // event time far past every real window end
-    Seq((maxId * 2 + 7L * 24 * 3600, "", "_flush"))
-      .toDF("doc_id", "text", "source").select("doc_id", "source", "text")
-      .coalesce(1).write.parquet(staged.resolve(s"chunk=$nBatches").toString)
-    val stream = s.readStream.schema(train.schema).parquet(watch.toString)
-      .withColumn("evt", expr("timestamp_seconds(1700000000L + doc_id)"))
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      overlapReport(stream, evalGrams, sketch, "evt", "1 hour")
-        .writeStream.format("parquet").option("path", outDir.toString)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    try {
-      (0 to nBatches).foreach { i =>
-        val chunkDir = staged.resolve(s"chunk=$i")
-        if (Files.isDirectory(chunkDir)) {
-          StreamingSlidingWindows.moveChunk(chunkDir, watch, i)
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
-    val report = s.read.parquet(outDir.toString).orderBy("doc_id")
-    val res = s.createDataFrame(report.collectAsList(), report.schema)
-    StreamingSlidingWindows.deleteRec(root)
-    res
+    // the flush doc has zero grams (empty text) so it never reaches the
+    // report; the harness's doc-gate sentinel margin dominates every
+    // real window end
+    ReplayHarness.runDocGate(s, "graft-t16-replay", nBatches, train,
+      stream => overlapReport(stream, evalGrams, sketch, "evt", "1 hour"),
+      (sp, out) => sp.read.parquet(out).orderBy("doc_id"))
   }
 }

@@ -47,58 +47,20 @@ object StreamingQualityGates {
     * the batch read-back. Final report = per-source SUM of the
     * window emissions = batch t20 exactly. */
   def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 3): DataFrame = {
-    import s.implicits._
-    import java.nio.file.{Files, Path, StandardCopyOption}
     val all = graft.Tables.load(s, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val maxId = all.agg(max(col("doc_id"))).head().getLong(0)
-    val width = maxId / nBatches + 1
-    val root = Files.createTempDirectory("graft-t20-replay")
-    val staged = root.resolve("staged")
-    val watch = Files.createDirectories(root.resolve("in"))
-    val outDir = root.resolve("report")
-    all.withColumn("chunk", expr(s"cast(doc_id div ${width}L as int)"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
-    Seq((maxId * 2 + 7L * 24 * 3600, "", "_flush"))
-      .toDF("doc_id", "text", "source").select("doc_id", "source", "text")
-      .coalesce(1).write.parquet(staged.resolve(s"chunk=$nBatches").toString)
-    val stream = s.readStream.schema(all.schema).parquet(watch.toString)
-      .withColumn("evt", expr("timestamp_seconds(1700000000L + doc_id)"))
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      gateReport(stream, "evt", "1 hour")
-        .writeStream.format("parquet").option("path", outDir.toString)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    try {
-      (0 to nBatches).foreach { i =>
-        val chunkDir = staged.resolve(s"chunk=$i")
-        if (Files.isDirectory(chunkDir)) {
-          StreamingSlidingWindows.moveChunk(chunkDir, watch, i)
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
-    val report = s.read.parquet(outDir.toString)
-      .filter(col("source") =!= "_flush")
-      .groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("f_words")).as("f_words"),
-        sum(col("f_wordlen")).as("f_wordlen"),
-        sum(col("f_stopword")).as("f_stopword"),
-        sum(col("f_lexdiv")).as("f_lexdiv"),
-        sum(col("n_pass_all")).as("n_pass_all"),
-        sum(col("n_pass_3of4")).as("n_pass_3of4"))
-      .orderBy("source")
-    // materialize before deleting the replay root (staged chunks +
-    // checkpoint + report parquet are corpus-sized — a lazy return
-    // would leak them under /tmp on every gate/bench run)
-    val res = s.createDataFrame(report.collectAsList(), report.schema)
-    StreamingSlidingWindows.deleteRec(root)
-    res
+    ReplayHarness.runDocGate(s, "graft-t20-replay", nBatches, all,
+      stream => gateReport(stream, "evt", "1 hour"),
+      (sp, out) => sp.read.parquet(out)
+        .filter(col("source") =!= "_flush")
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("f_words")).as("f_words"),
+          sum(col("f_wordlen")).as("f_wordlen"),
+          sum(col("f_stopword")).as("f_stopword"),
+          sum(col("f_lexdiv")).as("f_lexdiv"),
+          sum(col("n_pass_all")).as("n_pass_all"),
+          sum(col("n_pass_3of4")).as("n_pass_3of4"))
+        .orderBy("source"))
   }
 }

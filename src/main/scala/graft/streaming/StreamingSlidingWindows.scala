@@ -73,71 +73,25 @@ object StreamingSlidingWindows {
     * arrival batches (arrival order = event-time order), flush the
     * watermark with a far-future sentinel, and return the rolled-up
     * result — the streaming twin of the batch w08 over the same table.
-    *
-    * Bounded by construction end to end (no O(corpus) driver
-    * materialization anywhere):
-    *   - the input is range-chunked by event time EXECUTOR-side
-    *     (one partitioned parquet write; chunk i's minimum exceeds
-    *     chunk i−1's maximum, so cross-batch arrival order = event-time
-    *     order, the same no-late-drop contract the sorted MemoryStream
-    *     replay gave) and fed by MOVING each chunk's files into the
-    *     watched source dir before a processAllAvailable() — the
-    *     driver never holds a row;
-    *   - the (window, type, user) partials land in a parquet FILE sink
-    *     (Append on watermark close), not a driver-memory sink;
-    *   - only the |windows × types|-sized rollup is collected, so the
-    *     returned frame outlives the replay's temp dirs. */
+    * All the boundedness and cleanup guarantees live in
+    * [[ReplayHarness]]; this gate owns only the event-time chunking,
+    * the sentinel margin, and the preAgg/rollup pair. */
   def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 4,
                  delay: String = "1 hour"): DataFrame = {
     import s.implicits._
-    import java.nio.file.{Files, Path, StandardCopyOption}
     val evs = graft.Tables.load(s, sfDir, "events")
       .select(col("event_id"),
         expr("unix_micros(cast(ts as timestamp))").as("us"),
         col("user_id"), col("event_type"), col("value"))
-    val bounds = evs.agg(min(col("us")), max(col("us"))).head()
-    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-    val width = (maxUs - minUs) / nBatches + 1
-    val root = Files.createTempDirectory("graft-w08-replay")
-    val staged = root.resolve("staged")
-    val watch = Files.createDirectories(root.resolve("in"))
-    val outDir = root.resolve("partials")
-    // integer arithmetic for the chunk id: us is epoch MICROS (~1e15);
-    // a double division would misplace boundary events
-    evs.withColumn("chunk",
-        expr(s"cast((us - ${minUs}L) div ${width}L as int)"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
+    val (chunked, _, maxUs) = ReplayHarness.chunkByRange(evs, "us", nBatches)
     // the sentinel advances the watermark past every real window end:
     // watermark = sentinel − delay must exceed max window end
     // (maxUs rounded up to its last covering window + 1 h)
-    Seq(Ev(Long.MaxValue, maxUs + 3L * 3600L * 1000000L, -1L, FlushType, 0.0))
-      .toDS().coalesce(1).write.parquet(
-        staged.resolve(s"chunk=$nBatches").toString)
-    val stream = s.readStream.schema(evs.schema)
-      .parquet(watch.toString).as[Ev]
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      preAgg(stream, delay).writeStream
-        .format("parquet").option("path", outDir.toString)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    try {
-      (0 to nBatches).foreach { i =>
-        val chunkDir = staged.resolve(s"chunk=$i")
-        if (Files.isDirectory(chunkDir)) {
-          moveChunk(chunkDir, watch, i)
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
-    val rolled = rollup(s.read.parquet(outDir.toString))
-    val res = s.createDataFrame(rolled.collectAsList(), rolled.schema)
-    deleteRec(root)
-    res
+    val sentinel = Seq(
+      Ev(Long.MaxValue, maxUs + 3L * 3600L * 1000000L, -1L, FlushType, 0.0)).toDS().toDF()
+    ReplayHarness.run(s, "graft-w08-replay", nBatches, chunked, sentinel,
+      stream => preAgg(stream.as[Ev], delay),
+      (sp, out) => rollup(sp.read.parquet(out)))
   }
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
@@ -175,30 +129,7 @@ object StreamingSlidingWindows {
       result
     } finally {
       q.stop()
-      deleteRec(ckpt)
+      ReplayHarness.deleteRec(ckpt)
     }
-  }
-
-  private[streaming] def deleteRec(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val ls = java.nio.file.Files.list(p) // close: leaks a dir fd otherwise
-      try ls.forEach(deleteRec) finally ls.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
-  /** Move a staged chunk's parquet files into the watched source dir —
-    * the shared step of every chunked-file replay gate (w08/t16/t20/
-    * t22/w13). Closes the directory stream (Files.list holds an fd
-    * until closed; the long-lived driver JVM accumulates them across
-    * best-of-N replays otherwise). */
-  private[streaming] def moveChunk(chunkDir: java.nio.file.Path,
-                                   watch: java.nio.file.Path, batch: Int): Unit = {
-    val ls = java.nio.file.Files.list(chunkDir)
-    try ls.forEach { f: java.nio.file.Path =>
-      if (f.getFileName.toString.endsWith(".parquet"))
-        java.nio.file.Files.move(f, watch.resolve(s"b$batch-${f.getFileName}"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } finally ls.close()
   }
 }

@@ -67,60 +67,25 @@ object StreamingTimeToConvert {
     *        delays beyond it. */
   def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 4,
                  delayMinutes: Int = 60): DataFrame = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
+    import s.implicits._
     val evs = graft.Tables.load(s, sfDir, "events")
       .filter(col("event_type").isin("view", "purchase"))
       .select(expr("unix_micros(cast(ts as timestamp))").as("us"),
         col("user_id").cast("long").as("user_id"), col("event_type"))
-    val bounds = evs.agg(min(col("us")), max(col("us"))).head()
-    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-    val width = (maxUs - minUs) / nBatches + 1
-    val root = Files.createTempDirectory("graft-w13-replay")
-    try {
-      val staged = root.resolve("staged")
-      val watch = Files.createDirectories(root.resolve("in"))
-      val outDir = root.resolve("conversions")
-      evs.withColumn("chunk",
-          expr(s"cast((us - ${minUs}L) div ${width}L as int)"))
-        .repartition(col("chunk"))
-        .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
-      import s.implicits._
-      val sentinelUs = maxUs + (2L * delayMinutes + 60L) * 60L * 1000000L
-      Seq((sentinelUs, -1L, FlushType))
-        .toDF("us", "user_id", "event_type").coalesce(1)
-        .write.parquet(staged.resolve(s"chunk=$nBatches").toString)
-      val stream = s.readStream
-        .schema("us LONG, user_id LONG, event_type STRING")
-        .parquet(watch.toString)
-        .withColumn("ts", timestamp_micros(col("us")))
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+    val (chunked, _, maxUs) = ReplayHarness.chunkByRange(evs, "us", nBatches)
+    val sentinelUs = maxUs + (2L * delayMinutes + 60L) * 60L * 1000000L
+    val sentinel = Seq((sentinelUs, -1L, FlushType))
+      .toDF("us", "user_id", "event_type")
+    ReplayHarness.run(s, "graft-w13-replay", nBatches, chunked, sentinel,
+      stream =>
         // idle-eviction horizon must exceed the replayed corpus span
         // (30 d of events): an evicted user's machine restarts and a
         // later view→purchase pair would emit a SECOND conversion with
         // the wrong first-view time — the StreamingDedup horizon trade,
         // which the gate's exact-parity contract can't accept
-        run(stream, "ts", s"$delayMinutes minutes", 90L * 24 * 3600 * 1000)
-          .writeStream
-          .format("parquet").option("path", outDir.toString)
-          .outputMode(OutputMode.Append)
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      try {
-        (0 to nBatches).foreach { i =>
-          val chunkDir = staged.resolve(s"chunk=$i")
-          if (Files.isDirectory(chunkDir)) {
-            StreamingSlidingWindows.moveChunk(chunkDir, watch, i)
-            q.processAllAvailable()
-          }
-        }
-      } finally q.stop()
-      val report = graft.queries.MoreAnalytics.ttcReport(
-        s.read.schema("user_id LONG, tv LONG, tp LONG").parquet(outDir.toString))
-      s.createDataFrame(report.collectAsList(), report.schema)
-    } finally StreamingSlidingWindows.deleteRec(root) // also on failure: the
-    // staged copy of the filtered events table must not outlive the replay
+        run(stream.withColumn("ts", timestamp_micros(col("us"))), "ts",
+          s"$delayMinutes minutes", 90L * 24 * 3600 * 1000).toDF(),
+      (sp, out) => graft.queries.MoreAnalytics.ttcReport(
+        sp.read.schema("user_id LONG, tv LONG, tp LONG").parquet(out)))
   }
 }
