@@ -51,8 +51,7 @@ object CorpusSharder {
       // pays per-element lambda evaluation in the scan projection)
       .withColumn("n_tok",
         graft.functions.GraftFunctions.wordCount(col("text")).cast(LongType))
-      .withColumn("skey",
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("skey", graft.queries.Q.knuth32(col("doc_id")))
       .withColumn("pid", shiftright(col("skey"), 27).cast("int"))
     // exclusive prefix offsets from the 32 range counts — the only
     // driver-side state, bounded by construction

@@ -46,6 +46,18 @@ object LabelPropagation {
       .repartition(col("src"))
       .cache()
     val nodes = ed.select(col("src").as("node")).distinct().cache()
+    // Loud contract check (the PackedPairArgmax discipline): each
+    // round's inner join keeps only nodes that appear as dst, so a
+    // node violating the "every node appears at least once as dst"
+    // contract (unsymmetrized graph) would silently VANISH from the
+    // result instead of erroring. One anti-join count over the cached
+    // edge list — trivial next to a propagation round.
+    val orphans = nodes
+      .join(ed.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      .count()
+    require(orphans == 0L,
+      s"LabelPropagation contract violated: $orphans node(s) appear as src " +
+        "but never as dst and would be dropped — symmetrize the edge list")
     // broadcast bound is higher than PageRank's 1M: a labels row is
     // two longs (~26 MB hashed at 1.6M nodes — comfortably inside the
     // bench heap), and it keeps each round to one stage up to the

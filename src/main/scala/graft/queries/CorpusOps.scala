@@ -455,7 +455,7 @@ object CorpusOps extends QueryModule {
   // quantile pass; the window form keeps exact rank ties stable here.
   private def c01(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val skey = Q.knuth32(col("doc_id"))
     val quota = docs(s, d).groupBy(col("source"))
       .agg(ceil(count(lit(1)) / 10.0).cast(LongType).as("quota"))
     val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
@@ -516,7 +516,7 @@ object CorpusOps extends QueryModule {
     val quota = per.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
       .select(col("lang"), col("n_docs"), col("quota"))
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val skey = Q.knuth32(col("doc_id"))
     val topk = graft.functions.GraftFunctions.topKByScore(
       (skey * lit(-1L)).cast(DoubleType), col("doc_id"),
       struct(col("doc_id")), budget.toInt)
@@ -581,7 +581,7 @@ object CorpusOps extends QueryModule {
       .withColumn("base", expr("eff div n_docs").cast(LongType))
       .withColumn("rem", expr("eff % n_docs").cast(LongType))
       .select(col("lang"), col("n_docs"), col("quota"), col("base"), col("rem"))
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val skey = Q.knuth32(col("doc_id"))
     val topk = graft.functions.GraftFunctions.topKByScore(
       (skey * lit(-1L)).cast(DoubleType), col("doc_id"),
       struct(col("doc_id")), budget.toInt)
@@ -671,7 +671,7 @@ object CorpusOps extends QueryModule {
       .filter(col("topw") * 10 <= col("w") &&
         (col("w") - col("dw")) * 2 <= col("w"))
       .select(col("doc_id"), col("source"))
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val skey = Q.knuth32(col("doc_id"))
     val quota = clean.groupBy(col("source"))
       .agg(ceil(count(lit(1)) / 10.0).cast(LongType).as("quota"))
     val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
@@ -779,7 +779,7 @@ object CorpusOps extends QueryModule {
     * set — the skey constant, token definition and weight rule live
     * once for c04 and c05. */
   private def mixTokens(docSet: DataFrame): DataFrame = {
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val skey = Q.knuth32(col("doc_id"))
     docSet.select(
       col("source"), col("doc_id"), skey.as("skey"),
       size(filter(split(col("text"), " "),
@@ -1123,7 +1123,7 @@ object CorpusOps extends QueryModule {
     val quota = per.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
       .select(col("lang"), col("quota"))
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val skey = Q.knuth32(col("doc_id"))
     val topk = topKByScore((skey * lit(-1L)).cast(DoubleType), col("doc_id"),
       struct(col("doc_id")), budget.toInt)
     val picked = clean.select(col("lang"), col("doc_id"))
@@ -1209,15 +1209,15 @@ object CorpusOps extends QueryModule {
       |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN '5_val'
       |         ELSE '5_test' END AS stage FROM mix)
       |SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM raw
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM raw
       |UNION ALL SELECT '1_gated', CAST(COUNT(*) AS BIGINT),
-      |  CAST(SUM(n_chars) AS BIGINT) FROM gated
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM gated
       |UNION ALL SELECT '2_deduped', CAST(COUNT(*) AS BIGINT),
-      |  CAST(SUM(n_chars) AS BIGINT) FROM dd
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dd
       |UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT),
-      |  CAST(SUM(n_chars) AS BIGINT) FROM clean
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM clean
       |UNION ALL SELECT '4_mixture', CAST(COUNT(*) AS BIGINT),
-      |  CAST(SUM(n_chars) AS BIGINT) FROM mix
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mix
       |UNION ALL SELECT stage, CAST(COUNT(*) AS BIGINT),
       |  CAST(SUM(n_chars) AS BIGINT) FROM sp GROUP BY 1
       |ORDER BY 1""".stripMargin

@@ -746,10 +746,19 @@ object Dedup extends QueryModule {
   // exactly this failure; Dodge et al. 2021 found it throughout C4's
   // users' benchmarks). The fix is to make the NEAR-DUP CLUSTER the
   // unit of assignment: every member inherits its component
-  // representative's hash, so a cluster moves atomically and
-  // cross-split near-dup pairs are zero BY CONSTRUCTION — audited
-  // here over the exhaustive verified pair stream (d02's contract),
-  // not assumed. Composition, all existing machinery: cluster =
+  // representative's hash, so a cluster moves atomically and a
+  // cross-split pair is impossible FOR PAIRS CONNECTED BY THE
+  // SPARSIFIED CLUSTERING (rep/chain edges inside LSH buckets). That
+  // conditionality is real: a dissimilar bucket member interleaved in
+  // a sorted chain can drop both its incident edges and leave a
+  // genuinely-similar pair in different components — which is exactly
+  // why the leaked_pairs AUDIT column exists and runs over the
+  // EXHAUSTIVE verified pair stream (d02's contract), not the edge
+  // subset the clustering used. The certificate of zero leakage is
+  // the audited column, not the construction; a nonzero audit at
+  // production scale says to densify the bucket edges, not that the
+  // operator mis-assigned a cluster. Composition, all existing
+  // machinery: cluster =
   // sparseVerifiedEdges + ConnectedComponents (d07's linear path —
   // docs outside any cluster are their own representative via the
   // LEFT join + coalesce), split key = c01's Knuth multiplicative
@@ -767,8 +776,7 @@ object Dedup extends QueryModule {
     val asg = docs(s, d).select(col("doc_id"), col("n_chars"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("keeper"), col("doc_id")))
-      .withColumn("bkt",
-        pmod(pmod(col("rep") * lit(2654435761L), lit(4294967296L)), lit(10L)))
+      .withColumn("bkt", pmod(Q.knuth32(col("rep")), lit(10L)))
       .withColumn("split", when(col("bkt") < 8, lit("train"))
         .when(col("bkt") === 8, lit("val")).otherwise(lit("test")))
       .select(col("doc_id"), col("n_chars"), col("rep"), col("split"))

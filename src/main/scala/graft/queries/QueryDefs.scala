@@ -50,14 +50,38 @@ object Q {
 
   /** Gate twin of a cost-based query with the big-input branch pinned
     * on: the branch choice is taken at BUILD time (every bigInput
-    * caller resolves it while constructing the plan), so setting the
-    * conf around the build fixes the plan and the returned frame can
-    * be lazily executed afterwards. */
+    * caller resolves it while constructing the plan), so pinning the
+    * conf for the build fixes the plan and the returned frame can be
+    * lazily executed afterwards. The pin lives on a CLONED session
+    * (`newSession`: shared context, cache and extensions; isolated
+    * conf), not a set/unset window on the caller's session — a sibling
+    * query built concurrently on `s` could otherwise observe the pin
+    * and silently take the big-input branch. */
   def forcedBig(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => {
-      s.conf.set(forceBigKey, "true")
-      try f(s, d) finally s.conf.unset(forceBigKey)
+      val pinned = s.newSession()
+      pinned.conf.set(forceBigKey, "true")
+      f(pinned, d)
     }
+
+  /** (c · 2654435761) mod 2³² — the Knuth multiplicative order/split
+    * key used by the sampling / mixture / shard / split operators —
+    * computed OVERFLOW-SAFE under Spark's default ANSI mode: the naive
+    * single multiply raises ARITHMETIC_OVERFLOW for c ≳ 3.47e9
+    * (c·M ≥ 2⁶³), which would contradict the operators' "works past
+    * 2³² docs" ordering contract with a crash at exactly the scale the
+    * contract is about. Identity (M = 40503·2¹⁶ + 31153; multiplication
+    * mod 2³² factors through c mod 2³²): with d = c mod 2³²,
+    *   (c·M) mod 2³² = ((d·40503 mod 2¹⁶)·2¹⁶ + d·31153) mod 2³²
+    * — every intermediate < 2⁴⁸, no overflow for any long c ≥ 0.
+    * Value-identical to the naive form wherever that form evaluates,
+    * so the (doc_id·2654435761)%4294967296 oracle SQL states the same
+    * key (DuckDB's 128-bit multiply never overflows at oracle scale). */
+  def knuth32(c: Column): Column = {
+    val d = pmod(c, lit(4294967296L))
+    pmod(pmod(d * lit(40503L), lit(65536L)) * lit(65536L) + d * lit(31153L),
+      lit(4294967296L))
+  }
 
   /** Tumbling window start, as epoch seconds. Equivalent DuckDB SQL:
     * CAST(floor(epoch(ts)/S)*S AS BIGINT). */

@@ -31,6 +31,26 @@ class CorpusSharderSpec extends AnyFunSuite {
     assert(got.forall(_._4 == 3L)) // "wN a b" -> 3 tokens
   }
 
+  test("order key is overflow-safe past the ANSI int64 multiply bound") {
+    import spark.implicits._
+    // ids where doc_id · 2654435761 ≥ 2⁶³ — the naive ANSI multiply
+    // raises ARITHMETIC_OVERFLOW; the split-multiplier form (Q.knuth32)
+    // must evaluate AND match the BigInt-exact key
+    val ids = Seq(3474840000L, 5000000000L, (1L << 33) + 7L, Long.MaxValue / 3)
+    val df = ids.map(i => (i, "a b c", "s0")).toDF("doc_id", "text", "source")
+    import org.apache.spark.sql.functions.col
+    val got = df.select(col("doc_id"), graft.queries.Q.knuth32(col("doc_id")).as("skey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { i =>
+      val exact = ((BigInt(i) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+      assert(got(i) == exact, s"id $i")
+    }
+    // and the full assignment pass runs on those ids (the old form threw)
+    val ranks = CorpusSharder.assignments(df, 2L)
+      .select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to ids.size))
+  }
+
   test("writer: one sorted file per shard, contents match the manifest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
