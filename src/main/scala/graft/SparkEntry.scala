@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] =
-    Seq(Dashboard, Relational, TpchMore, RtcmQueries, TextAnalysis, CorpusOps, Dedup, Similarity, MiscQueries, GraphOps, MoreAnalytics, BpeTrain)
+    Seq(Dashboard, Relational, TpchMore, RtcmQueries, TextAnalysis, CorpusOps, Dedup, Similarity, MiscQueries, GraphOps, MoreAnalytics, BpeTrain, PiiScrub)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

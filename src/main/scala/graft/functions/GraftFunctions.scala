@@ -79,6 +79,11 @@ object GraftFunctions {
     * scan kernel behind the t23 perplexity filter. */
   def charBigramTfPairs(text: Column): Column = c(CharBigramTfPairs(ex(text)))
 
+  /** Unicode NFC normalization (UAX #15) — value-identical to DuckDB's
+    * nfc_normalize; ASCII strings return unchanged with zero
+    * allocation (the c12 scrub's first stage). */
+  def nfcNormalize(s: Column): Column = c(NfcNormalize(ex(s)))
+
   /** Non-empty word count (the tf-pair tokenizer's token count) —
     * codegen'd; value-identical to folding word_tf_pairs with a
     * higher-order aggregate, without the CodegenFallback break. */
@@ -124,6 +129,7 @@ object GraftFunctions {
     "trigram_tf_pairs" -> (es => TrigramTfPairs(es.head)),
     "fivegram_tf_pairs" -> (es => FivegramTfPairs(es.head)),
     "word_count" -> (es => WordCount(es.head)),
+    "nfc_normalize" -> (es => NfcNormalize(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
         JsonGetLong(es(0), k.toString)
