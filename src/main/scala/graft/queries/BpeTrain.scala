@@ -45,7 +45,7 @@ import org.apache.spark.sql.types._
   */
 object BpeTrain extends QueryModule {
 
-  private val rounds = 6
+  private[queries] val rounds = 6
 
   private def sq(s: String): String = s.replace("'", "''")
 
@@ -269,7 +269,9 @@ object BpeTrain extends QueryModule {
 
   /** The shared R-round CTE chain (v1 … v{R+1}, p/b/e/k per round) —
     * the WITH body both oracles build on. */
-  private val chainSql = {
+  /** Shared with c11's full-chain oracle (the tokenize stage embeds
+    * the same R-round trained vocab). */
+  private[queries] val chainSql = {
     val roundCtes = (1 to rounds).map(roundSql).mkString(",\n")
     s"""v1 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,

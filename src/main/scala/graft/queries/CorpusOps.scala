@@ -1061,29 +1061,43 @@ object CorpusOps extends QueryModule {
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // c11: the END-TO-END corpus-prep funnel — every stage a user of
-  // this library would chain to turn a raw crawl into a training
-  // mixture, composed as ONE plan and reported as the stage-by-stage
-  // manifest a data engineer actually reviews: raw → Gopher gate
-  // (t20's battery, lenient ≥3/4) → exact dedup (d01's min-keeper
-  // rule) → benchmark decontamination (t08's 5-gram rule against the
-  // held-out eval split, bloom-pruned scan-side like t16) →
-  // temperature mixture (c07's τ=1/2 exact integer quotas, B = 200)
+  // this library would chain to turn a raw crawl into training-ready
+  // shards, composed as ONE plan and reported as the stage-by-stage
+  // manifest a data engineer actually reviews: raw → normalize + PII
+  // scrub (c12's operator; value-identity on this PII-free corpus —
+  // the redaction contract itself is c12's planted-PII gate) → Gopher
+  // gate (t20's battery, lenient ≥3/4) → exact dedup (d01's
+  // min-keeper rule) → benchmark decontamination (t08's 5-gram rule
+  // against the held-out eval split, bloom-pruned scan-side like t16)
+  // → temperature mixture (c07's τ=1/2 exact integer quotas, B = 200)
   // → hash split (c10's Knuth rule, 80/10/10; exact-dup leakage is
   // impossible downstream of the dedup stage — NEAR-dup-atomic
-  // assignment stays c10's dedicated contract). Every stage reuses
-  // the proven operator's exact arithmetic, so the composed oracle is
-  // the same CTE chain; the output is (stage, n_docs, n_chars).
+  // assignment stays c10's dedicated contract) → and the TERMINAL
+  // stages over the train split: token packing (c03's 512-budget
+  // bins), BPE tokenization (t22's persisted-tokenizer apply, vocab
+  // trained once on the corpus), and shard-emission accounting (c09's
+  // CorpusSharder manifest). Every stage reuses the proven operator's
+  // exact arithmetic, so the composed oracle is the same CTE chain —
+  // including the R-round BPE vocab (BpeTrain.chainSql). Output:
+  // (stage, n_units, n_chars, n_tokens) — units are docs for corpus
+  // stages, bins/docs/shards for the terminal stages; tokens are
+  // whitespace tokens through the funnel and BPE tokens at the
+  // tokenize stage.
   //
-  // Scale: each stage is its operator's audited shape (scan-kernel
-  // grams, bloom scan-side pruning, bounded TopK mixture — never a
-  // corpus window), chained through cached intermediates; at 100 TB
-  // the caches become materialized parquet between stages (c09's
-  // sharded write is the terminal form), which changes nothing about
-  // the per-stage plans. The funnel is intentionally held-out-aware:
-  // the eval split (doc_id % 37 == 0) feeds ONLY the decon sketch.
+  // Scale: each stage is its operator's audited shape (stateless
+  // scrub projection, scan-kernel grams, bloom scan-side pruning,
+  // bounded TopK mixture, keyed pack windows — never a corpus window,
+  // rank-without-global-sort sharding), chained through cached
+  // intermediates; at 100 TB the caches become materialized parquet
+  // between stages (c09's sharded write is the terminal form), which
+  // changes nothing about the per-stage plans. The funnel is
+  // intentionally held-out-aware: the eval split (doc_id % 37 == 0)
+  // feeds ONLY the decon sketch.
   private def c11(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.{fivegramTfPairs, topKByScore}
+    import graft.functions.GraftFunctions.{fivegramTfPairs, topKByScore, wordCount, wordTfPairs}
     import graft.operators.BloomSketch
+    import org.apache.spark.sql.expressions.Window
+    def wsTok(t: Column): Column = wordCount(t).cast(LongType)
     val all = docs(s, d)
     val evalGrams = all.filter(col("doc_id") % 37 === 0)
       .select(explode(fivegramTfPairs(col("text"))).as("p"))
@@ -1092,8 +1106,12 @@ object CorpusOps extends QueryModule {
     val raw = all.filter(col("doc_id") % 37 =!= 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .cache()
+    val scrubbed = PiiScrub.scrub(raw, "text")
+      .select(col("doc_id"), col("scrubbed").as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .cache()
     val gated = TextAnalysis
-      .gateFlags(raw, carry = Seq("doc_id", "text", "lang", "n_chars"))
+      .gateFlags(scrubbed, carry = Seq("doc_id", "text", "lang", "n_chars"))
       .filter(col("g1") + col("g2") + col("g3") + col("g4") >= 3)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .cache()
@@ -1136,28 +1154,84 @@ object CorpusOps extends QueryModule {
       .select("doc_id")
     // picked ≤ |langs|·B rows by construction — broadcast-able
     val mixture = clean.join(broadcast(picked), Seq("doc_id"), "left_semi")
+      .withColumn("bkt", pmod(skey, lit(10L)))
       .cache()
-    val bkt = pmod(skey, lit(10L))
     val split = mixture
-      .withColumn("stage", concat(lit("5_"), when(bkt < 8, "train")
-        .when(bkt === 8, "val").otherwise("test")))
+      .withColumn("stage", concat(lit("6_"), when(col("bkt") < 8, "train")
+        .when(col("bkt") === 8, "val").otherwise(lit("test"))))
       .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .agg(count(lit(1)).as("n_units"), sum(col("n_chars")).as("n_chars"),
+        sum(wsTok(col("text"))).as("n_tokens"))
+    val train = mixture.filter(col("bkt") < 8).cache()
+    val trainChars = train.agg(coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+    // 7_packed: c03's keyed prefix-scan packing over the train split
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val bins = train
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(8L)).as("shard"), wsTok(col("text")).as("tok"))
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / PackBudget).cast(LongType))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(sum(col("tok")).as("bin_tokens"))
+    val packedRow = bins
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("bin_tokens")), lit(0L)).as("n_tokens"))
+      .crossJoin(trainChars)
+      .select(lit("7_packed").as("stage"), col("n_units"), col("n_chars"),
+        col("n_tokens"))
+    // 8_tokenized: t22's persisted-tokenizer apply over the train split
+    val vocab = graft.operators.BpeTokenizer.vocab(
+      s, graft.operators.BpeTokenizer.ensureBuilt(s, d))
+    val perDoc = train
+      .select(col("doc_id"), explode(wordTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.t").as("word"), col("p.c").as("tf"))
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("n_tok")).as("tokens"),
+        sum(col("tf") * length(col("word")).cast(LongType)).as("chars"))
+    val tokenizedRow = perDoc
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("chars")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("tokens")), lit(0L)).as("n_tokens"))
+      .select(lit("8_tokenized").as("stage"), col("n_units"), col("n_chars"),
+        col("n_tokens"))
+    // 9_sharded: c09's manifest accounting over the train split (the
+    // manifest is computed by the real CorpusSharder pass — rank
+    // permutation + shard cut — then reduced to the stage row)
+    val shardedRow = graft.operators.CorpusSharder.manifest(
+      graft.operators.CorpusSharder.assignments(
+        train.select(col("doc_id"), col("text"), col("source")), 100L))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .crossJoin(trainChars)
+      .select(lit("9_sharded").as("stage"), col("n_units"), col("n_chars"),
+        col("n_tokens"))
     def st(name: String, df: DataFrame) = df
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
-      .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        coalesce(sum(wsTok(col("text"))), lit(0L)).as("n_tokens"))
+      .select(lit(name).as("stage"), col("n_units"), col("n_chars"),
+        col("n_tokens"))
     st("0_raw", raw)
-      .unionByName(st("1_gated", gated))
-      .unionByName(st("2_deduped", deduped))
-      .unionByName(st("3_decontaminated", clean))
-      .unionByName(st("4_mixture", mixture))
+      .unionByName(st("1_scrubbed", scrubbed))
+      .unionByName(st("2_gated", gated))
+      .unionByName(st("3_deduped", deduped))
+      .unionByName(st("4_decontaminated", clean))
+      .unionByName(st("5_mixture", mixture))
       .unionByName(split)
+      .unionByName(packedRow)
+      .unionByName(tokenizedRow)
+      .unionByName(shardedRow)
       .orderBy("stage")
   }
 
-  private val c11Sql =
-    """WITH ev AS (
+  private val c11Sql = {
+    // raw interpolator: the regex literals must keep their backslashes
+    raw"""WITH ${BpeTrain.chainSql},
+      |tok AS MATERIALIZED (
+      |  SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM v${BpeTrain.rounds + 1}),
+      |ev AS (
       |  SELECT DISTINCT UNNEST(list_distinct(list_transform(
       |      range(1, len(string_split(text,' ')) - 3),
       |      i -> array_to_string(string_split(text,' ')[i:i+4], ' ')))) AS gram
@@ -1165,6 +1239,17 @@ object CorpusOps extends QueryModule {
       |  WHERE doc_id % 37 = 0 AND len(string_split(text,' ')) >= 5),
       |raw AS (SELECT doc_id, text, lang, source, n_chars
       |        FROM documents WHERE doc_id % 37 <> 0),
+      |scc AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      nfc_normalize(text),
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |      ' +', ' ', 'g')) AS text,
+      |    lang, source
+      |  FROM raw),
+      |sc AS (SELECT doc_id, text, lang, source,
+      |    CAST(length(text) AS BIGINT) AS n_chars FROM scc),
       |per AS (SELECT doc_id, text, lang, source, n_chars,
       |    len(list_filter(string_split(text,' '), x -> x <> '')) AS w,
       |    len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS dw,
@@ -1173,7 +1258,7 @@ object CorpusOps extends QueryModule {
       |    +CASE WHEN contains(' '||text||' ',' a ') THEN 1 ELSE 0 END
       |    +CASE WHEN contains(' '||text||' ',' and ') THEN 1 ELSE 0 END
       |    +CASE WHEN contains(' '||text||' ',' of ') THEN 1 ELSE 0 END) AS sw
-      |  FROM raw),
+      |  FROM sc),
       |gated AS (SELECT doc_id, text, lang, source, n_chars FROM per
       |  WHERE (CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END
       |       + CASE WHEN 3*w <= ns AND ns <= 10*w THEN 1 ELSE 0 END
@@ -1198,29 +1283,68 @@ object CorpusOps extends QueryModule {
       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS stot FROM perl),
       |qq AS (SELECT lang, CAST((200 * w) // stot AS BIGINT) AS quota
       |       FROM perl, tot),
-      |r AS (SELECT doc_id, lang, n_chars,
+      |r AS (SELECT doc_id, text, lang, source, n_chars,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
       |  FROM clean),
-      |mix AS (SELECT r.doc_id, r.n_chars FROM r JOIN qq ON r.lang = qq.lang
-      |        WHERE rn <= quota),
-      |sp AS (SELECT doc_id, n_chars,
-      |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN '5_train'
-      |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN '5_val'
-      |         ELSE '5_test' END AS stage FROM mix)
-      |SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM raw
-      |UNION ALL SELECT '1_gated', CAST(COUNT(*) AS BIGINT),
-      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM gated
-      |UNION ALL SELECT '2_deduped', CAST(COUNT(*) AS BIGINT),
-      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dd
-      |UNION ALL SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT),
-      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM clean
-      |UNION ALL SELECT '4_mixture', CAST(COUNT(*) AS BIGINT),
-      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mix
+      |mix AS (SELECT r.doc_id, r.text, r.source, r.n_chars
+      |        FROM r JOIN qq ON r.lang = qq.lang WHERE rn <= quota),
+      |sp AS (SELECT doc_id, text, source, n_chars,
+      |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN '6_train'
+      |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN '6_val'
+      |         ELSE '6_test' END AS stage FROM mix),
+      |train AS (SELECT * FROM sp WHERE stage = '6_train'),
+      |trch AS (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM train),
+      |cb AS (SELECT source, shard, doc_id, tok,
+      |         COALESCE(SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |       FROM (SELECT doc_id, source, doc_id % 8 AS shard,
+      |               CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS tok
+      |             FROM train)),
+      |bins AS (SELECT source, shard, CAST(FLOOR(cum_before / $PackBudget) AS BIGINT) AS bin,
+      |           SUM(tok) AS bin_tokens
+      |         FROM cb GROUP BY 1, 2, 3),
+      |twc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      |        FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS word FROM train) x
+      |        WHERE word <> '' GROUP BY 1, 2),
+      |tper AS (SELECT doc_id, CAST(SUM(tf * n_tok) AS BIGINT) AS tokens,
+      |           CAST(SUM(tf * length(word)) AS BIGINT) AS chars
+      |         FROM twc JOIN tok USING (word) GROUP BY 1)
+      |SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_units,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars,
+      |  CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+      |FROM raw
+      |UNION ALL SELECT '1_scrubbed', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) FROM sc
+      |UNION ALL SELECT '2_gated', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) FROM gated
+      |UNION ALL SELECT '3_deduped', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) FROM dd
+      |UNION ALL SELECT '4_decontaminated', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) FROM clean
+      |UNION ALL SELECT '5_mixture', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) FROM mix
       |UNION ALL SELECT stage, CAST(COUNT(*) AS BIGINT),
-      |  CAST(SUM(n_chars) AS BIGINT) FROM sp GROUP BY 1
+      |  CAST(SUM(n_chars) AS BIGINT),
+      |  CAST(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) FROM sp GROUP BY 1
+      |UNION ALL SELECT '7_packed', (SELECT CAST(COUNT(*) AS BIGINT) FROM bins),
+      |  (SELECT n_chars FROM trch),
+      |  (SELECT CAST(COALESCE(SUM(bin_tokens), 0) AS BIGINT) FROM bins)
+      |UNION ALL SELECT '8_tokenized', (SELECT CAST(COUNT(*) AS BIGINT) FROM tper),
+      |  (SELECT CAST(COALESCE(SUM(chars), 0) AS BIGINT) FROM tper),
+      |  (SELECT CAST(COALESCE(SUM(tokens), 0) AS BIGINT) FROM tper)
+      |UNION ALL SELECT '9_sharded', (SELECT CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) FROM train),
+      |  (SELECT n_chars FROM trch),
+      |  (SELECT CAST(COALESCE(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))), 0) AS BIGINT) FROM train)
       |ORDER BY 1""".stripMargin
+  }
+
+
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_pipeline_e2e" -> c11,

@@ -16,7 +16,7 @@ class PipelineE2eRandomSpec extends AnyFunSuite {
 
   private case class Doc(id: Long, text: String, lang: String, nChars: Long)
 
-  private def reference(docs: Seq[Doc]): Map[String, (Long, Long)] = {
+  private def reference(docs: Seq[Doc]): Map[String, (Long, Long, Long)] = {
     val stop = Seq("the", "a", "and", "of")
     def words(t: String) = t.split(" ").filter(_.nonEmpty)
     def gates(t: String): Int = {
@@ -52,15 +52,18 @@ class PipelineE2eRandomSpec extends AnyFunSuite {
       ds.sortBy(d => (skey(d.id), d.id)).take(quota.toInt)
     }
     def stage(name: String, ds: Seq[Doc]) =
-      name -> ((ds.size.toLong, ds.map(_.nChars).sum))
+      name -> ((ds.size.toLong, ds.map(_.nChars).sum,
+        ds.map(d => words(d.text).length.toLong).sum))
     val splits = mix.groupBy { d =>
       val b = java.lang.Math.floorMod(skey(d.id), 10L)
-      if (b < 8) "5_train" else if (b == 8) "5_val" else "5_test"
+      if (b < 8) "6_train" else if (b == 8) "6_val" else "6_test"
     }
-    (Seq(stage("0_raw", raw), stage("1_gated", gated), stage("2_deduped", dd),
-      stage("3_decontaminated", clean), stage("4_mixture", mix)) ++
+    (Seq(stage("0_raw", raw), stage("1_scrubbed", raw), // scrub = identity here
+      stage("2_gated", gated), stage("3_deduped", dd),
+      stage("4_decontaminated", clean), stage("5_mixture", mix)) ++
       splits.toSeq.map { case (s, ds) => stage(s, ds) }).toMap
   }
+
 
   test("randomized corpora: engine funnel manifest equals the independent reference") {
     import spark.implicits._
@@ -84,8 +87,24 @@ class PipelineE2eRandomSpec extends AnyFunSuite {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val got = graft.SparkEntry.queries("c11_pipeline_e2e")(spark, dir)
-        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      assert(got == reference(docs), s"trial $trial: got $got\nref ${reference(docs)}")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val ref = reference(docs)
+      // corpus stages + split: exact vs the independent reference
+      val corpusStages = got.view.filterKeys(k => !k.startsWith("7_") &&
+        !k.startsWith("8_") && !k.startsWith("9_")).toMap
+      assert(corpusStages == ref, s"trial $trial: got $got\nref $ref")
+      // terminal stages: conservation invariants vs the reference
+      val (trainDocs, trainChars, trainToks) =
+        ref.getOrElse("6_train", (0L, 0L, 0L))
+      assert(got("7_packed")._2 == trainChars && got("7_packed")._3 == trainToks,
+        s"trial $trial packed: $got vs train ($trainChars, $trainToks)")
+      assert(got("8_tokenized")._1 == trainDocs && got("8_tokenized")._3 >= trainToks,
+        s"trial $trial tokenized: $got")
+      assert(got("9_sharded") ==
+        ((math.ceil(trainDocs / 100.0).toLong, trainChars, trainToks)),
+        s"trial $trial sharded: $got")
     }
   }
 }

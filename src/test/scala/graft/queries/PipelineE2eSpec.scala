@@ -4,12 +4,16 @@ import graft.etl.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** c11's funnel semantics, one planted casualty per stage: a
-  * gate-fail doc dies at 1_gated, an exact duplicate dies at
-  * 2_deduped, a doc sharing all its 5-grams with the eval split dies
-  * at 3_decontaminated, and the single-lang quota (200 ≥ survivors)
+  * gate-fail doc dies at 2_gated, an exact duplicate dies at
+  * 3_deduped, a doc sharing all its 5-grams with the eval split dies
+  * at 4_decontaminated, and the single-lang quota (200 ≥ survivors)
   * passes the rest into the mixture, which the Knuth-hash rule then
   * splits 1/1/1 across train/val/test (doc ids 1, 6, 9 — buckets
-  * 1, 8, 9 by construction).
+  * 1, 8, 9 by construction). The scrub stage (1_scrubbed) is the
+  * value-identity on this PII-free fixture — c12's own spec covers
+  * redaction — and the terminal stages run over the 1-doc train
+  * split: one 512-budget pack bin, the persisted BPE tokenizer's
+  * apply pass, one 100-doc shard.
   */
 class PipelineE2eSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -18,12 +22,12 @@ class PipelineE2eSpec extends AnyFunSuite {
     "the of " + (1 to 60).map(i => s"$prefix$i").mkString(" ")
 
   private val texts: Map[Long, String] = Map(
-    1L -> longDoc("word"),   // survives everything → 5_train (bucket 1)
-    2L -> longDoc("word"),   // exact dup of 1 → dies at 2_deduped
-    3L -> "tiny doc",        // <50 words, <2 stopwords → dies at 1_gated
+    1L -> longDoc("word"),   // survives everything → 6_train (bucket 1)
+    2L -> longDoc("word"),   // exact dup of 1 → dies at 3_deduped
+    3L -> "tiny doc",        // <50 words, <2 stopwords → dies at 2_gated
     5L -> longDoc("mix"),    // identical to eval doc 37 → dies at decon
-    6L -> longDoc("alt"),    // survives → 5_val (bucket 8)
-    9L -> longDoc("casa"),   // survives → 5_test (bucket 9)
+    6L -> longDoc("alt"),    // survives → 6_val (bucket 8)
+    9L -> longDoc("casa"),   // survives → 6_test (bucket 9)
     37L -> longDoc("mix"))   // the eval split (37 % 37 == 0)
 
   private def writeDocs(): String = {
@@ -37,16 +41,31 @@ class PipelineE2eSpec extends AnyFunSuite {
 
   test("every stage drops exactly its planted casualty; split is the Knuth rule") {
     val dir = writeDocs()
-    val out = graft.SparkEntry.queries("c11_pipeline_e2e")(spark, dir)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = graft.SparkEntry.queries("c11_pipeline_e2e")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
     def chars(ids: Long*) = ids.map(texts(_).length.toLong).sum
-    assert(out("0_raw") == ((6L, chars(1, 2, 3, 5, 6, 9))), s"got $out")
-    assert(out("1_gated") == ((5L, chars(1, 2, 5, 6, 9))), s"got $out")
-    assert(out("2_deduped") == ((4L, chars(1, 5, 6, 9))), s"got $out")
-    assert(out("3_decontaminated") == ((3L, chars(1, 6, 9))), s"got $out")
-    assert(out("4_mixture") == ((3L, chars(1, 6, 9))), s"got $out")
-    assert(out("5_train") == ((1L, chars(1))), s"got $out")
-    assert(out("5_val") == ((1L, chars(6))), s"got $out")
-    assert(out("5_test") == ((1L, chars(9))), s"got $out")
+    // every fixture doc is "the of " + 60 words = 62 whitespace tokens
+    def toks(ids: Long*) = 62L * ids.size
+    val out = rows.view.mapValues(v => (v._1, v._2)).toMap
+    assert(out("0_raw") == ((6L, chars(1, 2, 3, 5, 6, 9))), s"got $rows")
+    assert(rows("0_raw")._3 == toks(1, 2, 5, 6, 9) + 2L, s"got $rows") // doc 3 = 2 tokens
+    assert(out("1_scrubbed") == out("0_raw"), s"got $rows") // identity on PII-free text
+    assert(out("2_gated") == ((5L, chars(1, 2, 5, 6, 9))), s"got $rows")
+    assert(out("3_deduped") == ((4L, chars(1, 5, 6, 9))), s"got $rows")
+    assert(out("4_decontaminated") == ((3L, chars(1, 6, 9))), s"got $rows")
+    assert(out("5_mixture") == ((3L, chars(1, 6, 9))), s"got $rows")
+    assert(rows("6_train") == ((1L, chars(1), 62L)), s"got $rows")
+    assert(rows("6_val") == ((1L, chars(6), 62L)), s"got $rows")
+    assert(rows("6_test") == ((1L, chars(9), 62L)), s"got $rows")
+    // terminal stages over the 1-doc train split
+    assert(rows("7_packed") == ((1L, chars(1), 62L)), s"got $rows") // one bin
+    val (tu, tc, tt) = rows("8_tokenized")
+    assert(tu == 1L, s"got $rows")
+    assert(tc == chars(1) - 61L, s"got $rows") // chars minus the 61 separators
+    assert(tt >= 62L, s"got $rows") // >= one BPE token per word
+    assert(rows("9_sharded") == ((1L, chars(1), 62L)), s"got $rows") // one shard
+    assert(rows.size == 12, s"got ${rows.keys.toSeq.sorted}")
   }
 }
