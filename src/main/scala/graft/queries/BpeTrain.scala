@@ -134,9 +134,19 @@ object BpeTrain extends QueryModule {
     * and wall seconds (the BENCH_NOTES cost table; extra count jobs —
     * off in gate/bench runs). */
   def train(s: SparkSession, d: String,
-            r: Int = rounds): (DataFrame, Seq[(Long, String, String, Long)]) = {
+            r: Int = rounds): (DataFrame, Seq[(Long, String, String, Long)]) =
+    trainFrom(initVocab(s, d), r)
+
+  /** Run the incremental trainer from an EXPLICIT initial vocabulary
+    * (word, freq, syms). The sf corpora's ~30-word vocabulary
+    * exhausts after a few hundred merges, so credible-R
+    * demonstrations (BpeTrace's compound-vocab mode, the R = 1024
+    * spec) supply a wider vocabulary here while the t21/t22 gates
+    * keep the corpus form via [[train]]. */
+  def trainFrom(initial: DataFrame,
+                r: Int): (DataFrame, Seq[(Long, String, String, Long)]) = {
     val trace = sys.env.get("SPARK_GRAFT_BPE_TRACE").contains("1")
-    var vocab = initVocab(s, d).localCheckpoint(true)
+    var vocab = initial.localCheckpoint(true)
     // union concatenates partitions, so the per-round
     // unaffected ∪ rewritten would DOUBLE vocab's partition count
     // every round (2^R tasks by round R) — coalesce back to the

@@ -118,6 +118,24 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.size > 20, s"corpus exhausted after ${got.size} rounds — fixture too small")
   }
 
+  test("incremental rounds match a driver recompute at R = 1024 (compound vocab)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the sf word vocabulary (~30 words) exhausts after a few hundred
+    // merges; the compound-bigram vocabulary (~900 words, ~8k initial
+    // symbols) sustains 1024 rounds — the credible-R case for the
+    // delta maintenance (BpeTrace's bigram mode is the same vocab at
+    // sf10 for the BENCH_NOTES cost table)
+    val d = "/root/testdata/sf0.001"
+    val vocabDf = graft.tools.BpeTrace.bigramVocab(spark, d)
+    val words = vocabDf.select(col("word"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = refBpe(words, 1024)
+    val got = BpeTrain.trainFrom(vocabDf, 1024)._2
+    assert(got == expected)
+    assert(got.size == 1024, s"vocab exhausted after ${got.size} rounds — widen the fixture")
+  }
+
   test("tie-break is (count DESC, l ASC, r ASC)") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_t21b").toString
