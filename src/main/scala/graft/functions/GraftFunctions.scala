@@ -84,6 +84,12 @@ object GraftFunctions {
     * allocation (the c12 scrub's first stage). */
   def nfcNormalize(s: Column): Column = c(NfcNormalize(ex(s)))
 
+  /** The c12 redaction pipeline (emails/phones/IPv4 + whitespace
+    * hygiene) as one byte-scan expression: struct<scrubbed, n_emails,
+    * n_phones, n_ips>, value-identical to the sequential regex form
+    * (property-specced). */
+  def piiScrub(s: Column): Column = c(PiiScrubExpr(ex(s)))
+
   /** Non-empty word count (the tf-pair tokenizer's token count) —
     * codegen'd; value-identical to folding word_tf_pairs with a
     * higher-order aggregate, without the CodegenFallback break. */
@@ -130,6 +136,7 @@ object GraftFunctions {
     "fivegram_tf_pairs" -> (es => FivegramTfPairs(es.head)),
     "word_count" -> (es => WordCount(es.head)),
     "nfc_normalize" -> (es => NfcNormalize(es.head)),
+    "pii_scrub" -> (es => PiiScrubExpr(es.head)),
     "json_get_long" -> (es => es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
         JsonGetLong(es(0), k.toString)

@@ -1237,9 +1237,9 @@ object CorpusOps extends QueryModule {
       |      i -> array_to_string(string_split(text,' ')[i:i+4], ' ')))) AS gram
       |  FROM documents
       |  WHERE doc_id % 37 = 0 AND len(string_split(text,' ')) >= 5),
-      |raw AS (SELECT doc_id, text, lang, source, n_chars
+      |raw AS MATERIALIZED (SELECT doc_id, text, lang, source, n_chars
       |        FROM documents WHERE doc_id % 37 <> 0),
-      |scc AS (SELECT doc_id,
+      |scc AS MATERIALIZED (SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      nfc_normalize(text),
       |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
@@ -1248,7 +1248,7 @@ object CorpusOps extends QueryModule {
       |      ' +', ' ', 'g')) AS text,
       |    lang, source
       |  FROM raw),
-      |sc AS (SELECT doc_id, text, lang, source,
+      |sc AS MATERIALIZED (SELECT doc_id, text, lang, source,
       |    CAST(length(text) AS BIGINT) AS n_chars FROM scc),
       |per AS (SELECT doc_id, text, lang, source, n_chars,
       |    len(list_filter(string_split(text,' '), x -> x <> '')) AS w,
@@ -1259,12 +1259,12 @@ object CorpusOps extends QueryModule {
       |    +CASE WHEN contains(' '||text||' ',' and ') THEN 1 ELSE 0 END
       |    +CASE WHEN contains(' '||text||' ',' of ') THEN 1 ELSE 0 END) AS sw
       |  FROM sc),
-      |gated AS (SELECT doc_id, text, lang, source, n_chars FROM per
+      |gated AS MATERIALIZED (SELECT doc_id, text, lang, source, n_chars FROM per
       |  WHERE (CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END
       |       + CASE WHEN 3*w <= ns AND ns <= 10*w THEN 1 ELSE 0 END
       |       + CASE WHEN sw >= 2 THEN 1 ELSE 0 END
       |       + CASE WHEN 2*dw >= w THEN 1 ELSE 0 END) >= 3),
-      |dd AS (SELECT doc_id, text, lang, source, n_chars FROM gated
+      |dd AS MATERIALIZED (SELECT doc_id, text, lang, source, n_chars FROM gated
       |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
       |gr AS (SELECT doc_id, list_distinct(list_transform(
       |      range(1, len(string_split(text,' ')) - 3),
@@ -1275,7 +1275,7 @@ object CorpusOps extends QueryModule {
       |       WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
       |cont AS (SELECT gr.doc_id FROM gr JOIN hx ON gr.doc_id = hx.doc_id
       |         WHERE hx.n_hits * 10 >= len(gr.grams)),
-      |clean AS (SELECT * FROM dd
+      |clean AS MATERIALIZED (SELECT * FROM dd
       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
       |perl AS (SELECT lang, COUNT(*) AS n,
       |    CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS w
@@ -1287,13 +1287,13 @@ object CorpusOps extends QueryModule {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn
       |  FROM clean),
-      |mix AS (SELECT r.doc_id, r.text, r.source, r.n_chars
+      |mix AS MATERIALIZED (SELECT r.doc_id, r.text, r.source, r.n_chars
       |        FROM r JOIN qq ON r.lang = qq.lang WHERE rn <= quota),
-      |sp AS (SELECT doc_id, text, source, n_chars,
+      |sp AS MATERIALIZED (SELECT doc_id, text, source, n_chars,
       |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN '6_train'
       |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN '6_val'
       |         ELSE '6_test' END AS stage FROM mix),
-      |train AS (SELECT * FROM sp WHERE stage = '6_train'),
+      |train AS MATERIALIZED (SELECT * FROM sp WHERE stage = '6_train'),
       |trch AS (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM train),
       |cb AS (SELECT source, shard, doc_id, tok,
       |         COALESCE(SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id

@@ -56,8 +56,23 @@ object PiiScrub extends QueryModule {
     * per-rule counts `n_emails`/`n_phones`/`n_ips`, and `scrubbed`
     * (redacted + whitespace-collapsed + trimmed) to `df`. Counts are
     * taken on the text each rule actually saw (post-previous-rule), so
-    * Σ counts = number of redactions performed. */
+    * Σ counts = number of redactions performed. Execution is the
+    * one-pass byte kernel ([[graft.functions.PiiScrubExpr]]) — the
+    * regex form ([[scrubRegex]]) measured ~3.3 s of c12's 4.0 s at
+    * sf10 and the kernel is property-specced value-identical to it. */
   def scrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("nfc", graft.functions.GraftFunctions.nfcNormalize(col(textCol)))
+      .withColumn("_sc", graft.functions.GraftFunctions.piiScrub(col("nfc")))
+      .withColumn("n_emails", col("_sc.n_emails").cast(LongType))
+      .withColumn("n_phones", col("_sc.n_phones").cast(LongType))
+      .withColumn("n_ips", col("_sc.n_ips").cast(LongType))
+      .withColumn("scrubbed", col("_sc.scrubbed"))
+      .drop("_sc")
+
+  /** The sequential-regex statement of the same contract — the
+    * semantics the oracle SQL states and the property spec compares
+    * the kernel against. */
+  def scrubRegex(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("nfc", graft.functions.GraftFunctions.nfcNormalize(col(textCol)))
       .withColumn("n_emails", regexp_count(col("nfc"), lit(EmailRe)).cast(LongType))
       .withColumn("t1", regexp_replace(col("nfc"), EmailRe, "<EMAIL>"))
