@@ -281,12 +281,18 @@ object PlanAudit {
         (_.contains("windowspecdefinition(cohort_day#")))
     // the e2e funnel composes audited stage shapes: decon grams die
     // scan-side at the bloom probe, the mixture rank is the bounded
-    // TopK aggregate (never a corpus window), dedup/decon/mixture
-    // survivor filtering is semi/anti equi joins
+    // TopK aggregate (never a rank window), the only window in the
+    // whole 12-stage plan is the pack stage's (source, shard)-keyed
+    // prefix scan (c03's audited shape) plus the sharder's pid-keyed
+    // rank (c09's audited shape), dedup/decon/mixture survivor
+    // filtering is semi/anti equi joins
     audit("c11_pipeline_e2e")(
       "bloom probe reaches the gram scan" -> (_.contains("might_contain")),
-      "mixture rank is the bounded TopK aggregate (no corpus window)" ->
-        (s => !s.contains("windowspecdefinition")),
+      "mixture rank is the bounded TopK aggregate (no rank window)" -> (s =>
+        s.split("\n").filter(_.contains("windowspecdefinition")).forall(l =>
+          l.contains("windowspecdefinition(source") ||
+            l.contains("windowspecdefinition(pid"))),
+      "no single-partition window" -> noSinglePartitionWindow,
       "no cartesian product" -> (s =>
         !s.split("== Initial Plan ==").head.contains("CartesianProduct")),
       "survivor filters are semi/anti joins" -> (s =>
