@@ -260,6 +260,15 @@ object PlanAudit {
       "DF cap as semi join" -> (_.contains("LeftSemi")),
       "no cartesian stage" -> (s =>
         !s.split("== Initial Plan ==").head.contains("CartesianProduct")))
+    // incremental dedup: the corpus side must be ONE postings
+    // equi-join (bucket-local banding, never all-pairs against the
+    // corpus), decisions are left equi joins
+    audit("d13_incremental_dedup")(
+      "postings probe + verify stay equi-joined (no cartesian)" -> (s => {
+        val finalPlan = s.split("== Initial Plan ==").head
+        !finalPlan.contains("CartesianProduct") &&
+          !finalPlan.contains("BroadcastNestedLoopJoin")
+      }))
     // leakage-safe split: clustering + assignment stay equi-joined;
     // the only nested-loop stage allowed is the single-row audit
     // broadcast (leaked_pairs attached to the 3-row report)

@@ -36,17 +36,11 @@ object Dedup extends QueryModule {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  // Word 3-shingles, distinct, built from a pre-materialized word
-  // array: referencing split(text) inside the lambda would re-split
-  // the whole text on every element access (O(len·words) per doc).
-  // The index list is TOTAL (empty for <3 words): sequence(0,
-  // size-3) DESCENDS for short docs ([0,-1], inferred step -1) and
-  // ws[i+2] then throws under ANSI — an upstream size(ws) filter does
-  // not reliably guard the projection once the optimizer collapses it
-  // (observed in CorpusOps; same pattern).
-  private val shinglesExpr =
-    "array_distinct(transform(slice(sequence(0, size(ws)), 1, greatest(size(ws) - 2, 0)), " +
-      "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+  // Word 3-shingles: the single owner of the shingle definition is
+  // operators.DedupIndex (the persisted-index form must sign documents
+  // with the exact batch rule); see the ANSI/total-index-list note
+  // there.
+  private val shinglesExpr = graft.operators.DedupIndex.ShinglesExpr
 
   // d01: exact dedup via content hash — keeper id + multiplicity per
   // distinct content, in ONE pass. The group key is the PAIR
@@ -93,11 +87,9 @@ object Dedup extends QueryModule {
     * (keeper sets). Returns (doc_a, doc_b, inter, uni) sizes. */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).cache()
-    val sig = sh.withColumn("sig", graft.functions.GraftFunctions.minhash64(col("sh")))
-    val bands = sig.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
-        .as(Seq("band", "band_hash")))
+    // banding rule owned by operators.DedupIndex (shared with the
+    // persisted-index probe, which must sign batches identically)
+    val bands = graft.operators.DedupIndex.bandsOf(sh)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -830,6 +822,84 @@ object Dedup extends QueryModule {
       |  (SELECT CAST(leaked_pairs AS BIGINT) FROM leak) AS leaked_pairs
       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  // d13: INCREMENTAL dedup against the persisted corpus index
+  // (operators.DedupIndex) — the dedup family's persisted-index
+  // operating mode, completing the (batch, streaming, persisted) ×
+  // (dedup, decon, ANN) matrix. The gate splits the table into the
+  // EXISTING corpus (doc_id % 7 ≠ 3, whose band postings ensureBuilt
+  // persists once) and the incoming BATCH (doc_id % 7 = 3); each
+  // batch doc is DROPPED if it near-dups (d02's exact shingle-Jaccard
+  // ≥ 0.9) any corpus doc, else if it near-dups an EARLIER-id batch
+  // doc (deterministic, non-recursive earlier-id rule — SQL-stateable
+  // as one EXISTS, unlike a chained keeper recursion), else KEPT.
+  // Plan: the corpus side is ONE postings equi-join (bucket-local,
+  // never all-pairs, corpus text touched only at candidate doc_ids);
+  // the in-batch side is d02's banding over the batch alone. The
+  // oracle states the all-pairs semantics (gate-scale quadratic, the
+  // d02 precedent); banding recall at J ≥ 0.9 is the same 4e-8 bound.
+  // Output: per-source batch accounting (n_new / dup-vs-corpus /
+  // dup-in-batch / kept).
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupIndex
+    val dir = DedupIndex.ensureBuilt(s, d)
+    val newDocs = docs(s, d)
+      .filter(pmod(col("doc_id"), lit(7L)) === 3)
+      .select(col("doc_id"), col("source"))
+    val sh = shingled(s, d).cache()
+    val shNew = sh.join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+    def jacGe09(a: Column, b: Column): Column =
+      size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)) >= 0.9
+    val vsCorpus = DedupIndex.candidates(s, dir, shNew)
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(sh.select(col("doc_id").as("idx_id"), col("sh").as("sh_b")), "idx_id")
+      .filter(jacGe09(col("sh_a"), col("sh_b")))
+      .select(col("new_id").as("doc_id")).distinct()
+    val bn = DedupIndex.bandsOf(shNew)
+    val inBatch = bn.as("x").join(bn.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(jacGe09(col("sh_a"), col("sh_b")))
+      .select(col("doc_b").as("doc_id")).distinct()
+    newDocs
+      .join(vsCorpus.withColumn("vc", lit(1L)), Seq("doc_id"), "left")
+      .join(inBatch.withColumn("ib", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("vc").isNotNull, 1L).otherwise(0L)).as("n_dup_vs_corpus"),
+        sum(when(col("vc").isNull && col("ib").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_in_batch"),
+        sum(when(col("vc").isNull && col("ib").isNull, 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val d13Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |nd AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 = 3),
+      |sn AS (SELECT * FROM s WHERE doc_id % 7 = 3),
+      |so AS (SELECT * FROM s WHERE doc_id % 7 <> 3),
+      |vc AS (SELECT DISTINCT a.doc_id FROM sn a JOIN so b
+      |       ON CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+      |ib AS (SELECT DISTINCT b.doc_id FROM sn a JOIN sn b
+      |       ON a.doc_id < b.doc_id
+      |      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+      |  CAST(SUM(CASE WHEN v.doc_id IS NULL AND i.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_batch,
+      |  CAST(SUM(CASE WHEN v.doc_id IS NULL AND i.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM nd d LEFT JOIN vc v ON d.doc_id = v.doc_id
+      |          LEFT JOIN ib i ON d.doc_id = i.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,
@@ -841,7 +911,8 @@ object Dedup extends QueryModule {
     "d06_signlsh_neardup" -> d06,
     "d07_neardup_keeper_sets" -> d07,
     "d08_minhash_dfcap" -> d08,
-    "d11_semantic_dedup" -> d11)
+    "d11_semantic_dedup" -> d11,
+    "d13_incremental_dedup" -> d13)
 
   // Quadratic by definition — the oracle states the all-pairs
   // semantics; see d05's scaladoc for why sub-quadratic banding cannot
@@ -868,5 +939,6 @@ object Dedup extends QueryModule {
     "d06_signlsh_neardup" -> d06Sql,
     "d07_neardup_keeper_sets" -> d07Sql,
     "d08_minhash_dfcap" -> d08Sql,
-    "d11_semantic_dedup" -> d11Sql)
+    "d11_semantic_dedup" -> d11Sql,
+    "d13_incremental_dedup" -> d13Sql)
 }
