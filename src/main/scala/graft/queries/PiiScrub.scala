@@ -163,8 +163,14 @@ object PiiScrub extends QueryModule {
       |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c12_pii_scrub" -> c12)
+    "c12_pii_scrub" -> c12,
+    // streaming twin: scrub-at-ingest; per-(window, source) Append
+    // emissions re-aggregate to the batch report exactly, so the same
+    // planted-corpus oracle checks it (the t20/t22 pattern)
+    "c12_scrub_stream" ->
+      ((s, d) => graft.streaming.StreamingPiiScrub.replayGate(s, d)))
 
   override def oracle: Map[String, String] = Map(
-    "c12_pii_scrub" -> c12Sql)
+    "c12_pii_scrub" -> c12Sql,
+    "c12_scrub_stream" -> c12Sql)
 }
