@@ -799,6 +799,209 @@ object TextAnalysis extends QueryModule {
       |  CAST(SUM(CASE WHEN g1+g2+g3+g4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_3of4
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t24: TRAINABLE quality classifier — distillation of the t20 gate
+  // cascade into a depth-3 CART decision tree, trained IN-PLAN by the
+  // distributed-histogram method (the PLANET / XGBoost-hist pattern:
+  // Panda et al. 2009; Chen & Guestrin 2016 §3.3). The production
+  // story is the classifier stage every large pipeline runs (GPT-3
+  // App. A, Llama: a cheap model scores every crawl doc against a
+  // quality reference); here the teacher is the repo's own Gopher
+  // battery — label y = t20's lenient gate (≥3 of 4) — so the oracle
+  // can restate the whole procedure and the tree's learned thresholds
+  // are READABLE against the gates it distills (it rediscovers the
+  // 50-word bound, the stopword count, the distinct-ratio).
+  //
+  // Features per doc, all exact integers (the rhu idiom for the two
+  // ratios): w = word count, cpw10 = round(10·nonspace/w) (mean word
+  // length ×10), sw = stopword hits (0..4), dpm = round(1000·dw/w)
+  // (distinct-word per-mille). Training, per tree level: ONE
+  // map-side-combined aggregate builds the (node, feature, value) →
+  // (count, positives) histogram — bounded by nodes·4·|distinct
+  // values|, never corpus-sized (a production variant quantizes
+  // continuous features to ≤256 buckets first, same shape) — then the
+  // DRIVER picks each node's best split by the exact integer
+  // criterion |pl·(n−nl) − (pos−pl)·nl| (the two-class covariance
+  // numerator; ties broken (feature, value)-ascending; 0 ⇒ the node
+  // is a leaf, which also retires pure nodes), and the next level's
+  // assignment is a broadcast CASE chain over ≤ 2^level splits.
+  // Driver state = the tree (≤7 splits + one small histogram),
+  // per-level cost = one scan of the cached feature frame — the
+  // honest 100 TB shape for tree training. Exact while n_docs ≤ ~3e9
+  // (the criterion's cross-products stay under 2⁶³) — restate with
+  // wider arithmetic beyond that.
+  //
+  // Output: the trained tree's LEAF table (node_id, n_docs, n_pos,
+  // majority pred; strict majority, tie ⇒ negative) plus the global
+  // training accuracy and split count — the model artifact itself,
+  // hash-checked against a DuckDB restatement of the identical
+  // training (unrolled per-level CTEs, same integer criterion).
+  private val T24Depth = 3
+
+  private[queries] case class T24Split(node: Long, f: Int, thr: Long)
+
+  /** Per-doc integer feature frame: (doc_id, w, cpw10, sw, dpm, y).
+    * Same scan shape as t20's gateFlags (RepetitionStats kernel for
+    * (w, dw), substring stopword probes); y is the ≥3-of-4 gate. */
+  private[queries] def t24Feats(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val swc = Seq(" the ", " a ", " and ", " of ")
+      .map(t => when(padded.contains(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.repetitionStats(col("text")).as("r"),
+        length(regexp_replace(col("text"), " ", "")).cast(LongType).as("ns"),
+        swc.as("sw"))
+      .select(col("doc_id"), col("r").getItem(0).as("w"),
+        col("r").getItem(1).as("dw"), col("ns"), col("sw"))
+    val g = when(col("w") >= 50 && col("w") <= 100000L, 1L).otherwise(0L) +
+      when(col("w") * 3 <= col("ns") && col("ns") <= col("w") * 10, 1L).otherwise(0L) +
+      when(col("sw") >= 2, 1L).otherwise(0L) +
+      when(col("dw") * 2 >= col("w"), 1L).otherwise(0L)
+    per.select(col("doc_id"), col("w"),
+      when(col("w") === 0, 0L).otherwise(rhu(col("ns"), col("w"), 10)).as("cpw10"),
+      col("sw"),
+      when(col("w") === 0, 0L).otherwise(rhu(col("dw"), col("w"), 1000)).as("dpm"),
+      when(g >= 3, 1L).otherwise(0L).as("y"))
+  }
+
+  private def t24FeatVal(f: Int): Column =
+    Seq(col("w"), col("cpw10"), col("sw"), col("dpm"))(f - 1)
+
+  /** Node assignment after the given per-level splits: a `node`
+    * column built level by level (each level references the previous
+    * `node` COLUMN, not its expression — no CASE-tree blowup). */
+  private[queries] def t24Assign(feats: DataFrame, levels: Seq[Seq[T24Split]]): DataFrame =
+    levels.foldLeft(feats.withColumn("node", lit(1L))) { (df, sps) =>
+      if (sps.isEmpty) df
+      else {
+        def branch(sp: T24Split): Column =
+          when(t24FeatVal(sp.f) <= sp.thr, lit(2 * sp.node))
+            .otherwise(lit(2 * sp.node + 1))
+        val cased = sps.tail.foldLeft(
+          when(col("node") === sps.head.node, branch(sps.head))) { (acc, sp) =>
+          acc.when(col("node") === sp.node, branch(sp))
+        }
+        df.withColumn("node", cased.otherwise(col("node")))
+      }
+    }
+
+  /** Histogram-driven training: per level one aggregate + a driver
+    * argmax, exactly the procedure the oracle unrolls in SQL. */
+  private[queries] def t24TrainLevels(feats: DataFrame, depth: Int): Seq[Seq[T24Split]] = {
+    var levels = Vector.empty[Seq[T24Split]]
+    for (_ <- 1 to depth) {
+      val hist = t24Assign(feats, levels)
+        .select(col("node"), col("y"),
+          posexplode(array(col("w"), col("cpw10"), col("sw"), col("dpm")))
+            .as(Seq("fi", "v")))
+        .groupBy(col("node"), col("fi"), col("v"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1) + 1, r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val sps = hist.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (node, rows) =>
+          val n = rows.filter(_._2 == 1).map(_._4).sum
+          val pos = rows.filter(_._2 == 1).map(_._5).sum
+          var best: Option[(Long, Int, Long)] = None // (criterion, f, v)
+          for (f <- 1 to 4) {
+            var nl = 0L; var pl = 0L
+            rows.filter(_._2 == f).sortBy(_._3).foreach { case (_, _, v, c, p) =>
+              nl += c; pl += p
+              if (nl < n) {
+                val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
+                val better = best.forall { case (bd, bf, bv) =>
+                  crit > bd || (crit == bd && (f < bf || (f == bf && v < bv)))
+                }
+                if (crit > 0 && better) best = Some((crit, f, v))
+              }
+            }
+          }
+          best.map { case (_, f, v) => T24Split(node, f, v) }
+      }
+      levels = levels :+ sps
+    }
+    levels
+  }
+
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val feats = t24Feats(s, d).cache()
+    val levels = t24TrainLevels(feats, T24Depth)
+    val lv = t24Assign(feats, levels)
+      .groupBy(col("node").as("node_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      .withColumn("pred",
+        when(lit(2L) * col("n_pos") > col("n_docs"), 1L).otherwise(0L))
+    val acc = lv.agg(rhu(
+      sum(when(col("pred") === 1L, col("n_pos"))
+        .otherwise(col("n_docs") - col("n_pos"))),
+      sum(col("n_docs")), 1000000L).as("acc_ppm"))
+    lv.crossJoin(broadcast(acc))
+      .withColumn("n_splits", lit(levels.map(_.size).sum.toLong))
+      .orderBy("node_id")
+  }
+
+  private val t24Sql: String = {
+    def level(l: Int): String =
+      s"""h$l AS (SELECT a.node, fl.f, fl.v, COUNT(*) AS c, CAST(SUM(fl.y) AS BIGINT) AS p
+         |  FROM fl JOIN a$l a ON a.doc_id = fl.doc_id GROUP BY 1, 2, 3),
+         |tot$l AS (SELECT node, CAST(SUM(CASE WHEN f = 1 THEN c ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN f = 1 THEN p ELSE 0 END) AS BIGINT) AS pos
+         |  FROM h$l GROUP BY 1),
+         |cand$l AS (SELECT h.node, h.f, h.v, t.n, t.pos,
+         |    CAST(SUM(h.c) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS nl,
+         |    CAST(SUM(h.p) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS pl
+         |  FROM h$l h JOIN tot$l t ON h.node = t.node),
+         |best$l AS (SELECT node, f, v AS thr FROM (
+         |    SELECT node, f, v, ABS(pl*(n-nl) - (pos-pl)*nl) AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY ABS(pl*(n-nl) - (pos-pl)*nl) DESC, f, v) AS rn
+         |    FROM cand$l WHERE nl < n) t WHERE rn = 1 AND d > 0),
+         |a${l + 1} AS (SELECT a.doc_id,
+         |    CASE WHEN b.node IS NULL THEN a.node
+         |         WHEN fv.v <= b.thr THEN 2*a.node ELSE 2*a.node+1 END AS node
+         |  FROM a$l a LEFT JOIN best$l b ON a.node = b.node
+         |  LEFT JOIN fl fv ON fv.doc_id = a.doc_id AND fv.f = b.f)""".stripMargin
+    s"""WITH per AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+       |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS dw,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ns,
+       |    CAST((CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+       |        + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+       |        + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+       |        + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) AS BIGINT) AS sw
+       |  FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, w,
+       |    CASE WHEN w = 0 THEN 0 ELSE ${rhuSql("ns", "w", 10)} END AS cpw10, sw,
+       |    CASE WHEN w = 0 THEN 0 ELSE ${rhuSql("dw", "w", 1000)} END AS dpm,
+       |    CASE WHEN (CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END
+       |             + CASE WHEN 3*w <= ns AND ns <= 10*w THEN 1 ELSE 0 END
+       |             + CASE WHEN sw >= 2 THEN 1 ELSE 0 END
+       |             + CASE WHEN 2*dw >= w THEN 1 ELSE 0 END) >= 3 THEN 1 ELSE 0 END AS y
+       |  FROM per),
+       |fl AS MATERIALIZED (
+       |  SELECT doc_id, y, 1 AS f, w AS v FROM feats
+       |  UNION ALL SELECT doc_id, y, 2, cpw10 FROM feats
+       |  UNION ALL SELECT doc_id, y, 3, sw FROM feats
+       |  UNION ALL SELECT doc_id, y, 4, dpm FROM feats),
+       |a1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats),
+       |${(1 to T24Depth).map(level).mkString(",\n")},
+       |lv AS (SELECT a.node, COUNT(*) AS n_docs, CAST(SUM(f.y) AS BIGINT) AS n_pos
+       |  FROM a${T24Depth + 1} a JOIN feats f ON f.doc_id = a.doc_id GROUP BY 1),
+       |pr AS (SELECT node, n_docs, n_pos,
+       |    CAST(CASE WHEN 2*n_pos > n_docs THEN 1 ELSE 0 END AS BIGINT) AS pred FROM lv),
+       |acc AS (SELECT ${rhuSql(
+        "SUM(CASE WHEN pred = 1 THEN n_pos ELSE n_docs - n_pos END)",
+        "SUM(n_docs)", 1000000)} AS acc_ppm FROM pr),
+       |nsp AS (SELECT CAST(${(1 to T24Depth)
+        .map(l => s"(SELECT COUNT(*) FROM best$l)").mkString(" + ")} AS BIGINT) AS n_splits)
+       |SELECT node AS node_id, n_docs, n_pos, pred, acc_ppm, n_splits
+       |FROM pr CROSS JOIN acc CROSS JOIN nsp ORDER BY node_id""".stripMargin
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
@@ -819,9 +1022,11 @@ object TextAnalysis extends QueryModule {
     // (sums over disjoint windows), so the same SQL oracle checks it
     "t20_gopher_stream" ->
       ((s, d) => graft.streaming.StreamingQualityGates.replayGate(s, d)),
-    "t23_perplexity_buckets" -> t23)
+    "t23_perplexity_buckets" -> t23,
+    "t24_quality_classifier" -> t24)
 
   override def oracle: Map[String, String] = Map(
+    "t24_quality_classifier" -> t24Sql,
     "t20_gopher_gates" -> t20Sql,
     "t20_gopher_stream" -> t20Sql,
     "t12_bm25_topk" -> t12Sql,

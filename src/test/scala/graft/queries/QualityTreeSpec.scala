@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.etl.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t24 (trainable quality classifier): an independent driver-side
+  * recompute of the WHOLE contract — integer feature extraction, the
+  * ≥3-of-4 gate label, depth-3 histogram CART training with the exact
+  * |pl·nr − pr·nl| criterion and (feature, value) tie-break, and the
+  * leaf report — compared row-exactly against the engine. (The DuckDB
+  * oracle is the cross-engine check; this spec is the
+  * cross-IMPLEMENTATION check: plain Scala loops vs the distributed
+  * histogram plan.) A second case plants a corpus where the best
+  * split is KNOWN and asserts the learned structure itself.
+  */
+class QualityTreeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rhu(s: Long, c: Long, mul: Long): Long =
+    (math.signum(s.toDouble) *
+      math.floor((math.abs(s).toDouble * (2 * mul) + c) / (c.toDouble * 2))).toLong
+
+  /** (features, label) exactly as t24 defines them. */
+  private def featrow(text: String): (Array[Long], Long) = {
+    val ws = text.split(" ", -1).filter(_.nonEmpty)
+    val w = ws.length.toLong
+    val ns = text.count(_ != ' ').toLong
+    val dw = ws.distinct.length.toLong
+    val pad = " " + text + " "
+    val sw = Seq(" the ", " a ", " and ", " of ").count(pad.contains).toLong
+    val g = (if (w >= 50 && w <= 100000) 1 else 0) +
+      (if (3 * w <= ns && ns <= 10 * w) 1 else 0) +
+      (if (sw >= 2) 1 else 0) +
+      (if (2 * dw >= w) 1 else 0)
+    val cpw10 = if (w == 0) 0L else rhu(ns, w, 10)
+    val dpm = if (w == 0) 0L else rhu(dw, w, 1000)
+    (Array(w, cpw10, sw, dpm), if (g >= 3) 1L else 0L)
+  }
+
+  /** Plain-loop recompute: leaves (node -> (n, pos)) + split count. */
+  private def trainExpected(rows: Seq[(Array[Long], Long)], depth: Int)
+      : (Map[Long, (Long, Long)], Int) = {
+    var assign: Seq[(Array[Long], Long, Long)] = rows.map { case (f, y) => (f, y, 1L) }
+    var nSplits = 0
+    for (_ <- 1 to depth) {
+      val splits = assign.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+        case (node, rs) =>
+          val n = rs.size.toLong
+          val pos = rs.map(_._2).sum
+          var best: Option[(Long, Int, Long)] = None
+          for (f <- 1 to 4) {
+            val byV = rs.groupBy(_._1(f - 1)).toSeq.sortBy(_._1)
+            var nl = 0L; var pl = 0L
+            byV.foreach { case (v, g) =>
+              nl += g.size; pl += g.map(_._2).sum
+              if (nl < n) {
+                val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
+                val better = best.forall { case (bd, bf, bv) =>
+                  crit > bd || (crit == bd && (f < bf || (f == bf && v < bv)))
+                }
+                if (crit > 0 && better) best = Some((crit, f, v))
+              }
+            }
+          }
+          best.map { case (_, f, v) => node -> (f, v) }
+      }.toMap
+      nSplits += splits.size
+      assign = assign.map { case (fv, y, node) =>
+        splits.get(node) match {
+          case Some((f, thr)) =>
+            (fv, y, if (fv(f - 1) <= thr) 2 * node else 2 * node + 1)
+          case None => (fv, y, node)
+        }
+      }
+    }
+    val leaves = assign.groupBy(_._3).map { case (node, rs) =>
+      node -> (rs.size.toLong, rs.map(_._2).sum)
+    }
+    (leaves, nSplits)
+  }
+
+  private def engineRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("t24 engine matches an independent driver recompute at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("text").collect().map(_.getString(0)).toSeq
+    val (leaves, nSplits) = trainExpected(texts.map(featrow), 3)
+    val correct = leaves.values.map { case (n, p) =>
+      if (2 * p > n) p else n - p
+    }.sum
+    val tot = leaves.values.map(_._1).sum
+    val accPpm = rhu(correct, tot, 1000000)
+    val expected = leaves.toSeq.sortBy(_._1).map { case (node, (n, p)) =>
+      (node, n, p, if (2 * p > n) 1L else 0L, accPpm, nSplits.toLong)
+    }
+    val got = engineRows(graft.SparkEntry.queries("t24_quality_classifier")(spark, sf))
+    assert(got === expected)
+    // the teacher signal is learnable: distillation beats the majority
+    // class on its own training labels
+    val nPos = leaves.values.map(_._2).sum
+    assert(correct > math.max(nPos, tot - nPos))
+  }
+
+  test("t24 learns a planted single-threshold rule exactly") {
+    import spark.implicits._
+    // 40 docs: 20 short spam docs ("table" x (10+i): fail g1 word
+    // count, fail g3 stopwords, fail g4 diversity -> 1 of 4, label 0)
+    // and 20 long mixed docs (60+i words with stopwords: pass g1, g2,
+    // g3 -> >= 3 of 4, label 1). Separable by a single threshold on
+    // several features; the test asserts pure leaves, not which one.
+    val voc = Seq("the", "a", "and", "of", "table", "row", "scan", "sort")
+    def long(n: Int, salt: Int): String =
+      (0 until n).map(i => voc((i * 3 + salt) % voc.length)).mkString(" ")
+    val rows = (0 until 20).map(i => (i.toLong, Seq.fill(10 + i)("table").mkString(" "))) ++
+      (20 until 40).map(i => (i.toLong, long(60 + i, i)))
+    val dir = java.nio.file.Files.createTempDirectory("t24spec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val (feats, labels) = rows.map(r => featrow(r._2)).unzip
+      assert(labels.take(20).forall(_ == 0L) && labels.drop(20).forall(_ == 1L),
+        s"fixture labels not separable as planted: $labels")
+      val out = engineRows(graft.SparkEntry.queries("t24_quality_classifier")(spark, dir))
+      // perfect accuracy, every leaf pure
+      assert(out.forall(_._5 == 1000000L), s"expected pure distillation, got $out")
+      assert(out.map(_._2).sum == 40L)
+      // the recompute agrees on the exact leaf table too
+      val (leaves, nSplits) = trainExpected(feats.zip(labels), 3)
+      val accPpm = 1000000L
+      val expected = leaves.toSeq.sortBy(_._1).map { case (node, (n, p)) =>
+        (node, n, p, if (2 * p > n) 1L else 0L, accPpm, nSplits.toLong)
+      }
+      assert(out === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
