@@ -316,6 +316,29 @@ object PlanAudit {
       "bounded TopK aggregate (no rank window)" -> (s =>
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
+
+    // c13 cluster mixture: same τ-mixture machinery keyed by the
+    // k-means cid — the per-cluster rank must be the bounded TopK
+    // aggregate (a rank window would shuffle the corpus into |k|
+    // partitions) and the quota join a broadcast
+    audit("c13_cluster_mixture")(
+      "temperature quotas broadcast" -> (_.contains("BroadcastHashJoin")),
+      "bounded TopK aggregate (no rank window)" -> (s =>
+        "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
+          !s.contains("Window")))
+
+    // t24 quality-classifier distillation: the leaf report (and each
+    // training level, same shape) is ONE map-side-combined aggregate
+    // over the cached feature frame — the RepetitionStats kernel feeds
+    // the features, nothing windows or sort-merge-joins the corpus,
+    // and the only hash exchanges are the node-keyed partial/final
+    // aggregate pair (the 1-row accuracy frame rides a broadcast)
+    audit("t24_quality_classifier")(
+      "repetition-stats kernel planned" -> (s =>
+        s.toLowerCase.contains("repetitionstats")),
+      "no corpus window / shuffle join" -> (s =>
+        !s.contains("Window") && !s.contains("SortMergeJoin")),
+      "node aggregate exchanges only" -> maxHashExchanges(2))
     // exact correlation: one scan into a |groups|-key aggregate of six
     // integer sufficient statistics — no joins, no window
     audit("a10_exact_corr")(

@@ -1346,8 +1346,80 @@ object CorpusOps extends QueryModule {
 
 
 
+  // c13: cluster-balanced (domain-discovered) temperature mixture —
+  // c07's τ = 1/2 mixing rule applied to UNSUPERVISED strata: when a
+  // corpus has no trustworthy source/lang metadata (the common case
+  // for web crawl at 100 TB), the domains are discovered by k-means
+  // over the embedding space (the Doremi/cluster-based mixing recipe:
+  // Xie et al. 2023 balance by learned domain, SemDeDup §2 uses the
+  // same clustering), then each CLUSTER gets share ∝ n_c^(1/2) and
+  // members are the deterministic Knuth-hash rank selection under the
+  // quota. Clustering reuses s03's deterministic fixed-point Lloyd's
+  // training verbatim (Similarity.trainCodebook — the identical
+  // procedure that builds the ANN index), so the oracle restates it
+  // with the shared kmeansAssignCtes chain and the mixture arithmetic
+  // is c07's exact-integer quota math keyed by cid.
+  //
+  // Scale shape: training = KMeansIters broadcast-codebook scans + one
+  // <=k-row shuffle each; assignment is a map; the per-cluster rank
+  // never windows the corpus — the bounded TopKByScore aggregate
+  // keeps map-side k-row buffers (shuffle <= partitions · k · B rows).
+  // Unlike c07 (strata = 5 langs), quotas here can reach a tiny
+  // cluster's full size — the rank filter then passes that cluster
+  // whole, which is the intended τ-mixture behavior for rare domains
+  // (up-weight until capped by availability).
+  private def c13(s: SparkSession, d: String): DataFrame = {
+    val budget = 200L
+    val e = Similarity.corpus(s, d)
+    val cents = Similarity.trainCodebook(e)
+    val assigned = e
+      .withColumn("cid",
+        graft.functions.GraftFunctions.argMaxCosine(col("v"),
+          cents.map(_.toArray)).cast(LongType))
+      .select(col("cid"), col("vec_id").as("doc_id"))
+    val per = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(sqrt(col("n_docs").cast(DoubleType)) * lit(1e9)).cast(LongType))
+    val tot = per.agg(sum(col("w")).as("stot"))
+    val quota = per.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($budget * w) div stot").cast(LongType))
+      .select(col("cid"), col("n_docs"), col("quota"))
+    val skey = Q.knuth32(col("doc_id"))
+    val topk = graft.functions.GraftFunctions.topKByScore(
+      (skey * lit(-1L)).cast(DoubleType), col("doc_id"),
+      struct(col("doc_id")), budget.toInt)
+    assigned
+      .groupBy(col("cid"))
+      .agg(topk.as("top"))
+      .select(col("cid"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("cid"), (col("i") + 1).cast(LongType).as("rn"),
+        col("e.payload.doc_id").as("doc_id"))
+      .join(broadcast(quota), Seq("cid"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("cid"), col("n_docs"), col("quota"), col("rn"), col("doc_id"))
+      .orderBy("cid", "rn")
+  }
+
+  private def c13Sql: String =
+    s"""${Similarity.kmeansAssignCtes()},
+       |per AS (SELECT cid, COUNT(*) AS n_docs,
+       |        CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS w
+       |      FROM afinal GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS stot FROM per),
+       |q AS (SELECT cid, n_docs,
+       |        CAST((200 * w) // stot AS BIGINT) AS quota FROM per, tot),
+       |r AS (SELECT cid, vec_id AS doc_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) AS rn
+       |      FROM afinal)
+       |SELECT r.cid, n_docs, quota, rn, doc_id
+       |FROM r JOIN q USING (cid)
+       |WHERE rn <= quota ORDER BY 1, 4""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_pipeline_e2e" -> c11,
+    "c13_cluster_mixture" -> c13,
     "c05_decontaminated_mixture" -> c05,
     "c06_quality_buckets" -> c06,
     "d09_span_removal" -> d09,
@@ -1380,6 +1452,7 @@ object CorpusOps extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "c11_pipeline_e2e" -> c11Sql,
+    "c13_cluster_mixture" -> c13Sql,
     "c05_decontaminated_mixture" -> c05Sql,
     "c06_quality_buckets" -> c06Sql,
     "d09_span_removal" -> d09Sql,
