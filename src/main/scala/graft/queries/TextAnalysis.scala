@@ -835,35 +835,41 @@ object TextAnalysis extends QueryModule {
   // training accuracy and split count — the model artifact itself,
   // hash-checked against a DuckDB restatement of the identical
   // training (unrolled per-level CTEs, same integer criterion).
-  private val T24Depth = 3
+  private[graft] val T24Depth = 3
 
-  private[queries] case class T24Split(node: Long, f: Int, thr: Long)
+  private[graft] case class T24Split(node: Long, f: Int, thr: Long)
 
-  /** Per-doc integer feature frame: (doc_id, w, cpw10, sw, dpm, y).
-    * Same scan shape as t20's gateFlags (RepetitionStats kernel for
-    * (w, dw), substring stopword probes); y is the ≥3-of-4 gate. */
-  private[queries] def t24Feats(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc integer feature frame: (doc_id, w, cpw10, sw, dpm, y),
+    * plus any `carry` columns passed through. Same scan shape as t20's
+    * gateFlags (RepetitionStats kernel for (w, dw), substring stopword
+    * probes); y is the ≥3-of-4 gate. STATELESS, so the streaming
+    * scoring twin maps the same projection over a live feed. */
+  private[graft] def t24FeatsOf(in: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val swc = Seq(" the ", " a ", " and ", " of ")
       .map(t => when(padded.contains(t), 1L).otherwise(0L))
       .reduce(_ + _)
-    val per = docs(s, d)
-      .select(col("doc_id"),
+    val cs = carry.map(col)
+    val per = in
+      .select(cs ++ Seq(col("doc_id"),
         graft.functions.GraftFunctions.repetitionStats(col("text")).as("r"),
         length(regexp_replace(col("text"), " ", "")).cast(LongType).as("ns"),
-        swc.as("sw"))
-      .select(col("doc_id"), col("r").getItem(0).as("w"),
-        col("r").getItem(1).as("dw"), col("ns"), col("sw"))
+        swc.as("sw")): _*)
+      .select(cs ++ Seq(col("doc_id"), col("r").getItem(0).as("w"),
+        col("r").getItem(1).as("dw"), col("ns"), col("sw")): _*)
     val g = when(col("w") >= 50 && col("w") <= 100000L, 1L).otherwise(0L) +
       when(col("w") * 3 <= col("ns") && col("ns") <= col("w") * 10, 1L).otherwise(0L) +
       when(col("sw") >= 2, 1L).otherwise(0L) +
       when(col("dw") * 2 >= col("w"), 1L).otherwise(0L)
-    per.select(col("doc_id"), col("w"),
+    per.select(cs ++ Seq(col("doc_id"), col("w"),
       when(col("w") === 0, 0L).otherwise(rhu(col("ns"), col("w"), 10)).as("cpw10"),
       col("sw"),
       when(col("w") === 0, 0L).otherwise(rhu(col("dw"), col("w"), 1000)).as("dpm"),
-      when(g >= 3, 1L).otherwise(0L).as("y"))
+      when(g >= 3, 1L).otherwise(0L).as("y")): _*)
   }
+
+  private[graft] def t24Feats(s: SparkSession, d: String): DataFrame =
+    t24FeatsOf(docs(s, d))
 
   private def t24FeatVal(f: Int): Column =
     Seq(col("w"), col("cpw10"), col("sw"), col("dpm"))(f - 1)
@@ -871,7 +877,7 @@ object TextAnalysis extends QueryModule {
   /** Node assignment after the given per-level splits: a `node`
     * column built level by level (each level references the previous
     * `node` COLUMN, not its expression — no CASE-tree blowup). */
-  private[queries] def t24Assign(feats: DataFrame, levels: Seq[Seq[T24Split]]): DataFrame =
+  private[graft] def t24Assign(feats: DataFrame, levels: Seq[Seq[T24Split]]): DataFrame =
     levels.foldLeft(feats.withColumn("node", lit(1L))) { (df, sps) =>
       if (sps.isEmpty) df
       else {
@@ -888,7 +894,7 @@ object TextAnalysis extends QueryModule {
 
   /** Histogram-driven training: per level one aggregate + a driver
     * argmax, exactly the procedure the oracle unrolls in SQL. */
-  private[queries] def t24TrainLevels(feats: DataFrame, depth: Int): Seq[Seq[T24Split]] = {
+  private[graft] def t24TrainLevels(feats: DataFrame, depth: Int): Seq[Seq[T24Split]] = {
     var levels = Vector.empty[Seq[T24Split]]
     for (_ <- 1 to depth) {
       val hist = t24Assign(feats, levels)
@@ -925,21 +931,30 @@ object TextAnalysis extends QueryModule {
     levels
   }
 
-  private def t24(s: SparkSession, d: String): DataFrame = {
-    val feats = t24Feats(s, d).cache()
-    val levels = t24TrainLevels(feats, T24Depth)
-    val lv = t24Assign(feats, levels)
-      .groupBy(col("node").as("node_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
-      .withColumn("pred",
-        when(lit(2L) * col("n_pos") > col("n_docs"), 1L).otherwise(0L))
+  /** Final report assembly from a (node_id, n_docs, n_pos) leaf frame
+    * — shared by batch t24 and the streaming twin's re-aggregation
+    * (every leaf count is a SUM of per-doc indicators, so the Append
+    * window emissions re-aggregate to exactly this). */
+  private[graft] def t24LeafReport(leafCounts: DataFrame, nSplits: Long): DataFrame = {
+    val lv = leafCounts.withColumn("pred",
+      when(lit(2L) * col("n_pos") > col("n_docs"), 1L).otherwise(0L))
     val acc = lv.agg(rhu(
       sum(when(col("pred") === 1L, col("n_pos"))
         .otherwise(col("n_docs") - col("n_pos"))),
       sum(col("n_docs")), 1000000L).as("acc_ppm"))
     lv.crossJoin(broadcast(acc))
-      .withColumn("n_splits", lit(levels.map(_.size).sum.toLong))
+      .withColumn("n_splits", lit(nSplits))
       .orderBy("node_id")
+  }
+
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val feats = t24Feats(s, d).cache()
+    val levels = t24TrainLevels(feats, T24Depth)
+    t24LeafReport(
+      t24Assign(feats, levels)
+        .groupBy(col("node").as("node_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos")),
+      levels.map(_.size).sum.toLong)
   }
 
   private val t24Sql: String = {
@@ -1023,10 +1038,16 @@ object TextAnalysis extends QueryModule {
     "t20_gopher_stream" ->
       ((s, d) => graft.streaming.StreamingQualityGates.replayGate(s, d)),
     "t23_perplexity_buckets" -> t23,
-    "t24_quality_classifier" -> t24)
+    "t24_quality_classifier" -> t24,
+    // streaming twin: score-at-ingest under the batch-trained tree;
+    // window emissions re-aggregate to the batch leaf report exactly
+    // (sums over disjoint windows), so the same SQL oracle checks it
+    "t24_score_stream" ->
+      ((s, d) => graft.streaming.StreamingQualityScore.replayGate(s, d)))
 
   override def oracle: Map[String, String] = Map(
     "t24_quality_classifier" -> t24Sql,
+    "t24_score_stream" -> t24Sql,
     "t20_gopher_gates" -> t20Sql,
     "t20_gopher_stream" -> t20Sql,
     "t12_bm25_topk" -> t12Sql,
