@@ -327,6 +327,15 @@ object PlanAudit {
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
 
+    // c14 curriculum shards: the difficulty total order must come from
+    // the bounded-grid rank (per-(qs, pid) windows + the broadcast
+    // offset join), never a single-partition window over the corpus
+    audit("c14_curriculum_shards")(
+      "no single-partition window" -> noSinglePartitionWindow,
+      "offset table broadcast" -> (_.contains("BroadcastHashJoin")),
+      "char-bigram scan kernel planned" -> (s =>
+        s.toLowerCase.contains("charbigramtfpairs")))
+
     // t24 quality-classifier distillation: the leaf report (and each
     // training level, same shape) is ONE map-side-combined aggregate
     // over the cached feature frame — the RepetitionStats kernel feeds

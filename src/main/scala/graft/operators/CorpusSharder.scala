@@ -71,6 +71,49 @@ object CorpusSharder {
       .drop("pid")
   }
 
+  /** Curriculum variant: total order by (score ascending, then the
+    * Knuth-hash pseudorandom order within a score, then doc_id) — the
+    * curriculum-learning data ordering (easy→hard or typical→atypical
+    * by a per-doc difficulty score), still WITHOUT a global sort.
+    *
+    * The c09 static-range trick needs a uniform key; a difficulty
+    * score isn't. The generalization: the score domain is BOUNDED by
+    * construction (scores are quantized — here per-mille 0..1000, the
+    * t23 convention; quantizing is WHY curriculum buckets are usable),
+    * so the exact prefix offsets come from ONE bounded count pass over
+    * the (score, skey>>27) grid — ≤ |scores|·32 cells, broadcast-joined
+    * back (a 32k-entry CASE chain would not codegen) — and rank =
+    * per-cell row_number + offset, exact for any split. Skew knob: a
+    * score holding most of the corpus still splits over its 32 hash
+    * ranges; widen the shift for more.
+    *
+    * `docs` must carry doc_id, text, and the integer score column
+    * `qs`. */
+  def curriculumAssignments(docs: DataFrame, shardSize: Long): DataFrame = {
+    val keyed = docs
+      .withColumn("n_tok",
+        graft.functions.GraftFunctions.wordCount(col("text")).cast(LongType))
+      .withColumn("skey", graft.queries.Q.knuth32(col("doc_id")))
+      .withColumn("pid", shiftright(col("skey"), 27).cast("int"))
+    val cells = keyed.groupBy(col("qs"), col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val order = cells.keys.toSeq.sorted
+    val offsets = order.zip(
+      order.scanLeft(0L)((acc, k) => acc + cells(k)).dropRight(1))
+    val offDf = docs.sparkSession.createDataFrame(
+      offsets.map { case ((qs, pid), off) => (qs, pid, off) })
+      .toDF("o_qs", "o_pid", "off")
+    val w = Window.partitionBy(col("qs"), col("pid"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed
+      .join(broadcast(offDf),
+        col("qs") === col("o_qs") && col("pid") === col("o_pid"))
+      .withColumn("rank", row_number().over(w).cast(LongType) + col("off"))
+      .withColumn("shard_id",
+        expr(s"cast((rank - 1) div ${shardSize}L as bigint)"))
+      .drop("pid", "o_qs", "o_pid", "off")
+  }
+
   /** Manifest rows of an assignment frame. */
   def manifest(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("shard_id"))

@@ -1417,9 +1417,57 @@ object CorpusOps extends QueryModule {
        |FROM r JOIN q USING (cid)
        |WHERE rn <= quota ORDER BY 1, 4""".stripMargin
 
+  // c14: curriculum-ordered shard emission — c09's deterministic
+  // shard cut under a DIFFICULTY total order instead of the pure
+  // pseudorandom one (curriculum learning's data-ordering stage,
+  // Bengio et al. 2009; modern pipelines order pretraining shards by
+  // LM-score/quality tiers): order = (qs ascending, Knuth hash within
+  // a score, doc_id), where qs is t23's per-mille char-bigram LM
+  // typicality score (shard 0 = the most atypical/hardest text, the
+  // tail = the most typical — reverse for easy-first by flipping the
+  // score). Docs too short to score (< 2 chars, no transitions) take
+  // qs = 0 on both sides. The rank is computed WITHOUT a global sort
+  // (operators.CorpusSharder.curriculumAssignments: bounded
+  // (score, hash-range) grid counts → broadcast-joined exact prefix
+  // offsets → per-cell row_number), which is the point — the oracle
+  // states the same order as one ROW_NUMBER. Output: the per-shard
+  // manifest with its score envelope (min_qs/max_qs monotone across
+  // shards by construction).
+  private def c14(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.t23DocScores(s, d).select(col("doc_id"), col("qs"))
+    // cached: the assignment needs two passes (grid counts, then the
+    // ranked pass) and each would otherwise recompute the whole
+    // scoring chain (model build + broadcast-join scoring)
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("qs", coalesce(col("qs"), lit(0L)))
+      .cache()
+    graft.operators.CorpusSharder.curriculumAssignments(base, 100L)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("qs")).as("min_qs"), max(col("qs")).as("max_qs"),
+        min(col("rank")).as("first_rank"), max(col("rank")).as("last_rank"))
+      .orderBy("shard_id")
+  }
+
+  private def c14Sql: String =
+    s"""WITH ${TextAnalysis.t23ScoreCtes},
+       |j AS (SELECT d.doc_id, COALESCE(q2.qs, 0) AS qs,
+       |        CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+       |        (d.doc_id * 2654435761) % 4294967296 AS skey
+       |      FROM documents d LEFT JOIN q2 ON q2.doc_id = d.doc_id),
+       |r AS (SELECT qs, n_tok,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY qs, skey, doc_id) AS BIGINT) AS rank
+       |      FROM j)
+       |SELECT CAST((rank - 1) // 100 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(qs) AS min_qs,
+       |  MAX(qs) AS max_qs, MIN(rank) AS first_rank, MAX(rank) AS last_rank
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_pipeline_e2e" -> c11,
     "c13_cluster_mixture" -> c13,
+    "c14_curriculum_shards" -> c14,
     "c05_decontaminated_mixture" -> c05,
     "c06_quality_buckets" -> c06,
     "d09_span_removal" -> d09,
@@ -1453,6 +1501,7 @@ object CorpusOps extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "c11_pipeline_e2e" -> c11Sql,
     "c13_cluster_mixture" -> c13Sql,
+    "c14_curriculum_shards" -> c14Sql,
     "c05_decontaminated_mixture" -> c05Sql,
     "c06_quality_buckets" -> c06Sql,
     "d09_span_removal" -> d09Sql,

@@ -268,9 +268,13 @@ object TextAnalysis extends QueryModule {
   // runs on the (lang, score) HISTOGRAM (≤ |langs|·1001 rows), never
   // the corpus — the c06/a07 idiom. Exact while 2·bcnt·10⁶ < 2⁵³
   // (t10's bound) and per-doc Σq < 2⁵³ (chars/doc < 9e9).
-  private def t23(s: SparkSession, d: String): DataFrame = {
+  /** t23's per-doc scorer, factored for reuse (c14 curriculum order):
+    * (doc_id, lang, ntr, qs) for every doc with ≥1 transition — qs =
+    * the per-mille-quantized average transition micro-probability
+    * under the corpus's own char-bigram LM (0..1000; higher = more
+    * typical text). */
+  private[graft] def t23DocScores(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.charBigramTfPairs
-    import org.apache.spark.sql.expressions.Window
     def pg = docs(s, d)
       .select(col("doc_id"), col("lang"),
         explode(charBigramTfPairs(col("text"))).as("p"))
@@ -281,13 +285,34 @@ object TextAnalysis extends QueryModule {
       .agg(sum(col("bcnt")).as("ucnt"))
     val q = bc.join(uc, substring(col("bg"), 1, 1) === col("c1"))
       .select(col("bg").as("qbg"), rhu(col("bcnt"), col("ucnt"), 1000000L).as("q"))
-    val perDoc = pg.join(broadcast(q), col("bg") === col("qbg"))
+    pg.join(broadcast(q), col("bg") === col("qbg"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt") * col("q")).as("sq"), sum(col("cnt")).as("ntr"))
-    val h = perDoc
-      .select(col("lang"), col("ntr"),
+      .select(col("doc_id"), col("lang"), col("ntr"),
         floor(col("sq").cast(DoubleType) /
-          (col("ntr").cast(DoubleType) * lit(1000.0))).as("qs"))
+          (col("ntr").cast(DoubleType) * lit(1000.0))).cast(LongType).as("qs"))
+  }
+
+  /** The t23 scoring chain as oracle CTEs ending in `q2(doc_id, lang,
+    * ntr, qs)` — shared by t23's and c14's oracle SQL. */
+  private[graft] val t23ScoreCtes: String =
+    s"""cs AS (SELECT doc_id, lang, string_split(text, '') AS c FROM documents),
+       |tr AS (SELECT doc_id, lang, c[i] || c[i+1] AS bg, c[i] AS c1
+       |       FROM cs, UNNEST(range(1, len(c))) AS t(i)),
+       |bc AS (SELECT bg, COUNT(*) AS bcnt FROM tr GROUP BY 1),
+       |uc AS (SELECT c1, COUNT(*) AS ucnt FROM tr GROUP BY 1),
+       |sc AS (SELECT tr.doc_id, tr.lang,
+       |         CAST(SUM(${rhuSql("bcnt", "ucnt", 1000000L)}) AS BIGINT) AS sq,
+       |         COUNT(*) AS ntr
+       |       FROM tr JOIN bc USING (bg) JOIN uc USING (c1) GROUP BY 1, 2),
+       |q2 AS (SELECT doc_id, lang, ntr,
+       |         CAST(FLOOR(CAST(sq AS DOUBLE) / (CAST(ntr AS DOUBLE) * 1000.0)) AS BIGINT) AS qs
+       |       FROM sc)""".stripMargin
+
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t23DocScores(s, d)
+      .select(col("lang"), col("ntr"), col("qs"))
       .groupBy(col("lang"), col("qs"))
       .agg(count(lit(1)).as("c"), sum(col("ntr")).as("t"))
     val wOrd = Window.partitionBy("lang").orderBy("qs")
@@ -303,18 +328,7 @@ object TextAnalysis extends QueryModule {
   }
 
   private val t23Sql =
-    s"""WITH cs AS (SELECT doc_id, lang, string_split(text, '') AS c FROM documents),
-       |tr AS (SELECT doc_id, lang, c[i] || c[i+1] AS bg, c[i] AS c1
-       |       FROM cs, UNNEST(range(1, len(c))) AS t(i)),
-       |bc AS (SELECT bg, COUNT(*) AS bcnt FROM tr GROUP BY 1),
-       |uc AS (SELECT c1, COUNT(*) AS ucnt FROM tr GROUP BY 1),
-       |sc AS (SELECT tr.doc_id, tr.lang,
-       |         CAST(SUM(${rhuSql("bcnt", "ucnt", 1000000L)}) AS BIGINT) AS sq,
-       |         COUNT(*) AS ntr
-       |       FROM tr JOIN bc USING (bg) JOIN uc USING (c1) GROUP BY 1, 2),
-       |q2 AS (SELECT lang, ntr,
-       |         CAST(FLOOR(CAST(sq AS DOUBLE) / (CAST(ntr AS DOUBLE) * 1000.0)) AS BIGINT) AS qs
-       |       FROM sc),
+    s"""WITH $t23ScoreCtes,
        |h AS (SELECT lang, qs, COUNT(*) AS c, SUM(ntr) AS t FROM q2 GROUP BY 1, 2),
        |ch AS (SELECT lang, qs, c, t,
        |         SUM(c) OVER (PARTITION BY lang ORDER BY qs) - c AS cumx,
