@@ -971,28 +971,35 @@ object TextAnalysis extends QueryModule {
       levels.map(_.size).sum.toLong)
   }
 
-  private val t24Sql: String = {
-    def level(l: Int): String =
-      s"""h$l AS (SELECT a.node, fl.f, fl.v, COUNT(*) AS c, CAST(SUM(fl.y) AS BIGINT) AS p
-         |  FROM fl JOIN a$l a ON a.doc_id = fl.doc_id GROUP BY 1, 2, 3),
-         |tot$l AS (SELECT node, CAST(SUM(CASE WHEN f = 1 THEN c ELSE 0 END) AS BIGINT) AS n,
-         |    CAST(SUM(CASE WHEN f = 1 THEN p ELSE 0 END) AS BIGINT) AS pos
-         |  FROM h$l GROUP BY 1),
-         |cand$l AS (SELECT h.node, h.f, h.v, t.n, t.pos,
-         |    CAST(SUM(h.c) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS nl,
-         |    CAST(SUM(h.p) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS pl
-         |  FROM h$l h JOIN tot$l t ON h.node = t.node),
-         |best$l AS (SELECT node, f, v AS thr FROM (
-         |    SELECT node, f, v, ABS(pl*(n-nl) - (pos-pl)*nl) AS d,
-         |      ROW_NUMBER() OVER (PARTITION BY node
-         |        ORDER BY ABS(pl*(n-nl) - (pos-pl)*nl) DESC, f, v) AS rn
-         |    FROM cand$l WHERE nl < n) t WHERE rn = 1 AND d > 0),
-         |a${l + 1} AS (SELECT a.doc_id,
-         |    CASE WHEN b.node IS NULL THEN a.node
-         |         WHEN fv.v <= b.thr THEN 2*a.node ELSE 2*a.node+1 END AS node
-         |  FROM a$l a LEFT JOIN best$l b ON a.node = b.node
-         |  LEFT JOIN fl fv ON fv.doc_id = a.doc_id AND fv.f = b.f)""".stripMargin
-    s"""WITH per AS (
+  /** One training level as oracle CTEs, name-suffixed so the CV
+    * oracle can instantiate the identical procedure per fold. The
+    * assignment source a1$sfx defines the training doc set; fl is the
+    * full long-form feature table (restricted implicitly through the
+    * doc_id join). */
+  private def t24LevelSql(l: Int, sfx: String): String =
+    s"""h$l$sfx AS (SELECT a.node, fl.f, fl.v, COUNT(*) AS c, CAST(SUM(fl.y) AS BIGINT) AS p
+       |  FROM fl JOIN a$l$sfx a ON a.doc_id = fl.doc_id GROUP BY 1, 2, 3),
+       |tot$l$sfx AS (SELECT node, CAST(SUM(CASE WHEN f = 1 THEN c ELSE 0 END) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN f = 1 THEN p ELSE 0 END) AS BIGINT) AS pos
+       |  FROM h$l$sfx GROUP BY 1),
+       |cand$l$sfx AS (SELECT h.node, h.f, h.v, t.n, t.pos,
+       |    CAST(SUM(h.c) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS nl,
+       |    CAST(SUM(h.p) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS pl
+       |  FROM h$l$sfx h JOIN tot$l$sfx t ON h.node = t.node),
+       |best$l$sfx AS (SELECT node, f, v AS thr FROM (
+       |    SELECT node, f, v, ABS(pl*(n-nl) - (pos-pl)*nl) AS d,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY ABS(pl*(n-nl) - (pos-pl)*nl) DESC, f, v) AS rn
+       |    FROM cand$l$sfx WHERE nl < n) t WHERE rn = 1 AND d > 0),
+       |a${l + 1}$sfx AS (SELECT a.doc_id,
+       |    CASE WHEN b.node IS NULL THEN a.node
+       |         WHEN fv.v <= b.thr THEN 2*a.node ELSE 2*a.node+1 END AS node
+       |  FROM a$l$sfx a LEFT JOIN best$l$sfx b ON a.node = b.node
+       |  LEFT JOIN fl fv ON fv.doc_id = a.doc_id AND fv.f = b.f)""".stripMargin
+
+  /** The shared feature CTEs (per → feats with fold → long-form fl). */
+  private val t24BaseCtes: String =
+    s"""per AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS dw,
@@ -1003,7 +1010,7 @@ object TextAnalysis extends QueryModule {
        |        + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) AS BIGINT) AS sw
        |  FROM documents),
        |feats AS MATERIALIZED (
-       |  SELECT doc_id, w,
+       |  SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 5 AS fold, w,
        |    CASE WHEN w = 0 THEN 0 ELSE ${rhuSql("ns", "w", 10)} END AS cpw10, sw,
        |    CASE WHEN w = 0 THEN 0 ELSE ${rhuSql("dw", "w", 1000)} END AS dpm,
        |    CASE WHEN (CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END
@@ -1015,7 +1022,11 @@ object TextAnalysis extends QueryModule {
        |  SELECT doc_id, y, 1 AS f, w AS v FROM feats
        |  UNION ALL SELECT doc_id, y, 2, cpw10 FROM feats
        |  UNION ALL SELECT doc_id, y, 3, sw FROM feats
-       |  UNION ALL SELECT doc_id, y, 4, dpm FROM feats),
+       |  UNION ALL SELECT doc_id, y, 4, dpm FROM feats)""".stripMargin
+
+  private val t24Sql: String = {
+    def level(l: Int): String = t24LevelSql(l, "")
+    s"""WITH $t24BaseCtes,
        |a1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats),
        |${(1 to T24Depth).map(level).mkString(",\n")},
        |lv AS (SELECT a.node, COUNT(*) AS n_docs, CAST(SUM(f.y) AS BIGINT) AS n_pos
@@ -1031,7 +1042,93 @@ object TextAnalysis extends QueryModule {
        |FROM pr CROSS JOIN acc CROSS JOIN nsp ORDER BY node_id""".stripMargin
   }
 
+  // t25: cross-validated distillation — the eval-hygiene layer a real
+  // classifier stage ships with: 5-fold CV (fold = Knuth hash of
+  // doc_id mod 5, deterministic — no RNG) of the t24 training, with
+  // HELD-OUT accuracy reported next to training accuracy per fold.
+  // Held-out docs are routed through the fold's trained splits and
+  // predicted by the TRAINING set's leaf majorities (the honest CV:
+  // nothing about a held-out doc influences its own prediction);
+  // every leaf has ≥1 training doc by construction (a split is only
+  // created when both children are nonempty in the training set), so
+  // the prediction join is total. Scale shape = 5 × t24's (per level
+  // one bounded histogram aggregate + a driver argmax), all folds
+  // over ONE cached feature frame. Output: per-fold (n_train, n_test,
+  // train/test accuracy ppm, split count) — the table a data engineer
+  // reads to decide whether the distilled filter generalizes.
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val Folds = 5L
+    val feats = t24Feats(s, d)
+      .withColumn("fold", pmod(Q.knuth32(col("doc_id")), lit(Folds)))
+      .cache()
+    val rows: Seq[DataFrame] = (0L until Folds).map { k =>
+      val train = feats.filter(col("fold") =!= k)
+      val levels = t24TrainLevels(train, T24Depth)
+      val nSplits = levels.map(_.size).sum.toLong
+      val trainLv = t24Assign(train, levels)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+        .withColumn("pred",
+          when(lit(2L) * col("p") > col("n"), 1L).otherwise(0L))
+      val trainAcc = trainLv.agg(
+        sum(col("n")).as("n_train"),
+        rhu(sum(when(col("pred") === 1L, col("p"))
+          .otherwise(col("n") - col("p"))), sum(col("n")), 1000000L)
+          .as("train_acc_ppm"))
+      val testAcc = t24Assign(feats.filter(col("fold") === k), levels)
+        .join(broadcast(trainLv.select(col("node"), col("pred"))), Seq("node"))
+        .agg(count(lit(1)).as("n_test"),
+          rhu(sum(when(col("pred") === col("y"), 1L).otherwise(0L)),
+            count(lit(1)), 1000000L).as("test_acc_ppm"))
+      trainAcc.crossJoin(testAcc)
+        .select(lit(k).as("fold"), col("n_train"), col("n_test"),
+          col("train_acc_ppm"), col("test_acc_ppm"),
+          lit(nSplits).as("n_splits"))
+    }
+    rows.reduce(_ unionByName _).orderBy("fold")
+  }
+
+  private val t25Sql: String = {
+    def evalStep(l: Int, sfx: String): String =
+      s"""e${l + 1}$sfx AS (SELECT e.doc_id,
+         |    CASE WHEN b.node IS NULL THEN e.node
+         |         WHEN fv.v <= b.thr THEN 2*e.node ELSE 2*e.node+1 END AS node
+         |  FROM e$l$sfx e LEFT JOIN best$l$sfx b ON e.node = b.node
+         |  LEFT JOIN fl fv ON fv.doc_id = e.doc_id AND fv.f = b.f)""".stripMargin
+    def fold(k: Int): String = {
+      val x = s"_$k"
+      val levels = (1 to T24Depth).map(l => t24LevelSql(l, x)).mkString(",\n")
+      val evals = (1 to T24Depth).map(l => evalStep(l, x)).mkString(",\n")
+      s"""a1$x AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats WHERE fold <> $k),
+         |$levels,
+         |e1$x AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats WHERE fold = $k),
+         |$evals,
+         |lv$x AS (SELECT a.node, COUNT(*) AS n, CAST(SUM(f.y) AS BIGINT) AS p
+         |  FROM a${T24Depth + 1}$x a JOIN feats f ON f.doc_id = a.doc_id GROUP BY 1),
+         |pr$x AS (SELECT node, n, p,
+         |    CASE WHEN 2*p > n THEN 1 ELSE 0 END AS pred FROM lv$x),
+         |tra$x AS (SELECT CAST(SUM(n) AS BIGINT) AS n_train,
+         |    ${rhuSql("SUM(CASE WHEN pred = 1 THEN p ELSE n - p END)", "SUM(n)", 1000000)} AS train_acc_ppm
+         |  FROM pr$x),
+         |tea$x AS (SELECT COUNT(*) AS n_test,
+         |    ${rhuSql("SUM(CASE WHEN pr.pred = f.y THEN 1 ELSE 0 END)", "COUNT(*)", 1000000)} AS test_acc_ppm
+         |  FROM e${T24Depth + 1}$x e JOIN feats f ON f.doc_id = e.doc_id
+         |  JOIN pr$x pr ON pr.node = e.node),
+         |nsp$x AS (SELECT CAST(${(1 to T24Depth)
+        .map(l => s"(SELECT COUNT(*) FROM best$l$x)").mkString(" + ")} AS BIGINT) AS n_splits),
+         |row$x AS (SELECT CAST($k AS BIGINT) AS fold, n_train, n_test,
+         |    train_acc_ppm, test_acc_ppm, n_splits
+         |  FROM tra$x CROSS JOIN tea$x CROSS JOIN nsp$x)""".stripMargin
+    }
+    s"""WITH $t24BaseCtes,
+       |${(0 until 5).map(fold).mkString(",\n")}
+       |SELECT fold, n_train, n_test, train_acc_ppm, test_acc_ppm, n_splits
+       |FROM (${(0 until 5).map(k => s"SELECT * FROM row_$k").mkString(" UNION ALL ")}) u
+       |ORDER BY fold""".stripMargin
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_classifier_cv" -> t25,
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
     "t03_lang_id_accuracy" -> t03,
@@ -1062,6 +1159,7 @@ object TextAnalysis extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "t24_quality_classifier" -> t24Sql,
     "t24_score_stream" -> t24Sql,
+    "t25_classifier_cv" -> t25Sql,
     "t20_gopher_gates" -> t20Sql,
     "t20_gopher_stream" -> t20Sql,
     "t12_bm25_topk" -> t12Sql,

@@ -104,6 +104,97 @@ class QualityTreeSpec extends AnyFunSuite {
     assert(correct > math.max(nPos, tot - nPos))
   }
 
+  test("t25 cross-validation matches an independent driver recompute at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    def knuth32(c: Long): Long = {
+      val d = java.lang.Math.floorMod(c, 4294967296L)
+      java.lang.Math.floorMod(
+        java.lang.Math.floorMod(d * 40503L, 65536L) * 65536L + d * 31153L,
+        4294967296L)
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val withFold = docs.map { case (id, text) =>
+      val (fv, y) = featrow(text)
+      (knuth32(id) % 5, fv, y)
+    }
+    val expected = (0L until 5L).map { k =>
+      val train = withFold.filter(_._1 != k).map(t => (t._2, t._3))
+      val test = withFold.filter(_._1 == k).map(t => (t._2, t._3))
+      val (leaves, nSplits) = trainExpected(train, 3)
+      // replay the split chain on the held-out docs
+      val splits = reconstructSplits(train, 3)
+      val preds = leaves.map { case (node, (n, p)) =>
+        node -> (if (2 * p > n) 1L else 0L)
+      }
+      val testPairs = test.map { case (fv, y) =>
+        var node = 1L
+        var continue = true
+        while (continue) {
+          splits.get(node) match {
+            case Some((f, thr)) =>
+              node = if (fv(f - 1) <= thr) 2 * node else 2 * node + 1
+            case None => continue = false
+          }
+        }
+        (preds(node), y)
+      }
+      val nTrain = train.size.toLong
+      val trainCorrect = leaves.values.map { case (n, p) =>
+        if (2 * p > n) p else n - p
+      }.sum
+      val testCorrect = testPairs.count { case (pr, y) => pr == y }.toLong
+      (k, nTrain, test.size.toLong,
+        rhu(trainCorrect, nTrain, 1000000),
+        rhu(testCorrect, test.size.toLong, 1000000), nSplits.toLong)
+    }
+    val got = graft.SparkEntry.queries("t25_classifier_cv")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  /** The split map (node -> (f, thr)) the trainExpected procedure
+    * builds, reconstructed for held-out routing. */
+  private def reconstructSplits(rows: Seq[(Array[Long], Long)], depth: Int)
+      : Map[Long, (Int, Long)] = {
+    var assign: Seq[(Array[Long], Long, Long)] = rows.map { case (f, y) => (f, y, 1L) }
+    var all = Map.empty[Long, (Int, Long)]
+    for (_ <- 1 to depth) {
+      val splits = assign.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+        case (node, rs) =>
+          val n = rs.size.toLong
+          val pos = rs.map(_._2).sum
+          var best: Option[(Long, Int, Long)] = None
+          for (f <- 1 to 4) {
+            val byV = rs.groupBy(_._1(f - 1)).toSeq.sortBy(_._1)
+            var nl = 0L; var pl = 0L
+            byV.foreach { case (v, g) =>
+              nl += g.size; pl += g.map(_._2).sum
+              if (nl < n) {
+                val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
+                val better = best.forall { case (bd, bf, bv) =>
+                  crit > bd || (crit == bd && (f < bf || (f == bf && v < bv)))
+                }
+                if (crit > 0 && better) best = Some((crit, f, v))
+              }
+            }
+          }
+          best.map { case (_, f, v) => node -> (f, v) }
+      }.toMap
+      all ++= splits
+      assign = assign.map { case (fv, y, node) =>
+        splits.get(node) match {
+          case Some((f, thr)) =>
+            (fv, y, if (fv(f - 1) <= thr) 2 * node else 2 * node + 1)
+          case None => (fv, y, node)
+        }
+      }
+    }
+    all
+  }
+
   test("t24 learns a planted single-threshold rule exactly") {
     import spark.implicits._
     // 40 docs: 20 short spam docs ("table" x (10+i): fail g1 word
