@@ -1464,10 +1464,91 @@ object CorpusOps extends QueryModule {
        |  MAX(qs) AS max_qs, MIN(rank) AS first_rank, MAX(rank) AS last_rank
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // c15: crawl-over-crawl corpus diff — the incremental-curation
+  // report run when a new snapshot lands (CommonCrawl-style monthly
+  // dumps): FULL OUTER join the snapshots on doc identity and
+  // classify added / removed / changed / unchanged, with the exact
+  // char delta over changed docs. One co-partitioned doc_id shuffle
+  // join + a |sources|-key aggregate — the canonical diff plan at any
+  // scale (near-dup relations between the snapshots are d13's probe
+  // job against the persisted index, deliberately not re-stated
+  // here). The gate derives snapshot B from the corpus IN-PLAN by
+  // deterministic doc_id arithmetic (the c12 planted idiom): Knuth
+  // hash mod 7 — class 0 removed, class 1 revised (" rev" appended:
+  // a near-identical edit), class 2 additionally re-crawled as a NEW
+  // doc (id-offset, "new " prefix); the oracle plants the
+  // byte-identical snapshot.
+  private val DiffOffset = 1L << 41
+
+  /** The derived "next crawl" snapshot for the gate. */
+  private[queries] def snapshotB(a: DataFrame): DataFrame = {
+    val m = pmod(Q.knuth32(col("doc_id")), lit(7L))
+    val kept = a.filter(m =!= 0)
+      .select(col("doc_id"),
+        when(m === 1, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val added = a.filter(m === 2)
+      .select((col("doc_id") + DiffOffset).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"), col("source"))
+    kept.unionByName(added)
+  }
+
+  private def c15(s: SparkSession, d: String): DataFrame = {
+    val a = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+    val b = snapshotB(docs(s, d))
+      .select(col("doc_id"), col("text").as("text_b"), col("source").as("source_b"))
+    val cls = when(col("text").isNull, "added")
+      .when(col("text_b").isNull, "removed")
+      .when(col("text") === col("text_b"), "unchanged")
+      .otherwise("changed")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_b")).as("src"), cls.as("cls"),
+        when(col("text").isNotNull && col("text_b").isNotNull &&
+          col("text") =!= col("text_b"),
+          length(col("text_b")).cast(LongType) - length(col("text")).cast(LongType))
+          .otherwise(lit(0L)).as("cd"))
+      .groupBy(col("src").as("source"))
+      .agg(
+        sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cls") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("cd")).as("chars_delta"))
+      .orderBy("source")
+  }
+
+  private val c15Sql: String =
+    s"""WITH k AS (SELECT doc_id, text, source,
+       |        ((doc_id * 2654435761) % 4294967296) % 7 AS m FROM documents),
+       |b AS (SELECT doc_id,
+       |        CASE WHEN m = 1 THEN text || ' rev' ELSE text END AS text, source
+       |      FROM k WHERE m <> 0
+       |      UNION ALL
+       |      SELECT doc_id + $DiffOffset, 'new ' || text, source FROM k WHERE m = 2),
+       |j AS (SELECT COALESCE(a.source, b.source) AS source,
+       |        CASE WHEN a.doc_id IS NULL THEN 'added'
+       |             WHEN b.doc_id IS NULL THEN 'removed'
+       |             WHEN a.text = b.text THEN 'unchanged'
+       |             ELSE 'changed' END AS cls,
+       |        CASE WHEN a.text IS NOT NULL AND b.text IS NOT NULL
+       |              AND a.text <> b.text
+       |             THEN CAST(length(b.text) AS BIGINT) - CAST(length(a.text) AS BIGINT)
+       |             ELSE 0 END AS cd
+       |      FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       |  CAST(SUM(cd) AS BIGINT) AS chars_delta
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_pipeline_e2e" -> c11,
     "c13_cluster_mixture" -> c13,
     "c14_curriculum_shards" -> c14,
+    "c15_corpus_diff" -> c15,
     "c05_decontaminated_mixture" -> c05,
     "c06_quality_buckets" -> c06,
     "d09_span_removal" -> d09,
@@ -1502,6 +1583,7 @@ object CorpusOps extends QueryModule {
     "c11_pipeline_e2e" -> c11Sql,
     "c13_cluster_mixture" -> c13Sql,
     "c14_curriculum_shards" -> c14Sql,
+    "c15_corpus_diff" -> c15Sql,
     "c05_decontaminated_mixture" -> c05Sql,
     "c06_quality_buckets" -> c06Sql,
     "d09_span_removal" -> d09Sql,
