@@ -87,6 +87,18 @@ object Bench {
           graft.operators.DecontamIndex.indexDirFor(sfDir))
         Seq("t19_decontamination_index_build" -> (System.nanoTime() - t0) / 1e9)
       }
+    // t26 is train-once/serve-many (the classifier model registry):
+    // charge the model TRAIN separately; the query line measures the
+    // load + apply a scoring job actually pays
+    val t26Build: Seq[(String, Double)] =
+      if (skip("t26_classifier_index") ||
+          !only.forall(_("t26_classifier_index"))) Nil
+      else {
+        val t0 = System.nanoTime()
+        graft.operators.TreeModel.build(spark, sfDir,
+          graft.operators.TreeModel.modelDirFor(sfDir))
+        Seq("t26_classifier_index_build" -> (System.nanoTime() - t0) / 1e9)
+      }
     // t22 is train-once/tokenize-many: charge the tokenizer TRAIN to
     // its own metric (forced fresh build into the keyed dir), so the
     // t22 query line measures the apply join over the persisted vocab
@@ -220,7 +232,7 @@ object Bench {
     val calJson = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
     // queries whose every run failed carry NaN — reported under
     // "failed", never as a seconds row
-    val results = (s06Build ++ t19Build ++ t22Build ++ timed)
+    val results = (s06Build ++ t19Build ++ t22Build ++ t26Build ++ timed)
       .filterNot(_._2.isNaN).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

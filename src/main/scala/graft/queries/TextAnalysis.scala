@@ -1127,8 +1127,39 @@ object TextAnalysis extends QueryModule {
        |ORDER BY fold""".stripMargin
   }
 
+  // t26: the PERSISTED-MODEL form of the classifier — t24 in the
+  // train-once / serve-many operating mode (operators.TreeModel, the
+  // s06/t19/d13 pattern): scoring LOADS the persisted split table +
+  // leaf predictions (≤7 splits + ≤8 leaves — one tiny read and a
+  // broadcast) and routes the corpus without retraining; predictions
+  // come from the MODEL artifact, never recomputed from the scored
+  // batch. Training is deterministic, so the apply-report over the
+  // training corpus equals a fresh train — t24's oracle states the
+  // check. Bench charges the build to its own metric
+  // (t26_classifier_index_build); the query line is the apply cost a
+  // scoring job actually pays.
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.operators.TreeModel.ensureBuilt(s, d)
+    val levels = graft.operators.TreeModel.levels(s, dir)
+    val preds = graft.operators.TreeModel.leafPreds(s, dir)
+    val lv = t24Assign(t24Feats(s, d), levels)
+      .groupBy(col("node").as("node_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      .join(broadcast(preds), col("node_id") === col("m_node"))
+      .select(col("node_id"), col("n_docs"), col("n_pos"),
+        col("m_pred").as("pred"))
+    val acc = lv.agg(rhu(
+      sum(when(col("pred") === 1L, col("n_pos"))
+        .otherwise(col("n_docs") - col("n_pos"))),
+      sum(col("n_docs")), 1000000L).as("acc_ppm"))
+    lv.crossJoin(broadcast(acc))
+      .withColumn("n_splits", lit(levels.map(_.size).sum.toLong))
+      .orderBy("node_id")
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_classifier_cv" -> t25,
+    "t26_classifier_index" -> t26,
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
     "t03_lang_id_accuracy" -> t03,
@@ -1160,6 +1191,10 @@ object TextAnalysis extends QueryModule {
     "t24_quality_classifier" -> t24Sql,
     "t24_score_stream" -> t24Sql,
     "t25_classifier_cv" -> t25Sql,
+    // persisted-model apply over the training corpus == fresh train
+    // (deterministic training), so t24's training restatement is the
+    // oracle here too
+    "t26_classifier_index" -> t24Sql,
     "t20_gopher_gates" -> t20Sql,
     "t20_gopher_stream" -> t20Sql,
     "t12_bm25_topk" -> t12Sql,

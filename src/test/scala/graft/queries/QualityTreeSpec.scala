@@ -195,6 +195,21 @@ class QualityTreeSpec extends AnyFunSuite {
     all
   }
 
+  test("t26 persisted-model apply equals a fresh train; preds come from the artifact") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = graft.operators.TreeModel.ensureBuilt(spark, sf)
+    // artifact shape: bounded split/leaf tables with _SUCCESS markers
+    assert(new java.io.File(dir, "splits/_SUCCESS").exists)
+    assert(new java.io.File(dir, "leaves/_SUCCESS").exists)
+    val nSplits = spark.read.parquet(s"$dir/splits").count()
+    assert(nSplits <= 7)
+    val fresh = graft.SparkEntry.queries("t24_quality_classifier")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = graft.SparkEntry.queries("t26_classifier_index")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === fresh)
+  }
+
   test("t24 learns a planted single-threshold rule exactly") {
     import spark.implicits._
     // 40 docs: 20 short spam docs ("table" x (10+i): fail g1 word
