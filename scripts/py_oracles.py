@@ -1375,7 +1375,43 @@ def m08_audio_decimate(sf_dir):
     })
 
 
+def d14_longest_dup_substrings(sf_dir):
+    """Independent recompute of the generalized-suffix-array repeat
+    report: materialize and sort ALL document suffixes (the O(n^2)
+    relation the engine never materializes), adjacent-pair LCP capped
+    at 2048 chars, keep >= 32, top-20 by (lcp desc, doc_a, off_a,
+    doc_b, off_b). Total order matches the engine: (suffix string,
+    doc_id, off)."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = list(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("text").to_pylist()))
+    sufs = sorted(((text[o:], did, o)
+                   for did, text in rows for o in range(len(text))),
+                  key=lambda t: (t[0], t[1], t[2]))
+    out = []
+    for i in range(len(sufs) - 1):
+        s1, d1, o1 = sufs[i]
+        s2, d2, o2 = sufs[i + 1]
+        m = min(len(s1), len(s2), 2048)
+        l = 0
+        while l < m and s1[l] == s2[l]:
+            l += 1
+        if l >= 32:
+            out.append((l, d1, o1, d2, o2))
+    out.sort(key=lambda r: (-r[0], r[1], r[2], r[3], r[4]))
+    top = out[:20]
+    return pa.table({
+        "lcp": pa.array([r[0] for r in top], pa.int64()),
+        "doc_a": pa.array([r[1] for r in top], pa.int64()),
+        "off_a": pa.array([r[2] for r in top], pa.int64()),
+        "doc_b": pa.array([r[3] for r in top], pa.int64()),
+        "off_b": pa.array([r[4] for r in top], pa.int64()),
+    })
+
+
 PY_ORACLES = {
+    "d14_longest_dup_substrings": d14_longest_dup_substrings,
     "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,
     "g03_connected_components": g03_connected_components,

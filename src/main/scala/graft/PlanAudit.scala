@@ -327,6 +327,18 @@ object PlanAudit {
         "ObjectHashAggregate".r.findAllIn(s).size >= 2 &&
           !s.contains("Window")))
 
+    // d14 suffix-array repeats: the LCP stage must stay equi-join-only
+    // (rank adjacency + the two text fetches — a cartesian or nested
+    // loop means candidates degenerated to all-pairs), and the exact
+    // compare must run through the codegen prefix kernel
+    audit("d14_longest_dup_substrings")(
+      "LCP stage equi-join only (no cartesian / nested loop)" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "common-prefix kernel planned" -> (s =>
+        s.toLowerCase.contains("commonprefixlen")))
+
     // c14 curriculum shards: the difficulty total order must come from
     // the bounded-grid rank (per-(qs, pid) windows + the broadcast
     // offset join), never a single-partition window over the corpus

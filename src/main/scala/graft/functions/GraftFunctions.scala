@@ -54,6 +54,11 @@ object GraftFunctions {
     * speed (no per-row parser allocation). */
   def jsonGetLong(j: Column, key: String): Column = c(JsonGetLong(ex(j), key))
 
+  /** Longest common prefix of two strings, in characters (the d14
+    * suffix-array LCP kernel). */
+  def commonPrefixLen(a: Column, b: Column): Column =
+    c(CommonPrefixLen(ex(a), ex(b)))
+
   /** Per-document repetition counters [w, dw, topw, b, db] in one
     * scan-side pass — the kernel behind t11/c02 (value-identical to
     * the exploded (doc, token) double-aggregate it replaces). */

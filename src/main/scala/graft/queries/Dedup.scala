@@ -900,7 +900,47 @@ object Dedup extends QueryModule {
       |          LEFT JOIN ib i ON d.doc_id = i.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // d14: ARBITRARY-LENGTH duplicated-substring discovery — the
+  // question d09's fixed-k gram ownership cannot ask ("what are the
+  // longest verbatim repeats in this corpus, whatever their length"):
+  // build the generalized suffix array distributedly
+  // (operators.GeneralizedSuffixArray — prefix doubling, one keyed
+  // exchange per round, dense ranks without a global sort), then the
+  // classic property that every longest repeat is the LCP of two
+  // ADJACENT suffixes in SA order. Candidate pruning: adjacent pairs
+  // share a ≥32-char prefix iff their round-32 ranks are equal, so
+  // text is fetched (capped at 2048 chars) only for those pairs; the
+  // exact LCP runs through the codegen functions.CommonPrefixLen
+  // kernel. Output: the top-20 repeats of length ≥ 32 as
+  // (lcp, doc_a, off_a, doc_b, off_b), SA-adjacent pair order,
+  // deterministic tie-breaks. Oracle: an independent pure-Python
+  // suffix sort + adjacent-LCP recompute (scripts/py_oracles.py) —
+  // DuckDB cannot materialize the O(n²) suffix relation.
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val sa = graft.operators.GeneralizedSuffixArray.build(base)
+    val succ = sa.select((col("rank") - 1).as("rank"),
+      col("doc_id").as("doc_b"), col("off").as("off_b"),
+      col("rank32").as("r32b"))
+    val cands = sa.join(succ, Seq("rank"))
+      .filter(col("rank32") === col("r32b"))
+      .select(col("doc_id").as("doc_a"), col("off").as("off_a"),
+        col("doc_b"), col("off_b"))
+    val ta = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+        graft.functions.GraftFunctions.commonPrefixLen(
+          expr("substring(text_a, cast(off_a + 1 as int), 2048)"),
+          expr("substring(text_b, cast(off_b + 1 as int), 2048)")).as("lcp"))
+      .filter(col("lcp") >= 32)
+      .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
+      .orderBy(desc("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
+      .limit(20)
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_longest_dup_substrings" -> d14,
     "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,
     "d01_exact_dedup_hash" -> d01,
