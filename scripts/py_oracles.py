@@ -1410,8 +1410,63 @@ def d14_longest_dup_substrings(sf_dir):
     })
 
 
+def d15_substring_removal(sf_dir):
+    """Independent recompute of the suffix-array exact-substring
+    removal: sort ALL suffixes (total order = (suffix string, doc_id,
+    off), the d14 order); every suffix whose LCP with its SA
+    PREDECESSOR is >= 32 (capped at 2048) loses that shared prefix
+    [off, off+lcp); spans union-merge per doc; cleaned text is the
+    complement. Keeper = SA-first occurrence, exactly the engine
+    contract."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    rows = list(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("source").to_pylist(),
+                    docs.column("text").to_pylist()))
+    sufs = sorted(((text[o:], did, o)
+                   for did, _, text in rows for o in range(len(text))),
+                  key=lambda t: (t[0], t[1], t[2]))
+    spans = {}
+    for i in range(1, len(sufs)):
+        s1, _, _ = sufs[i - 1]
+        s2, d2, o2 = sufs[i]
+        m = min(len(s1), len(s2), 2048)
+        l = 0
+        while l < m and s1[l] == s2[l]:
+            l += 1
+        if l >= 32:
+            spans.setdefault(d2, []).append((o2, o2 + l))
+    out_id, out_src, out_nc, out_nr, out_tc = [], [], [], [], []
+    for did, src, text in sorted(rows):
+        merged = []
+        for st, en in sorted(spans.get(did, [])):
+            if merged and st <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        removed = sum(en - st for st, en in merged)
+        pieces, pos = [], 0
+        for st, en in merged:
+            pieces.append(text[pos:st])
+            pos = en
+        pieces.append(text[pos:])
+        out_id.append(did)
+        out_src.append(src)
+        out_nc.append(len(text))
+        out_nr.append(removed)
+        out_tc.append("".join(pieces))
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "source": pa.array(out_src, pa.string()),
+        "n_chars": pa.array(out_nc, pa.int64()),
+        "n_removed": pa.array(out_nr, pa.int64()),
+        "text_clean": pa.array(out_tc, pa.string()),
+    })
+
+
 PY_ORACLES = {
     "d14_longest_dup_substrings": d14_longest_dup_substrings,
+    "d15_substring_removal": d15_substring_removal,
     "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,
     "g03_connected_components": g03_connected_components,

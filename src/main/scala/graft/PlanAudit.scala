@@ -339,6 +339,22 @@ object PlanAudit {
       "common-prefix kernel planned" -> (s =>
         s.toLowerCase.contains("commonprefixlen")))
 
+    // d15 substring removal: the visible plan is the span-merge +
+    // stitch stage (the SA build is materialized behind the spans
+    // parquet handoff) — it must stay a doc-keyed aggregate + ONE
+    // doc-keyed outer equi join, never a cartesian / nested loop, and
+    // never a per-character explode (the stitch is substring algebra)
+    audit("d15_substring_removal")(
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "doc-keyed span aggregate" -> (s =>
+        s.contains("sort_array") || s.contains("collect_list")),
+      "no per-character explode in the stitch" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => nodeIs(l, "Generate") && l.contains("posexplode"))))
+
     // c14 curriculum shards: the difficulty total order must come from
     // the bounded-grid rank (per-(qs, pid) windows + the broadcast
     // offset join), never a single-partition window over the corpus

@@ -20,17 +20,11 @@ import org.apache.spark.sql.types._
   */
 object BpeTokenizer {
 
-  /** Deterministic per-corpus tokenizer location (the IvfIndex
-    * keying): fixed dir under the JVM temp root, keyed by the
-    * documents table's identity — repeated gate/bench runs reuse the
-    * build, a data change forces a rebuild in a new dir. */
-  def tokenizerDirFor(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "documents.parquet")
-    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
-    val h = java.lang.Long.toHexString(
-      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_bpe_$h").getAbsolutePath
-  }
+  /** Deterministic per-corpus tokenizer location ([[ArtifactDir]]):
+    * repeated gate/bench runs reuse the build, a data change forces a
+    * rebuild in a new dir. */
+  def tokenizerDirFor(sfDir: String): String =
+    ArtifactDir.dirFor(sfDir, "documents.parquet", "bpe")
 
   /** Build at [[tokenizerDirFor]] unless already complete there. */
   def ensureBuilt(s: SparkSession, sfDir: String): String = {

@@ -22,17 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object DecontamIndex {
 
-  /** Deterministic per-corpus index location (the IvfIndex keying):
-    * one fixed dir under the JVM temp root, keyed by the documents
-    * table's identity, so repeated gate/bench runs reuse the build
-    * and a data change forces a rebuild in a new dir. */
-  def indexDirFor(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "documents.parquet")
-    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
-    val h = java.lang.Long.toHexString(
-      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_decon_$h").getAbsolutePath
-  }
+  /** Deterministic per-corpus index location ([[ArtifactDir]]): gate
+    * and bench runs reuse the build, a data change forces a rebuild
+    * in a new dir. */
+  def indexDirFor(sfDir: String): String =
+    ArtifactDir.dirFor(sfDir, "documents.parquet", "decon")
 
   /** Build at [[indexDirFor]] unless already complete there. */
   def ensureBuilt(s: SparkSession, sfDir: String): String = {

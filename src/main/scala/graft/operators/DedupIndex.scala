@@ -54,14 +54,9 @@ object DedupIndex {
           "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
           .as(Seq("band", "band_hash")))
 
-  /** Deterministic per-corpus index location (the IvfIndex keying). */
-  def indexDirFor(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "documents.parquet")
-    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
-    val h = java.lang.Long.toHexString(
-      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_dedupidx_$h").getAbsolutePath
-  }
+  /** Deterministic per-corpus index location ([[ArtifactDir]]). */
+  def indexDirFor(sfDir: String): String =
+    ArtifactDir.dirFor(sfDir, "documents.parquet", "dedupidx")
 
   /** Build postings over the gate's EXISTING-corpus split (documents
     * with doc_id % 7 ≠ 3 — the rest play the incoming batch) at

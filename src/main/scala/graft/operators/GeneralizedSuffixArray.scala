@@ -8,24 +8,38 @@ import org.apache.spark.sql.types._
   * prefix doubling (Manber–Myers, the construction every published
   * distributed SA uses: one keyed exchange per doubling round) on
   * DataFrames, built for arbitrary-length duplicated-substring
-  * discovery (d14) where the fixed-k gram ownership of d09 can't ask
-  * the question. No text concatenation and no separator-sentinel
+  * discovery (d14/d15) where the fixed-k gram ownership of d09 can't
+  * ask the question. No text concatenation and no separator-sentinel
   * tricks: the array ranks the suffixes of EACH document (the
   * generalized form), so the round count is O(log max-doc-length) —
   * not O(log corpus-length) — and cross-document repeats surface as
   * adjacent suffixes from different docs.
   *
-  * Per round: rank2 lookup = ONE (doc_id, off)-keyed equi join (the
-  * shifted self-join; missing = −1 sentinel, which sorts first exactly
-  * like the shorter-string-is-a-prefix rule), then a DENSE RANK of
-  * (rank, rank2) WITHOUT a global single-partition sort:
-  * range-repartition + sortWithinPartitions (Spark's Terasort shape),
-  * one bounded per-partition stats collect (first key, last key,
-  * distinct count — ≤ |partitions| rows of driver state), a driver
-  * scan that merges boundary-spanning key groups, and a
-  * broadcast-offset assignment pass. Early exit when all ranks are
-  * distinct. Residual ties after the last round are IDENTICAL
-  * suffixes; the final total order breaks them by (doc_id, off).
+  * Suffix identity is ONE packed long `pk = doc_id << 32 | off`
+  * (round-14 rewrite: the (doc_id: long, off: long) pair doubled the
+  * width of every per-round exchange and spill — at the sf10 build
+  * that width was the difference between fitting the local disk and
+  * not). The packing is exact under the loudly-guarded bounds
+  * 0 ≤ doc_id < 2³¹ and doc-length < 2³⁰: the shifted lookup key
+  * pk − cover for off < cover borrows into the doc_id bits and yields
+  * a low-32 field ≥ 2³² − cover, which can only alias a REAL offset of
+  * doc_id−1 if cover > 2³² − maxLen — impossible while
+  * maxLen < 2³⁰ (cover < 2·maxLen) — so the equi join matches exactly
+  * the (doc_id, off−cover)-exists pairs, and misses stay the −1
+  * sentinel (sorting first, exactly the shorter-string-is-a-prefix
+  * rule). Packed order == (doc_id, off) lexicographic order for the
+  * final tie-break.
+  *
+  * Per round: rank2 lookup = ONE pk-keyed equi join (the shifted
+  * self-join), then a DENSE RANK of (rank, rank2) WITHOUT a global
+  * single-partition sort: range-repartition + sortWithinPartitions
+  * (Spark's Terasort shape), one bounded per-partition stats collect
+  * (first key, last key, distinct count — ≤ |partitions| rows of
+  * driver state), a driver scan that merges boundary-spanning key
+  * groups, and a broadcast-offset assignment pass. Early exit when
+  * all ranks are distinct. Residual ties after the last round are
+  * IDENTICAL suffixes; the final total order breaks them by
+  * (doc_id, off).
   *
   * The round whose prefix cover reaches 32 is snapshotted as `rank32`:
   * two suffixes share a 32-char prefix iff their rank32 is equal, so
@@ -33,26 +47,26 @@ import org.apache.spark.sql.types._
   * adjacent pairs — never for the corpus-sized rest.
   *
   * 100 TB shape: every pass is a keyed or range exchange of
-  * fixed-width rows; driver state is one |partitions|-row stats table
-  * per round. Ranks are near-uniform after round 1 except over heavy
-  * repeats — exactly the data the operator exists to find — and a
-  * pathological single-repeat corpus degrades the range split with
-  * the same mitigation as any sort (more partitions). Character
-  * granularity is UTF-16 code units of the BMP (split-by-empty; the
-  * corpora are BMP text) — the oracle mirrors code points, identical
-  * on BMP.
+  * fixed-width (pk, rank[, rank2]) longs; driver state is one
+  * |partitions|-row stats table per round. Ranks are near-uniform
+  * after round 1 except over heavy repeats — exactly the data the
+  * operator exists to find — and a pathological single-repeat corpus
+  * degrades the range split with the same mitigation as any sort
+  * (more partitions). Character granularity is UTF-16 code units of
+  * the BMP (split-by-empty; the corpora are BMP text) — the oracle
+  * mirrors code points, identical on BMP.
   */
 object GeneralizedSuffixArray {
 
   private val payloadCols: Seq[(String, DataType)] =
-    Seq("doc_id" -> LongType, "off" -> LongType)
+    Seq("pk" -> LongType)
 
   /** Dense 0-based ranks of `df` rows under the `keys` order, plus the
     * distinct-key count and the cached range-sorted frame backing the
     * result's lineage (the caller retires caches once a later round is
     * materialized). Exact for any partitioning: boundary-spanning key
     * groups are merged in the driver scan. `df` must expose `keys`
-    * followed by the (doc_id, off) payload under distinct names. */
+    * followed by the packed-suffix payload under distinct names. */
   private[operators] def denseRank(df: DataFrame, keys: Seq[String])
       : (DataFrame, Long, DataFrame) = {
     val s = df.sparkSession
@@ -112,21 +126,36 @@ object GeneralizedSuffixArray {
     * order (ties between identical suffixes broken by (doc_id, off)),
     * `rank32` the dense rank under the 32-char-prefix equivalence. */
   def build(docs: DataFrame): DataFrame = {
-    val chars = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+    // empty-text docs have NO suffixes (split("", "") would emit one
+    // phantom "" row) and an all-empty/empty corpus has a NULL
+    // max(length) — both must yield the documented suffix set, which
+    // the Python oracle states over non-empty texts only
+    val nonEmpty = docs.filter(length(col("text")) > 0)
+    val bounds = nonEmpty.agg(max(length(col("text"))),
+      min(col("doc_id").cast(LongType)), max(col("doc_id").cast(LongType))).head()
+    val maxLen = Option(bounds.get(0)).map(_.asInstanceOf[Int].toLong).getOrElse(0L)
+    val (minDoc, maxDoc) =
+      if (bounds.isNullAt(1)) (0L, 0L) else (bounds.getLong(1), bounds.getLong(2))
+    // loud pk-packing guards (see the scaladoc aliasing analysis)
+    require(minDoc >= 0L && maxDoc < (1L << 31),
+      s"suffix-array pk packing needs 0 <= doc_id < 2^31, got [$minDoc, $maxDoc]")
+    require(maxLen < (1L << 30),
+      s"suffix-array pk packing needs doc length < 2^30 chars, got $maxLen")
+    val chars = nonEmpty.select(col("doc_id").cast(LongType).as("doc_id"),
       posexplode(split(col("text"), "")).as(Seq("off", "ch")))
-      .select(col("ch"), col("doc_id"), col("off").cast(LongType).as("off"))
+      .select(col("ch"),
+        (shiftleft(col("doc_id"), 32) + col("off").cast(LongType)).as("pk"))
     val n = chars.count()
-    val maxLen = docs.agg(max(length(col("text")))).head().getInt(0).toLong
     var (ranked, nd, newest) = denseRank(chars, Seq("ch"))
     var cover = 1L
     var rank32: DataFrame = null
     var rank32Backing: DataFrame = null
     while (nd < n && cover < maxLen) {
-      val shifted = ranked.select(col("doc_id"),
-        (col("off") - cover).as("off"), col("rank").as("rank2"))
-      val paired = ranked.join(shifted, Seq("doc_id", "off"), "left")
+      val shifted = ranked.select((col("pk") - cover).as("pk"),
+        col("rank").as("rank2"))
+      val paired = ranked.join(shifted, Seq("pk"), "left")
         .select(col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"),
-          col("doc_id"), col("off"))
+          col("pk"))
       val (r2, d2, c2) = denseRank(paired, Seq("rank", "rank2"))
       // round i is materialized (the stats collect inside denseRank),
       // so round i−1's cache can be RETIRED NOW unless it backs the
@@ -138,20 +167,25 @@ object GeneralizedSuffixArray {
       if (!newest.eq(rank32Backing)) {
         newest.unpersist()
         newest = null
-        System.gc() // let the cleaner drop the retired round's shuffle
+        // let the cleaner drop the retired round's shuffle files; only
+        // worth the full-GC pause when the rounds are actually
+        // disk-scale (a no-op hammer on gate/spec corpora)
+        if (n > (64L << 20)) System.gc()
       }
       newest = c2
       ranked = r2; nd = d2; cover *= 2
       if (cover >= 32 && rank32 == null) { rank32 = ranked; rank32Backing = c2 }
     }
     if (rank32 == null) { rank32 = ranked; rank32Backing = newest }
-    val pre = ranked.select(col("rank").as("r0"), col("doc_id").as("kd"),
-      col("off").as("ko"), col("doc_id"), col("off"))
-    val (fin, _, finCache) = denseRank(pre, Seq("r0", "kd", "ko"))
+    // final total order: (rank, pk) — pk order IS (doc_id, off) order
+    val pre = ranked.select(col("rank").as("r0"), col("pk").as("kp"), col("pk"))
+    val (fin, _, finCache) = denseRank(pre, Seq("r0", "kp"))
     // materialize the result, then retire the remaining caches
     val result = fin
-      .join(rank32.select(col("doc_id"), col("off"), col("rank").as("rank32")),
-        Seq("doc_id", "off"))
+      .join(rank32.select(col("pk"), col("rank").as("rank32")), Seq("pk"))
+      .select(shiftright(col("pk"), 32).as("doc_id"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("off"),
+        col("rank"), col("rank32"))
       .cache()
     result.count()
     Seq(finCache, rank32Backing, newest).filter(_ != null).distinct

@@ -21,14 +21,9 @@ import org.apache.spark.sql.types.LongType
   */
 object TreeModel {
 
-  /** Deterministic per-corpus model location (the IvfIndex keying). */
-  def modelDirFor(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "documents.parquet")
-    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
-    val h = java.lang.Long.toHexString(
-      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_tree_$h").getAbsolutePath
-  }
+  /** Deterministic per-corpus model location ([[ArtifactDir]]). */
+  def modelDirFor(sfDir: String): String =
+    ArtifactDir.dirFor(sfDir, "documents.parquet", "tree")
 
   def ensureBuilt(s: SparkSession, sfDir: String): String = {
     val dir = modelDirFor(sfDir)

@@ -916,8 +916,16 @@ object Dedup extends QueryModule {
   // deterministic tie-breaks. Oracle: an independent pure-Python
   // suffix sort + adjacent-LCP recompute (scripts/py_oracles.py) —
   // DuckDB cannot materialize the O(n²) suffix relation.
-  private def d14(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("text"))
+  /** The d14/d15 kernel: SA-adjacent candidate pairs with their exact
+    * LCP (capped at 2048 chars). Returns (sa, pairs) where pairs =
+    * (doc_a, off_a, doc_b, off_b, lcp) for every SA-adjacent pair
+    * whose rank32 matches (a ≥32-char LCP is impossible otherwise, so
+    * text is fetched only for these candidates); (doc_b, off_b) is
+    * always the SA-LATER suffix of the pair. The caller must
+    * unpersist `sa` once everything derived from `pairs` is
+    * materialized — holding the corpus-char-sized SA cache for the
+    * rest of the session was the round-13 ADVICE leak. */
+  private[queries] def saAdjacentLcp(base: DataFrame): (DataFrame, DataFrame) = {
     val sa = graft.operators.GeneralizedSuffixArray.build(base)
     val succ = sa.select((col("rank") - 1).as("rank"),
       col("doc_id").as("doc_b"), col("off").as("off_b"),
@@ -928,19 +936,99 @@ object Dedup extends QueryModule {
         col("doc_b"), col("off_b"))
     val ta = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+    val pairs = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
         graft.functions.GraftFunctions.commonPrefixLen(
           expr("substring(text_a, cast(off_a + 1 as int), 2048)"),
           expr("substring(text_b, cast(off_b + 1 as int), 2048)")).as("lcp"))
+    (sa, pairs)
+  }
+
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val (sa, pairs) = saAdjacentLcp(base)
+    val top = pairs
       .filter(col("lcp") >= 32)
       .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
       .orderBy(desc("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
       .limit(20)
+    // materialize the ≤20-row report (bounded by the LIMIT), THEN
+    // retire the corpus-char-sized SA cache instead of pinning it for
+    // the session (the round-13 ADVICE leak). The report frame stays
+    // cached — 20 rows — and keeps the real plan visible to PlanAudit.
+    val report = top.cache()
+    report.count()
+    sa.unpersist()
+    report
+  }
+
+  // d15: exact-substring REMOVAL on the suffix array — the operation
+  // d14's report only diagnoses, and the Lee et al. ("Deduplicating
+  // Training Data Makes Language Models Better") ExactSubstr step
+  // d09/d10 approximate with fixed-5-gram ownership. Contract: a
+  // suffix whose LCP with its SA-PREDECESSOR is ≥ 32 chars loses that
+  // shared prefix — by the classic SA property LCP(i−1, i) =
+  // max_{j<i} LCP(j, i), that removes from every duplicated-substring
+  // occurrence exactly the longest prefix that already occurred at an
+  // SA-earlier suffix, so the SA-first occurrence (smallest (suffix,
+  // doc_id, off)) is the deterministic keeper and every later one is
+  // scrubbed. Per doc the marked spans [off, off+lcp) are UNION-merged
+  // (overlaps collapse) and the cleaned text is the complement,
+  // stitched by substring — never a per-character explode. LCPs cap
+  // at 2048 (the d14 cap; both sides state it). Scale: candidate
+  // pruning + one spans aggregate (bounded by per-doc span count) +
+  // one doc-keyed left join; no new shuffle shapes over d14.
+  // Oracle: the d14 Python suffix sort extended with the same
+  // predecessor-LCP spans + merge + stitch (scripts/py_oracles.py) —
+  // DuckDB cannot materialize the suffix relation.
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val (sa, pairs) = saAdjacentLcp(base.select(col("doc_id"), col("text")))
+    // materialize the (small: one row per duplicated-span occurrence)
+    // span set to parquet, then retire the corpus-char-sized SA cache
+    // — reading the spans back cuts the lineage, so NOTHING of the SA
+    // build stays pinned or recomputable-by-accident (the round-13
+    // ADVICE leak class); the dir is corpus-keyed and overwritten per
+    // run, never accumulating
+    val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d15spans")
+    pairs.filter(col("lcp") >= 32)
+      .select(col("doc_b").as("doc_id"), col("off_b").as("st"),
+        (col("off_b") + col("lcp")).as("en"))
+      .write.mode("overwrite").parquet(spansDir)
+    sa.unpersist()
+    val spans = s.read.parquet(spansDir)
+    // union-merge the per-doc spans: one sorted fold, bounded by the
+    // doc's span count (CASE guards the empty-accumulator element_at)
+    val merged = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("sp"))
+      .select(col("doc_id"), expr(
+        """aggregate(sp,
+          |  cast(array() as array<struct<st:bigint,en:bigint>>),
+          |  (acc, x) -> case
+          |    when size(acc) > 0 and x.st <= element_at(acc, -1).en then
+          |      concat(slice(acc, 1, size(acc) - 1),
+          |        array(named_struct('st', element_at(acc, -1).st,
+          |          'en', greatest(element_at(acc, -1).en, x.en))))
+          |    else concat(acc, array(x)) end)""".stripMargin).as("iv"))
+    val out = base.join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        coalesce(expr("aggregate(iv, 0L, (a, x) -> a + x.en - x.st)"), lit(0L))
+          .as("n_removed"),
+        when(col("iv").isNull, col("text")).otherwise(expr(
+          """aggregate(iv, named_struct('p', 0L, 't', ''),
+            |  (a, x) -> named_struct('p', x.en,
+            |    't', concat(a.t, substring(text, cast(a.p + 1 as int),
+            |                               cast(x.st - a.p as int)))),
+            |  a -> concat(a.t, substring(text, cast(a.p + 1 as int), 1073741823)))"""
+            .stripMargin)).as("text_clean"))
+      .orderBy("doc_id")
+    out
   }
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_longest_dup_substrings" -> d14,
+    "d15_substring_removal" -> d15,
     "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,
     "d01_exact_dedup_hash" -> d01,

@@ -90,4 +90,89 @@ class SuffixArraySpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  /** Driver recompute of the d15 contract: predecessor-LCP ≥ 32 spans
+    * on the SA-later suffix, union-merged per doc, complement text. */
+  private def d15Driver(rows: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, String)] = {
+    val sufs = saDriver(rows)
+    val spans = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    sufs.zip(sufs.tail).foreach { case ((s1, _, _), (s2, d2, o2)) =>
+      val l = math.min(s1.zip(s2).takeWhile(p => p._1 == p._2).length.toLong, 2048L)
+      if (l >= 32) spans(d2) = (o2, o2 + l) :: spans.getOrElse(d2, Nil)
+    }
+    rows.sortBy(_._1).map { case (id, t) =>
+      val merged = spans.getOrElse(id, Nil).sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((ps, pe) :: acc, (st, en)) if st <= pe =>
+            (ps, math.max(pe, en)) :: acc
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val removed = merged.map { case (st, en) => en - st }.sum
+      val sb = new StringBuilder
+      var pos = 0L
+      merged.foreach { case (st, en) =>
+        sb.append(t.substring(pos.toInt, st.toInt)); pos = en
+      }
+      sb.append(t.substring(pos.toInt))
+      (id, t.length.toLong, removed, sb.toString)
+    }
+  }
+
+  test("d15 removes planted repeats, keeps the SA-first occurrence") {
+    import spark.implicits._
+    val repeat = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (0L, s"alpha beta $repeat gamma delta"),
+      (1L, s"zeta eta theta $repeat iota"),
+      (2L, s"mid $repeat tail $repeat end"), // self-repeat inside one doc
+      (3L, "another unrelated document with its own content"),
+      (4L, "")) // empty text must round-trip untouched
+    val dir = java.nio.file.Files.createTempDirectory("d15spec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = graft.SparkEntry.queries("d15_substring_removal")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+      val expected = d15Driver(rows)
+      assert(out === expected)
+      // the planted repeat is GONE from every doc except exactly one
+      // keeper occurrence corpus-wide (SA-first), and untouched docs
+      // round-trip byte-identical
+      val cleaned = out.map(_._4)
+      val keptOccurrences = cleaned.map { t =>
+        var c = 0; var i = t.indexOf(repeat)
+        while (i >= 0) { c += 1; i = t.indexOf(repeat, i + 1) }
+        c
+      }.sum
+      assert(keptOccurrences == 1, s"expected exactly one kept copy, got $keptOccurrences")
+      assert(out(3)._4 == rows(3)._2) // no spans → identity
+      assert(out(3)._3 == 0L)
+      assert(out(4) == ((4L, 0L, 0L, ""))) // empty doc: no phantom suffix
+      // removal accounting is consistent
+      out.foreach { case (_, nChars, nRemoved, clean) =>
+        assert(clean.length.toLong == nChars - nRemoved)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("SA of an all-empty corpus is empty (no NPE, no phantom rows)") {
+    import spark.implicits._
+    val sa = GeneralizedSuffixArray.build(
+      Seq((0L, ""), (1L, "")).toDF("doc_id", "text"))
+    assert(sa.count() == 0L)
+    sa.unpersist()
+    // and a mixed corpus ranks only the non-empty docs' suffixes
+    val sa2 = GeneralizedSuffixArray.build(
+      Seq((0L, ""), (1L, "ab")).toDF("doc_id", "text"))
+    val got = sa2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, 0L), (1L, 1L)))
+    sa2.unpersist()
+  }
 }
