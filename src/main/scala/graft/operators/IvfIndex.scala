@@ -30,13 +30,8 @@ object IvfIndex {
     * session — or across sessions on unchanged data — reuse the same
     * dir instead of accumulating fresh temp copies; a data change
     * changes the key and forces a rebuild in a new dir. */
-  def indexDirFor(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "embeddings.parquet")
-    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
-    val h = java.lang.Long.toHexString(
-      key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_$h").getAbsolutePath
-  }
+  def indexDirFor(sfDir: String): String =
+    ArtifactDir.dirFor(sfDir, "embeddings.parquet", "ivf")
 
   /** Build the index at [[indexDirFor]] unless it is already complete
     * there (both parquet `_SUCCESS` markers present). Returns the dir.
@@ -167,12 +162,23 @@ object IvfIndex {
     * once. Per-query cost stays O(corpus/nlist · nprobe); the batch
     * amortizes the scan setup across queries. */
   def searchBatch(s: SparkSession, sfDir: String, indexDir: String,
-                  nprobe: Int, k: Int, nQueries: Int): DataFrame = {
+                  nprobe: Int, k: Int, nQueries: Int): DataFrame =
+    searchWhere(s, sfDir, indexDir, nprobe, k, col("vec_id") < nQueries)
+
+  /** [[searchBatch]] for an explicit query-id set (s11's hybrid
+    * fusion queries by named ids, not a prefix range). */
+  def searchIds(s: SparkSession, sfDir: String, indexDir: String,
+                nprobe: Int, k: Int, ids: Seq[Long]): DataFrame =
+    searchWhere(s, sfDir, indexDir, nprobe, k, col("vec_id").isin(ids: _*))
+
+  private def searchWhere(s: SparkSession, sfDir: String, indexDir: String,
+                          nprobe: Int, k: Int,
+                          qPred: org.apache.spark.sql.Column): DataFrame = {
     val cb = s.read.parquet(s"$indexDir/codebook")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).map(_._2)
     val qRows = graft.Tables.load(s, sfDir, "embeddings")
-      .filter(col("vec_id") < nQueries)
+      .filter(qPred)
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x as double))").as("qvd"))
       .collect()

@@ -494,6 +494,85 @@ object Similarity extends QueryModule {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // s11: HYBRID retrieval fusion — the lexical+semantic composition
+  // every production retrieval stack runs: BM25 (t12's scorer, the
+  // one lexical-ranking owner) and ANN over the persisted IVF index
+  // (s10's batch search) each rank their top-20 per query, then
+  // reciprocal-rank fusion (Cormack et al. 2009) merges the lists:
+  // rrf(doc) = Σ_lists 1/(60 + rank). Both engines compute the
+  // contribution as the INTEGER ⌊1e9/(60+rank)⌋ — pure rank
+  // arithmetic, no transcendentals, bit-identical (the t12
+  // discipline) — and a doc missing from a list contributes 0.
+  // Query entities are doc_ids 7/113/311 with their same-id vectors.
+  //
+  // Scale shape: the lexical side is t12's linear postings plan; the
+  // semantic side reads only the probed IVF partitions with the
+  // bounded TopK aggregate (s10); both lists are ≤|Q|·20 rows, so the
+  // fusion join and final rank are bounded by construction — at
+  // 100 TB the corpus-sized work stays in the two retrievers, and
+  // fusion cost grows with |Q|, not the corpus.
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qIds = Seq(7L, 113L, 311L)
+    val kList = 20
+    val wl = Window.partitionBy(col("q_id")).orderBy(desc("sc"), col("doc_id"))
+    val lexr = TextAnalysis.bm25Scored(s, d, qIds)
+      .withColumn("r_lex", row_number().over(wl).cast(LongType))
+      .filter(col("r_lex") <= kList)
+      .select(col("q_id"), col("doc_id").as("id"), col("r_lex"))
+    val dir = graft.operators.IvfIndex.ensureBuilt(s, d)
+    val semr = graft.operators.IvfIndex
+      .searchIds(s, d, dir, nprobe = 4, k = kList, qIds)
+      .select(col("q_id"), col("vec_id").as("id"), col("rnk").as("r_sem"))
+    val fused = lexr.join(semr, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        (coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + r_sem)"), lit(0L))).as("rrf_pts"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(desc("rrf_pts"), col("id"))
+    fused.withColumn("rnk", row_number().over(wf).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("id"), col("rrf_pts"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // The oracle restates BOTH retrievers — the s03 k-means/probe chain
+  // (semantic) and t12's BM25 chain (lexical, TextAnalysis.bm25CtesSql
+  // — one SQL owner) — then the integer RRF fusion.
+  private val s11Sql: String =
+    s"""${kmeansAssignCtes()},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |       FROM embeddings WHERE vec_id IN (7, 113, 311)),
+       |pp AS (SELECT q_id, cid, qe FROM (
+       |    SELECT qs.q_id, c.cid, qs.qe,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.q_id
+       |        ORDER BY ${cosSql("qs.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM qs, c$KMeansIters c) WHERE rn <= 4),
+       |sems AS (SELECT pp.q_id, e.vec_id, CAST(CAST(ROUND(
+       |    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pp.qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(pp.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+       |  FROM afinal e JOIN pp USING (cid) WHERE e.vec_id <> pp.q_id),
+       |semr AS (SELECT q_id, vec_id AS id, rn AS r_sem FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM sems) x WHERE rn <= 20),
+       |${TextAnalysis.bm25CtesSql},
+       |lexr AS (SELECT q_id, doc_id AS id, rn AS r_lex FROM (
+       |    SELECT q_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rn
+       |    FROM sc) x WHERE rn <= 20),
+       |fused AS (SELECT COALESCE(l.q_id, m.q_id) AS q_id, COALESCE(l.id, m.id) AS id,
+       |    COALESCE(1000000000 // (60 + l.r_lex), 0)
+       |      + COALESCE(1000000000 // (60 + m.r_sem), 0) AS rrf_pts
+       |  FROM lexr l FULL OUTER JOIN semr m ON l.q_id = m.q_id AND l.id = m.id)
+       |SELECT q_id, rnk, id, rrf_pts FROM (
+       |  SELECT q_id, id, CAST(rrf_pts AS BIGINT) AS rrf_pts,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_pts DESC, id) AS BIGINT) AS rnk
+       |  FROM fused) f WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin
+
   // s07: MMR (maximal marginal relevance) diversity re-rank — the
   // retrieval-for-curation operator: from the top-32 cosine candidates
   // for the query vector, greedily select 8 maximizing
@@ -698,7 +777,8 @@ object Similarity extends QueryModule {
     "s06_ivf_index_search" -> s06,
     "s07_mmr_rerank" -> s07,
     "s09_filtered_ann" -> s09,
-    "s10_batch_ann" -> s10)
+    "s10_batch_ann" -> s10,
+    "s11_hybrid_rrf" -> s11)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
@@ -711,5 +791,6 @@ object Similarity extends QueryModule {
     "s06_ivf_index_search" -> s03Sql,
     "s07_mmr_rerank" -> s07Sql,
     "s09_filtered_ann" -> s09Sql,
-    "s10_batch_ann" -> s10Sql)
+    "s10_batch_ann" -> s10Sql,
+    "s11_hybrid_rrf" -> s11Sql)
 }

@@ -367,9 +367,12 @@ object TextAnalysis extends QueryModule {
   // dl stay UNHINTED: vocabulary and doc count grow with the corpus
   // and must not be force-broadcast at 100 TB); the 1-row corpus
   // stats broadcast. Top-k is per-query bounded. Everything linear.
-  private def t12(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qIds = Seq(7L, 113L, 311L)
+  /** BM25-scored (q_id, doc_id, sc) pairs for the given query doc
+    * ids — the ONE owner of the lexical-ranking contract, shared by
+    * t12 (top-5 report) and s11's hybrid RRF fusion (Similarity).
+    * Scores are sums of floored-long per-term contributions (see the
+    * t12 scaladoc), exact and engine-stable. */
+  private[queries] def bm25Scored(s: SparkSession, d: String, qIds: Seq[Long]): DataFrame = {
     // round-9 rewrite: the (doc, word, tf) inverted index comes
     // pre-aggregated from the functions.WordTfPairs scan kernel — the
     // explode emits distinct-per-doc term rows (no (doc, word) GROUP
@@ -397,7 +400,7 @@ object TextAnalysis extends QueryModule {
     val den = (lit(2) * col("df") + lit(1)) *
       (lit(10) * col("tf") * col("sumdl") + lit(3) * col("sumdl") +
         lit(9) * col("dl") * col("n_docs"))
-    val scored = qt
+    qt
       .join(tf, Seq("word"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(dfw, Seq("word"))
@@ -407,6 +410,11 @@ object TextAnalysis extends QueryModule {
         floor(num.cast(DoubleType) / den.cast(DoubleType) * lit(1000000.0d)))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("sc"))
+  }
+
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(s, d, Seq(7L, 113L, 311L))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sc"), col("doc_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
@@ -414,25 +422,31 @@ object TextAnalysis extends QueryModule {
       .orderBy("q_id", "rnk")
   }
 
+  /** Oracle twin of [[bm25Scored]]: the CTE chain ending in
+    * `sc (q_id, doc_id, sc)` — shared by t12Sql and s11's oracle so
+    * the scoring contract has one SQL owner too. */
+  private[queries] val bm25CtesSql: String =
+    """tf AS (SELECT doc_id, word, COUNT(*) AS tf
+      |            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |                  FROM documents) x
+      |            WHERE word <> '' GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM dl),
+      |dfw AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT doc_id AS q_id, word FROM tf WHERE doc_id IN (7, 113, 311)),
+      |sc AS (SELECT q.q_id, t.doc_id,
+      |         SUM(CAST(FLOOR(
+      |           CAST((2*st.n_docs - 2*f.df + 1) * 22 * t.tf * st.sumdl AS DOUBLE)
+      |           / CAST((2*f.df + 1) * (10*t.tf*st.sumdl + 3*st.sumdl + 9*d.dl*st.n_docs) AS DOUBLE)
+      |           * 1000000.0) AS BIGINT)) AS sc
+      |       FROM qt q
+      |       JOIN tf t ON t.word = q.word AND t.doc_id <> q.q_id
+      |       JOIN dfw f ON f.word = q.word
+      |       JOIN dl d ON d.doc_id = t.doc_id, st
+      |       GROUP BY 1, 2)""".stripMargin
+
   private val t12Sql =
-    s"""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf
-       |            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
-       |                  FROM documents) x
-       |            WHERE word <> '' GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM dl),
-       |dfw AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
-       |qt AS (SELECT doc_id AS q_id, word FROM tf WHERE doc_id IN (7, 113, 311)),
-       |sc AS (SELECT q.q_id, t.doc_id,
-       |         SUM(CAST(FLOOR(
-       |           CAST((2*st.n_docs - 2*f.df + 1) * 22 * t.tf * st.sumdl AS DOUBLE)
-       |           / CAST((2*f.df + 1) * (10*t.tf*st.sumdl + 3*st.sumdl + 9*d.dl*st.n_docs) AS DOUBLE)
-       |           * 1000000.0) AS BIGINT)) AS sc
-       |       FROM qt q
-       |       JOIN tf t ON t.word = q.word AND t.doc_id <> q.q_id
-       |       JOIN dfw f ON f.word = q.word
-       |       JOIN dl d ON d.doc_id = t.doc_id, st
-       |       GROUP BY 1, 2),
+    s"""WITH $bm25CtesSql,
        |r AS (SELECT q_id, doc_id, sc,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |          ORDER BY sc DESC, doc_id) AS BIGINT) AS rnk
@@ -920,6 +934,16 @@ object TextAnalysis extends QueryModule {
         .collect()
         .map(r => (r.getLong(0), r.getInt(1) + 1, r.getLong(2),
           r.getLong(3), r.getLong(4)))
+      // LOUD driver-state bound: w and dpm are unquantized, so the
+      // histogram grows with the distinct-value count, not a fixed
+      // bucket count. A production scale-up quantizes to ≤256 buckets
+      // per feature (and mirrors that in the oracle); until that lands
+      // this guard makes the growth fail with a diagnosis instead of a
+      // driver OOM. 2^21 rows ≈ 80 MB of tuples — far above any gate
+      // SF (sf0.1 ≈ 3.3 k rows/level), far below driver heap.
+      require(hist.length <= (1 << 21),
+        s"t24 training histogram has ${hist.length} rows (> 2^21 driver-state bound): " +
+          "quantize w/dpm to bounded buckets (update the oracle in lockstep) before scaling up")
       val sps = hist.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
         case (node, rows) =>
           val n = rows.filter(_._2 == 1).map(_._4).sum
@@ -997,8 +1021,18 @@ object TextAnalysis extends QueryModule {
        |  FROM a$l$sfx a LEFT JOIN best$l$sfx b ON a.node = b.node
        |  LEFT JOIN fl fv ON fv.doc_id = a.doc_id AND fv.f = b.f)""".stripMargin
 
-  /** The shared feature CTEs (per → feats with fold → long-form fl). */
-  private val t24BaseCtes: String =
+  /** The shared feature CTEs (per → feats with fold → long-form fl).
+    * With `noisyLabels`, the raw features land in `feats0` and `feats`
+    * applies t27's deterministic label flip — everything downstream
+    * (training levels, eval routing, fl) is literally identical. */
+  private def t24BaseCtesFor(noisyLabels: Boolean): String = {
+    val rawName = if (noisyLabels) "feats0" else "feats"
+    val flip = if (!noisyLabels) "" else s""",
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, fold, w, cpw10, sw, dpm,
+       |    CASE WHEN (((doc_id + 7) * 2654435761) % 4294967296) % 17 = 0
+       |         THEN 1 - y ELSE y END AS y
+       |  FROM feats0)""".stripMargin
     s"""per AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
@@ -1009,7 +1043,7 @@ object TextAnalysis extends QueryModule {
        |        + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
        |        + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END) AS BIGINT) AS sw
        |  FROM documents),
-       |feats AS MATERIALIZED (
+       |$rawName AS MATERIALIZED (
        |  SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 5 AS fold, w,
        |    CASE WHEN w = 0 THEN 0 ELSE ${rhuSql("ns", "w", 10)} END AS cpw10, sw,
        |    CASE WHEN w = 0 THEN 0 ELSE ${rhuSql("dw", "w", 1000)} END AS dpm,
@@ -1017,12 +1051,15 @@ object TextAnalysis extends QueryModule {
        |             + CASE WHEN 3*w <= ns AND ns <= 10*w THEN 1 ELSE 0 END
        |             + CASE WHEN sw >= 2 THEN 1 ELSE 0 END
        |             + CASE WHEN 2*dw >= w THEN 1 ELSE 0 END) >= 3 THEN 1 ELSE 0 END AS y
-       |  FROM per),
+       |  FROM per)$flip,
        |fl AS MATERIALIZED (
        |  SELECT doc_id, y, 1 AS f, w AS v FROM feats
        |  UNION ALL SELECT doc_id, y, 2, cpw10 FROM feats
        |  UNION ALL SELECT doc_id, y, 3, sw FROM feats
        |  UNION ALL SELECT doc_id, y, 4, dpm FROM feats)""".stripMargin
+  }
+
+  private val t24BaseCtes: String = t24BaseCtesFor(noisyLabels = false)
 
   private val t24Sql: String = {
     def level(l: Int): String = t24LevelSql(l, "")
@@ -1056,9 +1093,33 @@ object TextAnalysis extends QueryModule {
   // over ONE cached feature frame. Output: per-fold (n_train, n_test,
   // train/test accuracy ppm, split count) — the table a data engineer
   // reads to decide whether the distilled filter generalizes.
-  private def t25(s: SparkSession, d: String): DataFrame = {
+  private def t25(s: SparkSession, d: String): DataFrame =
+    cvReport(t24Feats(s, d))
+
+  // t27: the NOISY-label CV twin — the evaluation t25 cannot show on
+  // the clean corpus, where the label is a deterministic function of
+  // the features and every fold reports train = test = 1.0 (the tree
+  // re-derives the rule exactly). Here a deterministic doc_id-keyed
+  // subset (Knuth hash of doc_id+7, mod 17 — ~5.9% of docs, a
+  // DIFFERENT key stream than the fold hash) gets its label flipped
+  // before training, so the depth-3 tree can no longer fit the data,
+  // held-out accuracy measurably separates from training accuracy,
+  // and the CV table actually informs the generalization decision.
+  // Same training procedure, same oracle discipline (the flip is one
+  // CASE in the feats CTE; everything downstream is t25's unrolled
+  // restatement).
+  private def t27(s: SparkSession, d: String): DataFrame =
+    cvReport(t24Feats(s, d).withColumn("y",
+      when(pmod(Q.knuth32(col("doc_id") + lit(7L)), lit(17L)) === 0L,
+        lit(1L) - col("y")).otherwise(col("y"))))
+
+  /** The 5-fold CV body shared by t25 (clean labels) and t27 (noisy
+    * labels): fold = Knuth hash of doc_id mod 5, per fold a full t24
+    * training on the other 4 folds + held-out routing through the
+    * trained splits with TRAINING-leaf-majority predictions. */
+  private def cvReport(featsIn: DataFrame): DataFrame = {
     val Folds = 5L
-    val feats = t24Feats(s, d)
+    val feats = featsIn
       .withColumn("fold", pmod(Q.knuth32(col("doc_id")), lit(Folds)))
       .cache()
     val rows: Seq[DataFrame] = (0L until Folds).map { k =>
@@ -1088,7 +1149,10 @@ object TextAnalysis extends QueryModule {
     rows.reduce(_ unionByName _).orderBy("fold")
   }
 
-  private val t25Sql: String = {
+  private val t25Sql: String = cvSqlFor(noisyLabels = false)
+  private lazy val t27Sql: String = cvSqlFor(noisyLabels = true)
+
+  private def cvSqlFor(noisyLabels: Boolean): String = {
     def evalStep(l: Int, sfx: String): String =
       s"""e${l + 1}$sfx AS (SELECT e.doc_id,
          |    CASE WHEN b.node IS NULL THEN e.node
@@ -1120,7 +1184,7 @@ object TextAnalysis extends QueryModule {
          |    train_acc_ppm, test_acc_ppm, n_splits
          |  FROM tra$x CROSS JOIN tea$x CROSS JOIN nsp$x)""".stripMargin
     }
-    s"""WITH $t24BaseCtes,
+    s"""WITH ${t24BaseCtesFor(noisyLabels)},
        |${(0 until 5).map(fold).mkString(",\n")}
        |SELECT fold, n_train, n_test, train_acc_ppm, test_acc_ppm, n_splits
        |FROM (${(0 until 5).map(k => s"SELECT * FROM row_$k").mkString(" UNION ALL ")}) u
@@ -1160,6 +1224,7 @@ object TextAnalysis extends QueryModule {
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_classifier_cv" -> t25,
     "t26_classifier_index" -> t26,
+    "t27_classifier_noisy_cv" -> t27,
     "t01_token_stats" -> t01,
     "t02_quality_scores" -> t02,
     "t03_lang_id_accuracy" -> t03,
@@ -1191,6 +1256,7 @@ object TextAnalysis extends QueryModule {
     "t24_quality_classifier" -> t24Sql,
     "t24_score_stream" -> t24Sql,
     "t25_classifier_cv" -> t25Sql,
+    "t27_classifier_noisy_cv" -> t27Sql,
     // persisted-model apply over the training corpus == fresh train
     // (deterministic training), so t24's training restatement is the
     // oracle here too

@@ -104,19 +104,40 @@ class QualityTreeSpec extends AnyFunSuite {
     assert(correct > math.max(nPos, tot - nPos))
   }
 
+  private def knuth32(c: Long): Long = {
+    val d = java.lang.Math.floorMod(c, 4294967296L)
+    java.lang.Math.floorMod(
+      java.lang.Math.floorMod(d * 40503L, 65536L) * 65536L + d * 31153L,
+      4294967296L)
+  }
+
   test("t25 cross-validation matches an independent driver recompute at sf0.001") {
+    cvCheck("t25_classifier_cv", flip = _ => false)
+  }
+
+  test("t27 noisy-label CV matches the driver recompute and separates train from test") {
+    val got = cvCheck("t27_classifier_noisy_cv",
+      flip = id => knuth32(id + 7L) % 17L == 0L)
+    // the whole point of the noisy twin: the label is no longer a
+    // deterministic function of the features, so the depth-3 tree
+    // cannot fit it — training accuracy leaves 1.0, and held-out
+    // accuracy is measurably below training accuracy overall
+    assert(got.forall(_._4 < 1000000L), s"train acc should be < 1.0: $got")
+    assert(got.map(_._5).min < 1000000L, s"some fold must miss held-out docs: $got")
+  }
+
+  /** Runs the CV query and asserts it equals the independent driver
+    * recompute under the given deterministic label flip; returns the
+    * engine rows (fold, n_train, n_test, train_ppm, test_ppm, splits). */
+  private def cvCheck(query: String, flip: Long => Boolean)
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
     val sf = "/root/testdata/sf0.001"
-    def knuth32(c: Long): Long = {
-      val d = java.lang.Math.floorMod(c, 4294967296L)
-      java.lang.Math.floorMod(
-        java.lang.Math.floorMod(d * 40503L, 65536L) * 65536L + d * 31153L,
-        4294967296L)
-    }
     val docs = graft.Tables.load(spark, sf, "documents")
       .selectExpr("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val withFold = docs.map { case (id, text) =>
-      val (fv, y) = featrow(text)
+      val (fv, y0) = featrow(text)
+      val y = if (flip(id)) 1L - y0 else y0
       (knuth32(id) % 5, fv, y)
     }
     val expected = (0L until 5L).map { k =>
@@ -149,10 +170,11 @@ class QualityTreeSpec extends AnyFunSuite {
         rhu(trainCorrect, nTrain, 1000000),
         rhu(testCorrect, test.size.toLong, 1000000), nSplits.toLong)
     }
-    val got = graft.SparkEntry.queries("t25_classifier_cv")(spark, sf)
+    val got = graft.SparkEntry.queries(query)(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got === expected)
+    got
   }
 
   /** The split map (node -> (f, thr)) the trainExpected procedure
