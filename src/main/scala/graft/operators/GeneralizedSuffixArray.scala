@@ -121,10 +121,32 @@ object GeneralizedSuffixArray {
     (s.createDataFrame(rankedRdd, schema), total, ordered)
   }
 
+  /** Suffix-count threshold above which [[build]] switches to the
+    * SPILL-BOUNDED mode: every doubling round is handed off through a
+    * parquet dir (2 longs/suffix, snappy) instead of a cached plan.
+    * The handoff CUTS THE LINEAGE, so the previous round's join/sort
+    * shuffle files become unreachable the moment `ranked` rebinds —
+    * the forced GC then reclaims them INSIDE the round, and the
+    * retired round's parquet dir is deleted eagerly. In-flight disk
+    * is therefore bounded by ~2 rounds (one live handoff + one being
+    * written + the current round's shuffle), independent of the round
+    * count — the property the round-13 sf10 attempts lacked: with
+    * pure in-memory lineage the ContextCleaner's ASYNC reclamation
+    * lagged the build and rounds × shuffle accumulated past the local
+    * disk. On a cluster the same bound holds per node. Below the
+    * threshold the build keeps the all-in-memory lineage (no I/O,
+    * oracle-verified at the gates). Override for tests via
+    * `spark.graft.saCheckpointMinSuffixes`. */
+  private val CkptMinSuffixesDefault: Long = 64L << 20
+
   /** The suffix array: (doc_id, off, rank, rank32) — `rank` is the
     * 0-based position of suffix (doc_id, off) in the total suffix
     * order (ties between identical suffixes broken by (doc_id, off)),
-    * `rank32` the dense rank under the 32-char-prefix equivalence. */
+    * `rank32` the dense rank under the 32-char-prefix equivalence.
+    * Returned frame: cached+materialized (in-memory mode) or backed
+    * by a session-lifetime temp parquet dir (spill-bounded mode);
+    * callers treat both uniformly (unpersist() is a no-op on the
+    * latter). */
   def build(docs: DataFrame): DataFrame = {
     // empty-text docs have NO suffixes (split("", "") would emit one
     // phantom "" row) and an all-empty/empty corpus has a NULL
@@ -146,7 +168,36 @@ object GeneralizedSuffixArray {
       .select(col("ch"),
         (shiftleft(col("doc_id"), 32) + col("off").cast(LongType)).as("pk"))
     val n = chars.count()
+    val s = docs.sparkSession
+    val ckpt = n >= s.conf.getOption("spark.graft.saCheckpointMinSuffixes")
+      .map(_.toLong).getOrElse(CkptMinSuffixesDefault)
+    val tmpRoot: java.nio.file.Path =
+      if (ckpt) {
+        val p = java.nio.file.Files.createTempDirectory("graft_sa_")
+        sys.addShutdownHook(deleteRecursively(p.toFile)) // session-lifetime
+        p
+      } else null
+    var roundIdx = 0
+    var curDir: String = null // parquet backing `ranked` (ckpt mode)
+    var rank32Dir: String = null
+    // parquet handoff: write the round (consuming `cache`), rebind to
+    // the read, retire the PREVIOUS round's dir (unless it backs the
+    // rank32 snapshot), and force the cleaner to reclaim the now-
+    // unreachable shuffles — the spill bound of the scaladoc
+    def handoff(df: DataFrame, cache: DataFrame): DataFrame = {
+      roundIdx += 1
+      val dir = tmpRoot.resolve(s"r$roundIdx").toString
+      df.write.mode("overwrite").parquet(dir)
+      cache.unpersist()
+      val prev = curDir
+      curDir = dir
+      if (prev != null && prev != rank32Dir)
+        deleteRecursively(new java.io.File(prev))
+      System.gc()
+      s.read.parquet(dir)
+    }
     var (ranked, nd, newest) = denseRank(chars, Seq("ch"))
+    if (ckpt) { ranked = handoff(ranked, newest); newest = null }
     var cover = 1L
     var rank32: DataFrame = null
     var rank32Backing: DataFrame = null
@@ -157,39 +208,61 @@ object GeneralizedSuffixArray {
         .select(col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"),
           col("pk"))
       val (r2, d2, c2) = denseRank(paired, Seq("rank", "rank2"))
-      // round i is materialized (the stats collect inside denseRank),
-      // so round i−1's cache can be RETIRED NOW unless it backs the
-      // rank32 snapshot — holding every round alive accumulates
-      // rounds × corpus-sized cache AND keeps each round's shuffle
-      // files referenced (the ContextCleaner only reclaims a shuffle
-      // when its dependency is GC-able), which is what breaks a
-      // 150 M-suffix build on local disk
-      if (!newest.eq(rank32Backing)) {
-        newest.unpersist()
-        newest = null
-        // let the cleaner drop the retired round's shuffle files; only
-        // worth the full-GC pause when the rounds are actually
-        // disk-scale (a no-op hammer on gate/spec corpora)
-        if (n > (64L << 20)) System.gc()
+      if (ckpt) {
+        ranked = handoff(r2, c2)
+      } else {
+        // round i is materialized (the stats collect inside denseRank),
+        // so round i−1's cache can be RETIRED NOW unless it backs the
+        // rank32 snapshot — holding every round alive accumulates
+        // rounds × corpus-sized cache AND keeps each round's shuffle
+        // files referenced (the ContextCleaner only reclaims a shuffle
+        // when its dependency is GC-able)
+        if (!newest.eq(rank32Backing)) { newest.unpersist(); newest = null }
+        newest = c2
+        ranked = r2
       }
-      newest = c2
-      ranked = r2; nd = d2; cover *= 2
-      if (cover >= 32 && rank32 == null) { rank32 = ranked; rank32Backing = c2 }
+      nd = d2; cover *= 2
+      if (cover >= 32 && rank32 == null) {
+        rank32 = ranked
+        if (ckpt) rank32Dir = curDir else rank32Backing = c2
+      }
     }
-    if (rank32 == null) { rank32 = ranked; rank32Backing = newest }
+    if (rank32 == null) {
+      rank32 = ranked
+      if (ckpt) rank32Dir = curDir else rank32Backing = newest
+    }
     // final total order: (rank, pk) — pk order IS (doc_id, off) order
     val pre = ranked.select(col("rank").as("r0"), col("pk").as("kp"), col("pk"))
     val (fin, _, finCache) = denseRank(pre, Seq("r0", "kp"))
-    // materialize the result, then retire the remaining caches
-    val result = fin
+    val joined = fin
       .join(rank32.select(col("pk"), col("rank").as("rank32")), Seq("pk"))
       .select(shiftright(col("pk"), 32).as("doc_id"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("off"),
         col("rank"), col("rank32"))
-      .cache()
-    result.count()
-    Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
-      .foreach(_.unpersist())
-    result
+    if (ckpt) {
+      // land the result itself in the temp root, then retire EVERY
+      // intermediate: the returned frame is a plain parquet read, no
+      // cache to leak, lineage independent of the retired rounds
+      val resDir = tmpRoot.resolve("result").toString
+      joined.write.mode("overwrite").parquet(resDir)
+      finCache.unpersist()
+      Seq(curDir, rank32Dir).filter(_ != null).distinct
+        .foreach(d => deleteRecursively(new java.io.File(d)))
+      System.gc()
+      s.read.parquet(resDir)
+    } else {
+      // materialize the result, then retire the remaining caches
+      val result = joined.cache()
+      result.count()
+      Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
+        .foreach(_.unpersist())
+      result
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

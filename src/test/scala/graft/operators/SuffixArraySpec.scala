@@ -162,6 +162,22 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("spill-bounded (parquet-handoff) build equals the in-memory build") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents").selectExpr("doc_id", "text")
+    val inMem = GeneralizedSuffixArray.build(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    inMem // materialized before flipping the mode
+    val pinned = spark.newSession() // conf-isolated clone (Q.forcedBig idiom)
+    pinned.conf.set("spark.graft.saCheckpointMinSuffixes", "1")
+    val ckpt = GeneralizedSuffixArray.build(
+      graft.Tables.load(pinned, sf, "documents").selectExpr("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(ckpt === inMem)
+  }
+
   test("SA of an all-empty corpus is empty (no NPE, no phantom rows)") {
     import spark.implicits._
     val sa = GeneralizedSuffixArray.build(
