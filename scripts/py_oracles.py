@@ -1464,9 +1464,81 @@ def d15_substring_removal(sf_dir):
     })
 
 
+def d16_exact_decontamination(sf_dir):
+    """Independent recompute of the SA exact-substring decontamination:
+    suffixes sorted (d14 order), per-boundary LCP capped at 2048; for
+    every EVAL suffix (doc_id % 37 == 0) the longest prefix shared
+    with ANY train suffix = max over the two directional gated-min
+    scans (state := INF at a train suffix, min(state, boundary lcp) at
+    an eval suffix); spans >= 32 union-merge per eval doc."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    rows = list(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("source").to_pylist(),
+                    docs.column("text").to_pylist()))
+    sufs = sorted(((text[o:], did, o)
+                   for did, _, text in rows for o in range(len(text))),
+                  key=lambda t: (t[0], t[1], t[2]))
+    n = len(sufs)
+    lcps = [0] * (n + 1)  # lcps[i] = boundary between i-1 and i
+    for i in range(1, n):
+        s1, s2 = sufs[i - 1][0], sufs[i][0]
+        m = min(len(s1), len(s2), 2048)
+        l = 0
+        while l < m and s1[l] == s2[l]:
+            l += 1
+        lcps[i] = l
+    INF = 1 << 60
+    best = [0] * n
+    state = -1  # no train seen yet
+    for i in range(n):  # left-to-right: nearest train at smaller rank
+        if sufs[i][1] % 37 != 0:
+            state = INF
+        else:
+            state = -1 if state == -1 else min(state, lcps[i])
+            if state > best[i]:
+                best[i] = state
+    state = -1
+    for i in range(n - 1, -1, -1):  # right-to-left: boundary i+1
+        if sufs[i][1] % 37 != 0:
+            state = INF
+        else:
+            state = -1 if state == -1 else min(state, lcps[i + 1])
+            if state > best[i]:
+                best[i] = state
+    spans = {}
+    for i in range(n):
+        if best[i] >= 32:
+            _, did, o = sufs[i]
+            spans.setdefault(did, []).append((o, o + best[i]))
+    out_id, out_src, out_nc, out_cc, out_ns = [], [], [], [], []
+    for did, src, text in sorted(rows):
+        if did % 37 != 0:
+            continue
+        merged = []
+        for st, en in sorted(spans.get(did, [])):
+            if merged and st <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        out_id.append(did)
+        out_src.append(src)
+        out_nc.append(len(text))
+        out_cc.append(sum(en - st for st, en in merged))
+        out_ns.append(len(merged))
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "source": pa.array(out_src, pa.string()),
+        "n_chars": pa.array(out_nc, pa.int64()),
+        "n_contam_chars": pa.array(out_cc, pa.int64()),
+        "n_spans": pa.array(out_ns, pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d14_longest_dup_substrings": d14_longest_dup_substrings,
     "d15_substring_removal": d15_substring_removal,
+    "d16_exact_decontamination": d16_exact_decontamination,
     "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,
     "g03_connected_components": g03_connected_components,

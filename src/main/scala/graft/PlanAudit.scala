@@ -355,6 +355,21 @@ object PlanAudit {
         !s.split("== Initial Plan ==").head.split("\n")
           .exists(l => nodeIs(l, "Generate") && l.contains("posexplode"))))
 
+    // d16 exact decontamination: the visible plan is the span-merge +
+    // eval-doc report (the SA + directional scans are materialized
+    // behind the spans parquet handoff; the scans themselves are the
+    // denseRank two-pass shape, never a Window) — one doc-keyed
+    // aggregate + one doc-keyed outer equi join, no cartesian, and
+    // the eval-split filter must reach the parquet scan
+    audit("d16_exact_decontamination")(
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "doc-keyed span aggregate" -> (s =>
+        s.contains("sort_array") || s.contains("collect_list")))
+
     // c14 curriculum shards: the difficulty total order must come from
     // the bounded-grid rank (per-(qs, pid) windows + the broadcast
     // offset join), never a single-partition window over the corpus

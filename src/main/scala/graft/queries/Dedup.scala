@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -932,12 +932,14 @@ object Dedup extends QueryModule {
       col("rank32").as("r32b"))
     val cands = sa.join(succ, Seq("rank"))
       .filter(col("rank32") === col("r32b"))
-      .select(col("doc_id").as("doc_a"), col("off").as("off_a"),
+      .select((col("rank") + 1).as("b_rank"),
+        col("doc_id").as("doc_a"), col("off").as("off_a"),
         col("doc_b"), col("off_b"))
     val ta = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     val pairs = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+      .select(col("b_rank"),
+        col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
         graft.functions.GraftFunctions.commonPrefixLen(
           expr("substring(text_a, cast(off_a + 1 as int), 2048)"),
           expr("substring(text_b, cast(off_b + 1 as int), 2048)")).as("lcp"))
@@ -981,6 +983,23 @@ object Dedup extends QueryModule {
   // Oracle: the d14 Python suffix sort extended with the same
   // predecessor-LCP spans + merge + stitch (scripts/py_oracles.py) —
   // DuckDB cannot materialize the suffix relation.
+  /** Per-doc UNION-merge of (doc_id, st, en) spans: one sorted fold,
+    * bounded by the doc's span count (CASE guards the empty-
+    * accumulator element_at). Returns (doc_id, iv: array<struct>).
+    * Shared by d15 (removal spans) and d16 (contamination spans). */
+  private def mergedSpans(spans: DataFrame): DataFrame =
+    spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("sp"))
+      .select(col("doc_id"), expr(
+        """aggregate(sp,
+          |  cast(array() as array<struct<st:bigint,en:bigint>>),
+          |  (acc, x) -> case
+          |    when size(acc) > 0 and x.st <= element_at(acc, -1).en then
+          |      concat(slice(acc, 1, size(acc) - 1),
+          |        array(named_struct('st', element_at(acc, -1).st,
+          |          'en', greatest(element_at(acc, -1).en, x.en))))
+          |    else concat(acc, array(x)) end)""".stripMargin).as("iv"))
+
   private def d15(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
     val (sa, pairs) = saAdjacentLcp(base.select(col("doc_id"), col("text")))
@@ -999,17 +1018,7 @@ object Dedup extends QueryModule {
     val spans = s.read.parquet(spansDir)
     // union-merge the per-doc spans: one sorted fold, bounded by the
     // doc's span count (CASE guards the empty-accumulator element_at)
-    val merged = spans.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("sp"))
-      .select(col("doc_id"), expr(
-        """aggregate(sp,
-          |  cast(array() as array<struct<st:bigint,en:bigint>>),
-          |  (acc, x) -> case
-          |    when size(acc) > 0 and x.st <= element_at(acc, -1).en then
-          |      concat(slice(acc, 1, size(acc) - 1),
-          |        array(named_struct('st', element_at(acc, -1).st,
-          |          'en', greatest(element_at(acc, -1).en, x.en))))
-          |    else concat(acc, array(x)) end)""".stripMargin).as("iv"))
+    val merged = mergedSpans(spans)
     val out = base.join(merged, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"),
         length(col("text")).cast(LongType).as("n_chars"),
@@ -1026,8 +1035,138 @@ object Dedup extends QueryModule {
     out
   }
 
+  // d16: EXACT-SUBSTRING decontamination — the cross-corpus form of
+  // the d15 machinery, and the exact-match analog of t08/t16/t19's
+  // gram/Bloom decontamination (the "remove training documents that
+  // contain verbatim eval text" appendix check of the big-LM papers):
+  // for every EVAL document (the t08 split, doc_id % 37 = 0), the
+  // character spans that appear VERBATIM (≥ 32 chars, capped 2048) in
+  // some TRAIN document. On the generalized SA the shared length of
+  // an eval suffix with the NEAREST train suffix on one side in SA
+  // order is the running MIN of boundary LCPs since that train suffix
+  // (and nearest is optimal — mins only shrink with SA distance), so
+  // two directional gated-min scans in rank order compute, for EVERY
+  // eval suffix, the longest prefix it shares with ANY train suffix.
+  // Exactness with the rank32-pruned boundary LCPs: an emitted length
+  // m ≥ 32 forces every boundary in its min-chain to carry lcp ≥ 32,
+  // hence rank32-equal, hence exactly computed — boundaries below 32
+  // (absent candidates, stored 0) can only appear in chains whose min
+  // is < 32, which the threshold drops on both engines identically.
+  // Scale: the scans are the denseRank two-pass shape (range exchange
+  // + bounded per-partition summary + driver composition + broadcast
+  // second pass — driver state ≤ |partitions| rows); spans merge with
+  // d15's per-doc fold; output one row per eval doc. Oracle: the d14
+  // Python suffix sort extended with the same two scans
+  // (scripts/py_oracles.py) — DuckDB cannot materialize the relation.
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val (sa, pairs) = saAdjacentLcp(all.select(col("doc_id"), col("text")))
+    val bnd = pairs.select(col("b_rank"), col("lcp"))
+    val lab = sa.select(col("rank"), col("doc_id"), col("off"),
+      (pmod(col("doc_id"), lit(37L)) =!= 0L).as("train"))
+    // boundary LCP between row and its predecessor IN SCAN ORDER:
+    // ascending scan reads the rank-r boundary (b_rank = r), the
+    // descending scan reads the rank-(r+1) boundary
+    val withPred = lab
+      .join(bnd.withColumnRenamed("b_rank", "rank"), Seq("rank"), "left")
+      .na.fill(0L, Seq("lcp"))
+      .select(col("rank").as("ord"), col("doc_id"), col("off"),
+        col("train"), col("lcp").as("lcpIn"))
+    val withSucc = lab
+      .join(bnd.select((col("b_rank") - 1).as("rank"), col("lcp")),
+        Seq("rank"), "left")
+      .na.fill(0L, Seq("lcp"))
+      .select((-col("rank")).as("ord"), col("doc_id"), col("off"),
+        col("train"), col("lcp").as("lcpIn"))
+    val (l, lc) = scanSharedWithTrain(withPred)
+    val (r, rc) = scanSharedWithTrain(withSucc)
+    // materialize the (small: one row per contaminated eval suffix)
+    // span set, then retire the SA + scan caches (the d15 handoff)
+    val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d16spans")
+    l.unionByName(r).groupBy(col("doc_id"), col("off"))
+      .agg(max(col("m")).as("m"))
+      .select(col("doc_id"), col("off").as("st"),
+        (col("off") + col("m")).as("en"))
+      .write.mode("overwrite").parquet(spansDir)
+    Seq(lc, rc).foreach(_.unpersist())
+    sa.unpersist()
+    val merged = mergedSpans(s.read.parquet(spansDir))
+    all.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        coalesce(expr("aggregate(iv, 0L, (a, x) -> a + x.en - x.st)"), lit(0L))
+          .as("n_contam_chars"),
+        coalesce(size(col("iv")).cast(LongType), lit(0L)).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** One directional gated-min scan (see d16): `rows` =
+    * (ord ascending scan order, doc_id, off, train, lcpIn — boundary
+    * LCP to the predecessor in scan order, 0 when absent/broken).
+    * Transition per row: train ⇒ S := ∞; eval ⇒ S := min(S, lcpIn)
+    * (S = "no train seen yet" before the first train row). Emits
+    * (doc_id, off, m = S) for eval suffixes with m ≥ 32. Distributed
+    * as the denseRank two-pass: range exchange, bounded per-partition
+    * transition summary (a partition composes to either the concrete
+    * state after its last train row, or min(S_in, partition-min)),
+    * driver composition, broadcast second pass. Returns (result,
+    * the cached range-sorted frame backing it — caller unpersists
+    * after materializing downstream). */
+  private def scanSharedWithTrain(rows: DataFrame): (DataFrame, DataFrame) = {
+    val s = rows.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val NoTrain = -1L
+    val ordered = rows
+      .select(col("ord").cast(LongType), col("doc_id").cast(LongType),
+        col("off").cast(LongType), col("train"), col("lcpIn").cast(LongType))
+      .repartitionByRange(parts, col("ord"))
+      .sortWithinPartitions(col("ord"))
+      .cache()
+    val summaries: Array[(Int, Boolean, Long)] =
+      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var sawTrain = false
+        var cur = Long.MaxValue // C after the last train, or A overall
+        it.foreach { rr =>
+          if (rr.getBoolean(3)) { sawTrain = true; cur = Long.MaxValue }
+          else cur = math.min(cur, rr.getLong(4))
+        }
+        Iterator((pid, sawTrain, cur))
+      }.collect().sortBy(_._1)
+    var state = NoTrain
+    val incoming = summaries.map { case (pid, hasTrain, v) =>
+      val in = state
+      state =
+        if (hasTrain) v
+        else if (in == NoTrain) NoTrain
+        else math.min(in, v)
+      pid -> in
+    }.toMap
+    val bc = s.sparkContext.broadcast(incoming)
+    val outRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        var st = bc.value(pid)
+        it.flatMap { rr =>
+          if (rr.getBoolean(3)) { st = Long.MaxValue; None }
+          else {
+            st = if (st == NoTrain) NoTrain else math.min(st, rr.getLong(4))
+            if (st >= 32L) Some(Row(rr.getLong(1), rr.getLong(2), st))
+            else None
+          }
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("m", LongType, nullable = false)))
+    (s.createDataFrame(outRdd, schema), ordered)
+  }
+
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_longest_dup_substrings" -> d14,
+    "d16_exact_decontamination" -> d16,
     "d15_substring_removal" -> d15,
     "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,

@@ -162,6 +162,87 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  /** Driver recompute of the d16 contract: per-boundary capped LCPs
+    * over the suffix sort, two directional gated-min scans, spans
+    * ≥ 32 union-merged per EVAL doc (doc_id % 37 == 0). */
+  private def d16Driver(rows: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val sufs = saDriver(rows)
+    val n = sufs.length
+    val lcps = new Array[Long](n + 1)
+    for (i <- 1 until n) {
+      val (s1, _, _) = sufs(i - 1); val (s2, _, _) = sufs(i)
+      lcps(i) = math.min(s1.zip(s2).takeWhile(p => p._1 == p._2).length.toLong, 2048L)
+    }
+    val inf = 1L << 60
+    val best = new Array[Long](n)
+    var st = -1L
+    for (i <- 0 until n) {
+      if (sufs(i)._2 % 37 != 0) st = inf
+      else {
+        st = if (st == -1L) -1L else math.min(st, lcps(i))
+        if (st > best(i)) best(i) = st
+      }
+    }
+    st = -1L
+    for (i <- (n - 1) to 0 by -1) {
+      if (sufs(i)._2 % 37 != 0) st = inf
+      else {
+        st = if (st == -1L) -1L else math.min(st, lcps(i + 1))
+        if (st > best(i)) best(i) = st
+      }
+    }
+    val spans = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    for (i <- 0 until n; if best(i) >= 32) {
+      val (_, did, o) = sufs(i)
+      spans(did) = (o, o + best(i)) :: spans.getOrElse(did, Nil)
+    }
+    rows.filter(_._1 % 37 == 0).sortBy(_._1).map { case (id, t) =>
+      val merged = spans.getOrElse(id, Nil).sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((ps, pe) :: acc, (s0, e0)) if s0 <= pe =>
+            (ps, math.max(pe, e0)) :: acc
+          case (acc, iv) => iv :: acc
+        }.reverse
+      (id, t.length.toLong, merged.map { case (s0, e0) => e0 - s0 }.sum,
+        merged.length.toLong)
+    }
+  }
+
+  test("d16 finds planted verbatim eval-in-train passages, exact spans") {
+    import spark.implicits._
+    val passage = "the verbatim benchmark passage that leaked into the training corpus"
+    val rows = Seq(
+      // eval docs: doc_id % 37 == 0
+      (0L, s"eval starts $passage eval ends"),          // contaminated
+      (37L, "a fully original evaluation document here"), // clean
+      (74L, s"$passage twice around $passage here"),    // two spans (merge check)
+      // train docs
+      (1L, s"train doc containing $passage in the middle"),
+      (2L, "another train document with nothing shared"),
+      (40L, "yet more unrelated training text goes here"))
+    val dir = java.nio.file.Files.createTempDirectory("d16spec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = graft.SparkEntry.queries("d16_exact_decontamination")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(out === d16Driver(rows))
+      val byId = out.map(t => t._1 -> t).toMap
+      assert(byId(0L)._3 >= passage.length.toLong) // contaminated span found
+      assert(byId(37L)._3 == 0L && byId(37L)._4 == 0L) // clean doc clean
+      assert(byId(74L)._3 >= 2L * passage.length) // both occurrences flagged
+      // spans never exceed the doc
+      out.foreach { case (_, nChars, contam, _) => assert(contam <= nChars) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("spill-bounded (parquet-handoff) build equals the in-memory build") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents").selectExpr("doc_id", "text")
