@@ -1539,6 +1539,10 @@ PY_ORACLES = {
     "d14_longest_dup_substrings": d14_longest_dup_substrings,
     "d15_substring_removal": d15_substring_removal,
     "d16_exact_decontamination": d16_exact_decontamination,
+    # persisted-SA report == fresh d14 (deterministic construction),
+    # so d14's independent suffix sort is the oracle here too — the
+    # t26→t24 precedent
+    "d17_sa_index_report": d14_longest_dup_substrings,
     "d03_lsh_candidates": d03_lsh_candidates,
     "d04_simhash_pairs": d04_simhash_pairs,
     "g03_connected_components": g03_connected_components,

@@ -927,6 +927,14 @@ object Dedup extends QueryModule {
     * rest of the session was the round-13 ADVICE leak. */
   private[queries] def saAdjacentLcp(base: DataFrame): (DataFrame, DataFrame) = {
     val sa = graft.operators.GeneralizedSuffixArray.build(base)
+    (sa, adjacentLcpFrom(sa, base))
+  }
+
+  /** The candidate/LCP derivation alone, over an already-built SA
+    * frame — shared by the in-query builds (saAdjacentLcp) and the
+    * persisted-index form (d17), so both derive the identical pair
+    * set from whichever array backs them. */
+  private def adjacentLcpFrom(sa: DataFrame, base: DataFrame): DataFrame = {
     val succ = sa.select((col("rank") - 1).as("rank"),
       col("doc_id").as("doc_b"), col("off").as("off_b"),
       col("rank32").as("r32b"))
@@ -937,31 +945,50 @@ object Dedup extends QueryModule {
         col("doc_b"), col("off_b"))
     val ta = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val pairs = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+    cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .select(col("b_rank"),
         col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
         graft.functions.GraftFunctions.commonPrefixLen(
           expr("substring(text_a, cast(off_a + 1 as int), 2048)"),
           expr("substring(text_b, cast(off_b + 1 as int), 2048)")).as("lcp"))
-    (sa, pairs)
   }
 
-  private def d14(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("text"))
-    val (sa, pairs) = saAdjacentLcp(base)
-    val top = pairs
+  /** The d14 report tail: top-20 repeats ≥ 32, deterministic order. */
+  private def d14Top(pairs: DataFrame): DataFrame =
+    pairs
       .filter(col("lcp") >= 32)
       .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
       .orderBy(desc("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
       .limit(20)
+
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val (sa, pairs) = saAdjacentLcp(base)
     // materialize the ≤20-row report (bounded by the LIMIT), THEN
     // retire the corpus-char-sized SA cache instead of pinning it for
     // the session (the round-13 ADVICE leak). The report frame stays
     // cached — 20 rows — and keeps the real plan visible to PlanAudit.
-    val report = top.cache()
+    val report = d14Top(pairs).cache()
     report.count()
     sa.unpersist()
     report
+  }
+
+  // d17: the PERSISTED-INDEX form of the SA family — the SA in the
+  // build-once / derive-many operating mode (operators.SuffixArrayIndex,
+  // the s06/t19/d13/t26 pattern): a corpus snapshot's array is built
+  // and written ONCE (17 min at sf10), and the derived questions —
+  // here the d14 repeat report, via the SAME shared adjacentLcpFrom/
+  // d14Top derivation — are linear passes over the loaded artifact.
+  // The construction is deterministic, so report-from-index equals a
+  // fresh d14 exactly — which is how the oracle states the check
+  // (d14's Python suffix sort, the t26→t24 precedent). Bench charges
+  // the build to its own metric (d17_sa_index_build); the query line
+  // is the derive cost a repeated analysis actually pays.
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.operators.SuffixArrayIndex.ensureBuilt(s, d)
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    d14Top(adjacentLcpFrom(graft.operators.SuffixArrayIndex.load(s, dir), base))
   }
 
   // d15: exact-substring REMOVAL on the suffix array — the operation
@@ -1167,6 +1194,7 @@ object Dedup extends QueryModule {
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_longest_dup_substrings" -> d14,
     "d16_exact_decontamination" -> d16,
+    "d17_sa_index_report" -> d17,
     "d15_substring_removal" -> d15,
     "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,

@@ -259,6 +259,22 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(ckpt === inMem)
   }
 
+  test("d17 persisted-index report equals a fresh d14 (build once, derive again)") {
+    val sf = "/root/testdata/sf0.001"
+    val fresh = graft.SparkEntry.queries("d14_longest_dup_substrings")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val dir = SuffixArrayIndex.ensureBuilt(spark, sf)
+    assert(new java.io.File(dir, "sa/_SUCCESS").exists)
+    val viaIndex = graft.SparkEntry.queries("d17_sa_index_report")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex === fresh)
+    // second call reuses the artifact (no rebuild): the marker's mtime
+    // is unchanged across an ensureBuilt round-trip
+    val m = new java.io.File(dir, "sa/_SUCCESS").lastModified
+    SuffixArrayIndex.ensureBuilt(spark, sf)
+    assert(new java.io.File(dir, "sa/_SUCCESS").lastModified == m)
+  }
+
   test("SA of an all-empty corpus is empty (no NPE, no phantom rows)") {
     import spark.implicits._
     val sa = GeneralizedSuffixArray.build(
