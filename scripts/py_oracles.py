@@ -1410,10 +1410,11 @@ def d14_longest_dup_substrings(sf_dir):
     })
 
 
-def d15_substring_removal(sf_dir):
-    """Independent recompute of the suffix-array exact-substring
-    removal: sort ALL suffixes (total order = (suffix string, doc_id,
-    off), the d14 order); every suffix whose LCP with its SA
+def _d15_rows(sf_dir):
+    """The d15 recompute body, shared with c16's funnel oracle:
+    returns (doc_id, source, n_chars, n_removed, text_clean) rows in
+    doc_id order — sort ALL suffixes (total order = (suffix string,
+    doc_id, off), the d14 order); every suffix whose LCP with its SA
     PREDECESSOR is >= 32 (capped at 2048) loses that shared prefix
     [off, off+lcp); spans union-merge per doc; cleaned text is the
     complement. Keeper = SA-first occurrence, exactly the engine
@@ -1436,7 +1437,7 @@ def d15_substring_removal(sf_dir):
             l += 1
         if l >= 32:
             spans.setdefault(d2, []).append((o2, o2 + l))
-    out_id, out_src, out_nc, out_nr, out_tc = [], [], [], [], []
+    out = []
     for did, src, text in sorted(rows):
         merged = []
         for st, en in sorted(spans.get(did, [])):
@@ -1450,11 +1451,19 @@ def d15_substring_removal(sf_dir):
             pieces.append(text[pos:st])
             pos = en
         pieces.append(text[pos:])
-        out_id.append(did)
-        out_src.append(src)
-        out_nc.append(len(text))
-        out_nr.append(removed)
-        out_tc.append("".join(pieces))
+        out.append((did, src, len(text), removed, "".join(pieces)))
+    return out
+
+
+def d15_substring_removal(sf_dir):
+    """Independent recompute of the suffix-array exact-substring
+    removal (see _d15_rows)."""
+    rows = _d15_rows(sf_dir)
+    out_id = [r[0] for r in rows]
+    out_src = [r[1] for r in rows]
+    out_nc = [r[2] for r in rows]
+    out_nr = [r[3] for r in rows]
+    out_tc = [r[4] for r in rows]
     return pa.table({
         "doc_id": pa.array(out_id, pa.int64()),
         "source": pa.array(out_src, pa.string()),
@@ -1535,8 +1544,75 @@ def d16_exact_decontamination(sf_dir):
     })
 
 
+def c16_pipeline_substr(sf_dir):
+    """Funnel oracle for c16: d15's substring removal (shared
+    _d15_rows suffix sort) composed with the c11-battery gate, exact
+    dedup of cleaned texts (min-doc_id keeper), and the Knuth 80/10/10
+    split — stage manifest (stage, n_units, n_chars, n_tokens) with
+    whitespace tokens, mirroring the engine's stage algebra."""
+    d15 = _d15_rows(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    raw = list(zip(docs.column("doc_id").to_pylist(),
+                   docs.column("text").to_pylist(),
+                   docs.column("n_chars").to_pylist()))
+
+    def ws(t):
+        return [x for x in t.split(" ") if x != ""]
+
+    def gate3(t):
+        toks = ws(t)
+        w, dw = len(toks), len(set(toks))
+        ns = len(t.replace(" ", ""))
+        padded = " " + t + " "
+        sw = sum(1 for x in (" the ", " a ", " and ", " of ") if x in padded)
+        g1 = 1 if 50 <= w <= 100000 else 0
+        g2 = 1 if 3 * w <= ns <= 10 * w else 0
+        g3 = 1 if sw >= 2 else 0
+        g4 = 1 if 2 * dw >= w else 0
+        return g1 + g2 + g3 + g4 >= 3
+
+    cleaned = [(did, clean) for did, _, _, _, clean in d15]
+    gated = [(did, t) for did, t in cleaned if gate3(t)]
+    first = {}
+    for did, t in sorted(gated):
+        if t not in first:
+            first[t] = did
+    keep = set(first.values())
+    deduped = [(did, t) for did, t in gated if did in keep]
+    stages = {}
+
+    def add(stage, items):
+        stages[stage] = (len(items),
+                         sum(len(t) for _, t in items),
+                         sum(len(ws(t)) for _, t in items))
+
+    add("0_raw", [(did, t) for did, t, _ in raw])
+    # 0_raw n_chars comes from the table column (the engine reads it)
+    stages["0_raw"] = (len(raw), sum(nc for _, _, nc in raw),
+                       stages["0_raw"][2])
+    add("1_substr_removed", cleaned)
+    add("2_gated", gated)
+    add("3_deduped", deduped)
+    buckets = {}
+    for did, t in deduped:
+        b = (did * 2654435761) % 4294967296 % 10
+        name = "4_train" if b < 8 else ("4_val" if b == 8 else "4_test")
+        buckets.setdefault(name, []).append((did, t))
+    for name, items in buckets.items():
+        add(name, items)
+    names = sorted(stages)
+    return pa.table({
+        "stage": pa.array(names, pa.string()),
+        "n_units": pa.array([stages[n][0] for n in names], pa.int64()),
+        "n_chars": pa.array([stages[n][1] for n in names], pa.int64()),
+        "n_tokens": pa.array([stages[n][2] for n in names], pa.int64()),
+    })
+
+
 PY_ORACLES = {
     "d14_longest_dup_substrings": d14_longest_dup_substrings,
+    "c16_pipeline_substr": c16_pipeline_substr,
     "d15_substring_removal": d15_substring_removal,
     "d16_exact_decontamination": d16_exact_decontamination,
     # persisted-SA report == fresh d14 (deterministic construction),

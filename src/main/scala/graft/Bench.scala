@@ -99,12 +99,16 @@ object Bench {
           graft.operators.TreeModel.modelDirFor(sfDir))
         Seq("t26_classifier_index_build" -> (System.nanoTime() - t0) / 1e9)
       }
-    // d17 is build-once/derive-many (the persisted suffix array):
-    // charge the SA construction separately; the query line measures
-    // the derive-from-index pass a repeated analysis actually pays
+    // The SA family is build-once/derive-many (the persisted suffix
+    // array): d15/d16/d17 all derive from the ONE persisted artifact,
+    // so charge the SA construction to its own metric whenever any of
+    // them runs; each query line then measures the derive-from-index
+    // pass a repeated analysis actually pays (round-14 verdict item 1
+    // — previously d15/d16 each paid a fresh ~17-min sf10 build).
+    val saUsers = Seq("d15_substring_removal", "d16_exact_decontamination",
+      "d17_sa_index_report", "c16_pipeline_substr")
     val d17Build: Seq[(String, Double)] =
-      if (skip("d17_sa_index_report") ||
-          !only.forall(_("d17_sa_index_report"))) Nil
+      if (saUsers.forall(n => skip(n) || !only.forall(_(n)))) Nil
       else {
         val t0 = System.nanoTime()
         graft.operators.SuffixArrayIndex.build(spark, sfDir,

@@ -812,6 +812,24 @@ object PlanAudit {
         s.split("\n").exists(l =>
           l.contains("PartitionFilters") && l.contains("cid"))))
 
+    // s12 semantic decontamination: the eval probe rides the s10
+    // batch shape — bounded TopK (k=1) aggregate, probe table
+    // broadcast, the probed-cid prune a partition filter on the ONE
+    // postings scan — and the eval×train composition must never be a
+    // cartesian (the candidate restriction is a scan-side filter, not
+    // a join)
+    audit("s12_semantic_decontamination")(
+      "bounded TopK aggregate (no rank window)" -> (s =>
+        s.contains("ObjectHashAggregate") && !s.contains("Window")),
+      "probe table broadcast" -> (_.contains("BroadcastHashJoin")),
+      "cid probe prune is a partition filter" -> (s =>
+        s.split("\n").exists(l =>
+          l.contains("PartitionFilters") && l.contains("cid"))),
+      "no eval-train cartesian" -> (s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }))
+
     // m09 image near-dup: the candidate generation must stay the
     // banded (band, value) equi self-join — a cartesian or nested
     // loop means it degenerated to all-pairs hamming

@@ -16,11 +16,28 @@ package graft.operators
   */
 object ArtifactDir {
 
+  /** Content-coupled identity of the key table. For a single-file
+    * parquet this is its (mtime, length). For a DIRECTORY parquet
+    * (Spark-written corpora) the directory's own mtime/length are NOT
+    * content-coupled — length is a filesystem block size and the
+    * mtime granularity can swallow an in-place regeneration — so the
+    * signature is taken over the part files inside: their count, the
+    * sum of their lengths, and the newest mtime among them (which
+    * includes `_SUCCESS`, stamped last by the committer). */
+  private def signature(f: java.io.File): String =
+    if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile)
+      val total = parts.map(_.length).sum
+      val newest = if (parts.isEmpty) 0L else parts.map(_.lastModified).max
+      s"d|${parts.length}|$total|$newest"
+    } else s"f|${f.lastModified}|${f.length}"
+
   /** `graft_<prefix>_<hash>` under java.io.tmpdir, keyed by
     * `sfDir/keyFile`'s identity. */
   def dirFor(sfDir: String, keyFile: String, prefix: String): String = {
     val f = new java.io.File(sfDir, keyFile)
-    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${f.lastModified}|${f.length}"
+    val key = s"${new java.io.File(sfDir).getCanonicalPath}|${signature(f)}"
     val h = java.lang.Long.toHexString(
       key.getBytes("UTF-8").foldLeft(1469598103934665603L)((a, b) => a * 1000003L + (b & 0xFF)))
     new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_${prefix}_$h").getAbsolutePath

@@ -52,9 +52,15 @@ import org.apache.spark.sql.types._
   * after round 1 except over heavy repeats — exactly the data the
   * operator exists to find — and a pathological single-repeat corpus
   * degrades the range split with the same mitigation as any sort
-  * (more partitions). Character granularity is UTF-16 code units of
-  * the BMP (split-by-empty; the corpora are BMP text) — the oracle
-  * mirrors code points, identical on BMP.
+  * (more partitions). Character granularity is UNICODE CODE POINTS on
+  * every step of the chain — probed and spec-enforced, not assumed
+  * (SuffixArraySpec "astral"): Spark's `split(text, "")` emits one
+  * element per code point, `substring`/`length` index and count code
+  * points, UTF8String's binary sort order IS code-point order, and
+  * functions.CommonPrefixLen counts non-continuation UTF-8 bytes =
+  * code points. The Python oracle's string ops are code-point
+  * semantics too, so the two engines agree on astral text as well as
+  * BMP — no surrogate-half divergence exists to guard against.
   */
 object GeneralizedSuffixArray {
 
@@ -146,8 +152,17 @@ object GeneralizedSuffixArray {
     * Returned frame: cached+materialized (in-memory mode) or backed
     * by a session-lifetime temp parquet dir (spill-bounded mode);
     * callers treat both uniformly (unpersist() is a no-op on the
-    * latter). */
-  def build(docs: DataFrame): DataFrame = {
+    * latter).
+    *
+    * `resultDir`: when given, the final array is WRITTEN THERE (one
+    * parquet write, both modes) and the returned frame reads it back
+    * — the caller owns that dir's lifecycle. This is the persisted-
+    * index path (SuffixArrayIndex): without it the spill-bounded mode
+    * would land the result in its own temp root and the index build
+    * would re-read + rewrite a corpus-sized array (double peak disk
+    * and I/O for the ~17-min sf10 construction, the round-14 ADVICE
+    * item). */
+  def build(docs: DataFrame, resultDir: Option[String] = None): DataFrame = {
     // empty-text docs have NO suffixes (split("", "") would emit one
     // phantom "" row) and an all-empty/empty corpus has a NULL
     // max(length) — both must yield the documented suffix set, which
@@ -240,23 +255,35 @@ object GeneralizedSuffixArray {
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("off"),
         col("rank"), col("rank32"))
     if (ckpt) {
-      // land the result itself in the temp root, then retire EVERY
-      // intermediate: the returned frame is a plain parquet read, no
-      // cache to leak, lineage independent of the retired rounds
-      val resDir = tmpRoot.resolve("result").toString
+      // land the result (in the caller's dir when given, else the
+      // temp root), then retire EVERY intermediate: the returned
+      // frame is a plain parquet read, no cache to leak, lineage
+      // independent of the retired rounds
+      val resDir = resultDir.getOrElse(tmpRoot.resolve("result").toString)
       joined.write.mode("overwrite").parquet(resDir)
       finCache.unpersist()
       Seq(curDir, rank32Dir).filter(_ != null).distinct
         .foreach(d => deleteRecursively(new java.io.File(d)))
+      // caller-owned result ⇒ nothing of the build remains in the
+      // temp root; reclaim it now instead of at JVM shutdown
+      if (resultDir.isDefined) deleteRecursively(tmpRoot.toFile)
       System.gc()
       s.read.parquet(resDir)
-    } else {
-      // materialize the result, then retire the remaining caches
-      val result = joined.cache()
-      result.count()
-      Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
-        .foreach(_.unpersist())
-      result
+    } else resultDir match {
+      case Some(resDir) =>
+        // persisted-index path: ONE write (the write materializes the
+        // plan), caches retired, returned frame reads the artifact
+        joined.write.mode("overwrite").parquet(resDir)
+        Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
+          .foreach(_.unpersist())
+        s.read.parquet(resDir)
+      case None =>
+        // materialize the result, then retire the remaining caches
+        val result = joined.cache()
+        result.count()
+        Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
+          .foreach(_.unpersist())
+        result
     }
   }
 

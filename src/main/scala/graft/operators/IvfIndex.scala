@@ -171,9 +171,20 @@ object IvfIndex {
                 nprobe: Int, k: Int, ids: Seq[Long]): DataFrame =
     searchWhere(s, sfDir, indexDir, nprobe, k, col("vec_id").isin(ids: _*))
 
+  /** [[searchBatch]] with the CANDIDATE side restricted too — the
+    * split-corpus probe (s12 semantic decontamination: queries are
+    * the eval vectors, candidates only the train vectors). `candPred`
+    * is pushed into the probed postings scan, composing with the cid
+    * partition pruning exactly like s09's label filter. */
+  def searchSplit(s: SparkSession, sfDir: String, indexDir: String,
+                  nprobe: Int, k: Int, qPred: org.apache.spark.sql.Column,
+                  candPred: org.apache.spark.sql.Column): DataFrame =
+    searchWhere(s, sfDir, indexDir, nprobe, k, qPred, candPred)
+
   private def searchWhere(s: SparkSession, sfDir: String, indexDir: String,
                           nprobe: Int, k: Int,
-                          qPred: org.apache.spark.sql.Column): DataFrame = {
+                          qPred: org.apache.spark.sql.Column,
+                          candPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val cb = s.read.parquet(s"$indexDir/codebook")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).map(_._2)
@@ -198,6 +209,7 @@ object IvfIndex {
       struct(col("vec_id"), col("label")), k)
     s.read.parquet(s"$indexDir/postings")
       .filter(col("cid").isin(allCids: _*))
+      .filter(candPred)
       .join(broadcast(pr), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),

@@ -1226,6 +1226,65 @@ object CorpusOps extends QueryModule {
       .orderBy("stage")
   }
 
+  // c16: the c11 funnel with the DEDUP stage swapped for d15's
+  // EXACT-SUBSTRING removal — the Lee et al. ("Deduplicating Training
+  // Data Makes Language Models Better") ExactSubstr pipeline a user
+  // of that paper actually runs: instead of dropping whole duplicate
+  // documents, every duplicated span (>= 32 chars, SA-first keeper)
+  // is cut out of the text and the CLEANED text flows through the
+  // rest of the funnel. Stages: raw -> substring removal (d15's
+  // index-derived spans — the persisted SA artifact, round-14 verdict
+  // items 1+5) -> Gopher gate over the cleaned text -> exact dedup of
+  // cleaned texts (fully-scrubbed docs collapse to one empty keeper —
+  // the honest consequence of span removal) -> Knuth hash split
+  // 80/10/10. Output: the same (stage, n_units, n_chars, n_tokens)
+  // manifest as c11; conservation invariants (raw chars − removed ==
+  // substr-stage chars; split rows repartition the dedup survivors)
+  // are PipelineE2eSpec contracts. Scale: the d15 stage is its
+  // audited shape over the persisted index; every later stage is
+  // c11's audited shape over strictly fewer chars. Oracle: Python —
+  // the d15 suffix sort composed with the battery/dedup/split
+  // restatements (DuckDB cannot materialize the suffix relation).
+  private def c16(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.wordCount
+    def wsTok(t: Column): Column = wordCount(t).cast(LongType)
+    val all = docs(s, d)
+    val cleaned = Dedup.d15From(s, d,
+        all.select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), col("text_clean").as("text"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .cache()
+    val gated = TextAnalysis
+      .gateFlags(cleaned, carry = Seq("doc_id", "text", "n_chars"))
+      .filter(col("g1") + col("g2") + col("g3") + col("g4") >= 3)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .cache()
+    val keepers = gated
+      .groupBy(xxhash64(col("text")).as("xh"),
+        crc32(col("text").cast(BinaryType)).as("cc"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi").cache()
+    val split = deduped
+      .withColumn("bkt", pmod(Q.knuth32(col("doc_id")), lit(10L)))
+      .withColumn("stage", concat(lit("4_"), when(col("bkt") < 8, "train")
+        .when(col("bkt") === 8, "val").otherwise(lit("test"))))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_units"), sum(col("n_chars")).as("n_chars"),
+        sum(wsTok(col("text"))).as("n_tokens"))
+    def st(name: String, df: DataFrame) = df
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        coalesce(sum(wsTok(col("text"))), lit(0L)).as("n_tokens"))
+      .select(lit(name).as("stage"), col("n_units"), col("n_chars"),
+        col("n_tokens"))
+    st("0_raw", all.select(col("text"), col("n_chars").cast(LongType).as("n_chars")))
+      .unionByName(st("1_substr_removed", cleaned))
+      .unionByName(st("2_gated", gated))
+      .unionByName(st("3_deduped", deduped))
+      .unionByName(split)
+      .orderBy("stage")
+  }
+
   private val c11Sql = {
     // raw interpolator: the regex literals must keep their backslashes
     raw"""WITH ${BpeTrain.chainSql},
@@ -1546,6 +1605,7 @@ object CorpusOps extends QueryModule {
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_pipeline_e2e" -> c11,
+    "c16_pipeline_substr" -> c16,
     "c13_cluster_mixture" -> c13,
     "c14_curriculum_shards" -> c14,
     "c15_corpus_diff" -> c15,

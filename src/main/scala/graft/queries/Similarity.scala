@@ -573,6 +573,70 @@ object Similarity extends QueryModule {
        |      ORDER BY rrf_pts DESC, id) AS BIGINT) AS rnk
        |  FROM fused) f WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin
 
+  // s12: SEMANTIC decontamination — the paraphrase-contamination
+  // check of the model reports (eval examples whose EMBEDDING is
+  // near-identical to a train example even when no verbatim span
+  // survives — the failure mode d16's exact-substring and t08/t16/
+  // t19's gram/Bloom forms cannot see; cf. the decontamination
+  // appendices of the big-LM papers). Composition of proven parts:
+  // the PERSISTED IVF index (s06's build-once artifact) probed by the
+  // EVAL split (t08's doc_id % 37 == 0 discipline, here on vec_id)
+  // with the CANDIDATE side restricted to train vectors — one
+  // bucketed probe, never an eval×train cartesian — and d11's
+  // threshold discipline (τ = 0.8) flagging contamination. Output:
+  // one row per eval vector with its max-cosine train neighbor
+  // (ties at the 6-decimal rescore break to the smaller train id)
+  // and the flag — the report a curation pipeline reviews, non-
+  // vacuous whether or not anything crosses τ.
+  //
+  // Scale shape: eval is the SMALL side by nature (benchmarks are
+  // bounded; train grows with the crawl) — it rides the s10 batch
+  // path: probes ranked against the driver-held codebook, the probe
+  // table broadcast, ONLY the probed cid partitions of the postings
+  // read (partition pruning), the train filter pushed into that scan
+  // (s09's discipline), per-eval max via the bounded TopK aggregate.
+  // Corpus-sized work never leaves the probed postings scan. Recall
+  // bound: nprobe-bucket probing is the paper trade (d11/s03) — a
+  // cross-bucket near-neighbor is missed by design; raise nprobe for
+  // a stricter audit. Oracle: the shared k-means chain + the same
+  // probe/rescore restatement (the s10 precedent).
+  private val SemanticContamTau = 0.8
+
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.operators.IvfIndex.ensureBuilt(s, d)
+    val evalSide = pmod(col("vec_id"), lit(37L)) === 0L
+    graft.operators.IvfIndex.searchSplit(s, d, dir, nprobe = 4, k = 1,
+        qPred = evalSide, candPred = pmod(col("vec_id"), lit(37L)) =!= 0L)
+      .select(col("q_id").as("eval_id"), col("vec_id").as("train_id"),
+        col("label"), col("cos_sim"),
+        (col("cos_sim") >= SemanticContamTau).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
+  private val s12Sql: String = {
+    s"""${kmeansAssignCtes()},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |       FROM embeddings WHERE vec_id % 37 = 0),
+       |pp AS (SELECT q_id, cid, qe FROM (
+       |    SELECT qs.q_id, c.cid, qs.qe,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.q_id
+       |        ORDER BY ${cosSql("qs.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM qs, c$KMeansIters c) WHERE rn <= 4),
+       |sc AS (SELECT pp.q_id, e.vec_id, e.label, CAST(CAST(ROUND(
+       |    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pp.qe[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(pp.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |  , 6) AS DECIMAL(18,6)) AS DOUBLE) AS cos_sim
+       |  FROM afinal e JOIN pp USING (cid) WHERE e.vec_id % 37 <> 0)
+       |SELECT q_id AS eval_id, vec_id AS train_id, label, cos_sim,
+       |  cos_sim >= $SemanticContamTau AS contaminated
+       |FROM (SELECT q_id, vec_id, label, cos_sim,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cos_sim DESC, vec_id) AS rn FROM sc) x
+       |WHERE rn = 1 ORDER BY 1""".stripMargin
+  }
+
   // s07: MMR (maximal marginal relevance) diversity re-rank — the
   // retrieval-for-curation operator: from the top-32 cosine candidates
   // for the query vector, greedily select 8 maximizing
@@ -778,7 +842,8 @@ object Similarity extends QueryModule {
     "s07_mmr_rerank" -> s07,
     "s09_filtered_ann" -> s09,
     "s10_batch_ann" -> s10,
-    "s11_hybrid_rrf" -> s11)
+    "s11_hybrid_rrf" -> s11,
+    "s12_semantic_decontamination" -> s12)
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
@@ -792,5 +857,6 @@ object Similarity extends QueryModule {
     "s07_mmr_rerank" -> s07Sql,
     "s09_filtered_ann" -> s09Sql,
     "s10_batch_ann" -> s10Sql,
-    "s11_hybrid_rrf" -> s11Sql)
+    "s11_hybrid_rrf" -> s11Sql,
+    "s12_semantic_decontamination" -> s12Sql)
 }

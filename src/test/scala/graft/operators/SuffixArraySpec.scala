@@ -275,6 +275,132 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(new java.io.File(dir, "sa/_SUCCESS").lastModified == m)
   }
 
+  test("persisted index content equals a fresh build (single-write resultDir path)") {
+    val sf = "/root/testdata/sf0.001"
+    val fresh = GeneralizedSuffixArray.build(
+      graft.Tables.load(spark, sf, "documents").selectExpr("doc_id", "text"))
+    val freshRows = fresh.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    fresh.unpersist()
+    val dir = SuffixArrayIndex.ensureBuilt(spark, sf)
+    val persisted = SuffixArrayIndex.load(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(persisted === freshRows)
+  }
+
+  test("d15 and d16 derive from the persisted index (build once, reuse thereafter)") {
+    import spark.implicits._
+    val repeat = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (0L, s"eval alpha $repeat gamma delta"), // eval: doc_id % 37 == 0
+      (1L, s"zeta eta theta $repeat iota"),
+      (2L, "completely unrelated words only here"))
+    val dir = java.nio.file.Files.createTempDirectory("saidxspec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val d15a = graft.SparkEntry.queries("d15_substring_removal")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val idx = new java.io.File(SuffixArrayIndex.indexDirFor(dir), "sa/_SUCCESS")
+      assert(idx.exists, "d15 must have built the persisted SA index")
+      val m = idx.lastModified
+      // d16 and a second d15 REUSE the artifact (no rebuild) and both
+      // still equal the independent driver recomputes
+      val d16out = graft.SparkEntry.queries("d16_exact_decontamination")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val d15b = graft.SparkEntry.queries("d15_substring_removal")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(idx.lastModified == m, "derives must not rebuild the index")
+      assert(d15b === d15a)
+      assert(d15a.map(s => (s(0), s(2), s(3), s(4))) ===
+        d15Driver(rows).map(t => (t._1, t._2, t._3, t._4)))
+      assert(d16out === d16Driver(rows))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  /** Code-point (NOT UTF-16 code unit) suffix sort — the astral
+    * cross-check: Python string semantics restated on the driver. */
+  private def cpSaDriver(rows: Seq[(Long, String)]): Seq[(Vector[Int], Long, Long)] = {
+    import scala.math.Ordering.Implicits._
+    rows.flatMap { case (id, t) =>
+      val cps = t.codePoints.toArray.toVector
+      cps.indices.map(o => (cps.drop(o), id, o.toLong))
+    }.sorted
+  }
+
+  test("astral (non-BMP) text: offsets, LCPs and stitching are code-point exact") {
+    import spark.implicits._
+    val clef = new String(Character.toChars(0x1D11E)) // U+1D11E, 2 UTF-16 units
+    val face = new String(Character.toChars(0x1F600)) // U+1F600
+    // the planted repeat itself contains astral chars, and doc 1
+    // prefixes the plant with MORE astral chars than doc 0 — so any
+    // UTF-16-unit indexing would misplace the span boundaries
+    val repeat = s"astral $clef repeat $face body padded to pass the threshold $clef$face end"
+    val rows = Seq(
+      (0L, s"a$clef b $repeat tail"),
+      (1L, s"$face$face$clef lead $repeat coda"),
+      (2L, "plain ascii filler document with nothing shared"))
+    val dir = java.nio.file.Files.createTempDirectory("saastral").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // d14 report == the code-point driver recompute
+      val sufs = cpSaDriver(rows)
+      val expected = sufs.zip(sufs.tail).flatMap {
+        case ((s1, d1, o1), (s2, d2, o2)) =>
+          val l = s1.zip(s2).takeWhile(p => p._1 == p._2).length.toLong
+          if (l >= 32) Some((math.min(l, 2048L), d1, o1, d2, o2)) else None
+      }.sortBy { case (l, da, oa, db, ob) => (-l, da, oa, db, ob) }.take(20)
+      val out = graft.SparkEntry.queries("d14_longest_dup_substrings")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(out === expected, "SA offsets/LCPs must be code-point indexed")
+      // d15: n_chars counts code points and the stitched clean text is
+      // the code-point complement of the merged spans
+      val d15out = graft.SparkEntry.queries("d15_substring_removal")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+      val cpLen = rows.map { case (id, t) => id -> t.codePoints.count() }.toMap
+      def hasLoneSurrogate(t: String): Boolean = {
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          if (Character.isHighSurrogate(c)) {
+            if (i + 1 >= t.length || !Character.isLowSurrogate(t.charAt(i + 1)))
+              return true
+            i += 2
+          } else if (Character.isLowSurrogate(c)) return true
+          else i += 1
+        }
+        false
+      }
+      d15out.foreach { case (id, nChars, nRemoved, clean) =>
+        assert(nChars == cpLen(id), s"doc $id n_chars must count code points")
+        assert(clean.codePoints.count() == nChars - nRemoved)
+        // the stitch never splits an astral char into surrogate halves
+        assert(!hasLoneSurrogate(clean), s"doc $id clean text has a lone surrogate")
+      }
+      // exactly one kept occurrence of the astral repeat corpus-wide
+      val kept = d15out.map(_._4).map { t =>
+        var c = 0; var i = t.indexOf(repeat)
+        while (i >= 0) { c += 1; i = t.indexOf(repeat, i + 1) }
+        c
+      }.sum
+      assert(kept == 1, s"expected exactly one kept astral-repeat copy, got $kept")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("SA of an all-empty corpus is empty (no NPE, no phantom rows)") {
     import spark.implicits._
     val sa = GeneralizedSuffixArray.build(

@@ -68,4 +68,64 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(rows("9_sharded") == ((1L, chars(1), 62L)), s"got $rows") // one shard
     assert(rows.size == 12, s"got ${rows.keys.toSeq.sorted}")
   }
+
+  test("c16 substring-dedup funnel: conservation invariants hold stage by stage") {
+    import spark.implicits._
+    // span borrowed from doc 6's PREFIX: doc 9's continuation after
+    // it ("zulu…", 'z' > '8') sorts AFTER doc 6's ("8 alt9…"), so
+    // doc 9's copy is the SA-later casualty and the donor keeps its
+    // text intact
+    val donor = longDoc("alt")
+    val span = donor.substring(0, 45) // "the of alt1 … alt7 alt" ≥ 32 chars
+    val c16texts: Map[Long, String] = Map(
+      1L -> longDoc("word"),              // unique, survives to the split
+      2L -> longDoc("word"),              // exact dup of 1 → fully scrubbed → gate-dead
+      3L -> "tiny doc",                   // gate casualty (unchanged by d15)
+      6L -> donor,                        // span donor, survives
+      9L -> (longDoc("casa") + " " + span + "zulu zebra"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_c16").toString
+    c16texts.toSeq.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = graft.SparkEntry.queries("c16_pipeline_substr")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val d15 = graft.SparkEntry.queries("d15_substring_removal")(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+      // removal semantics the funnel builds on: the exact dup is
+      // FULLY scrubbed (substring removal at threshold 32 subsumes
+      // exact dedup of ≥32-char docs), the borrowed span leaves doc 9
+      // (≥ the span, at its SA-later occurrence), donors untouched
+      assert(d15(2L)._2 == "", s"exact dup must scrub to empty, got ${d15(2L)}")
+      assert(d15(1L)._1 == 0L && d15(6L)._1 == 0L, s"keepers must be untouched: $d15")
+      assert(d15(9L)._1 >= span.length.toLong, s"doc 9 must lose the borrowed span: $d15")
+      assert(d15(3L)._1 == 0L)
+      // conservation: raw chars − removed == substr-stage chars; no
+      // doc is dropped by removal itself
+      val removedSum = d15.values.map(_._1).sum
+      assert(rows("1_substr_removed")._1 == rows("0_raw")._1)
+      assert(rows("1_substr_removed")._2 == rows("0_raw")._2 - removedSum,
+        s"char conservation broke: $rows, removed=$removedSum")
+      // gate drops the tiny doc AND the scrubbed-to-empty dup
+      assert(rows("2_gated")._1 == 3L, s"got $rows")
+      // ≥32-char clean-text coincidences were already scrubbed by the
+      // substring stage, so exact dedup is a no-op safety net here
+      assert(rows("3_deduped") == rows("2_gated"), s"got $rows")
+      // the split partitions the dedup survivors exactly
+      val split = rows.filter(_._1.startsWith("4_")).values
+      assert(split.map(_._1).sum == rows("3_deduped")._1, s"got $rows")
+      assert(split.map(_._2).sum == rows("3_deduped")._2, s"got $rows")
+      assert(split.map(_._3).sum == rows("3_deduped")._3, s"got $rows")
+      // monotone funnel: units and chars never grow downstream
+      val order = Seq("0_raw", "1_substr_removed", "2_gated", "3_deduped")
+      order.sliding(2).foreach { case Seq(a, b) =>
+        assert(rows(b)._1 <= rows(a)._1 && rows(b)._2 <= rows(a)._2,
+          s"$b grew over $a: $rows")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
