@@ -1544,6 +1544,81 @@ def d16_exact_decontamination(sf_dir):
     })
 
 
+def d18_train_decontamination(sf_dir):
+    """d16's scans with the roles swapped + d15's stitch: for every
+    TRAIN suffix (doc_id % 37 != 0) the longest prefix shared with ANY
+    eval suffix (state := INF at an eval suffix, min(state, boundary
+    lcp) at a train suffix, both scan directions); spans >= 32
+    union-merge per train doc; cleaned text is the complement."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    rows = list(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("source").to_pylist(),
+                    docs.column("text").to_pylist()))
+    sufs = sorted(((text[o:], did, o)
+                   for did, _, text in rows for o in range(len(text))),
+                  key=lambda t: (t[0], t[1], t[2]))
+    n = len(sufs)
+    lcps = [0] * (n + 1)
+    for i in range(1, n):
+        s1, s2 = sufs[i - 1][0], sufs[i][0]
+        m = min(len(s1), len(s2), 2048)
+        l = 0
+        while l < m and s1[l] == s2[l]:
+            l += 1
+        lcps[i] = l
+    INF = 1 << 60
+    best = [0] * n
+    state = -1  # no eval seen yet
+    for i in range(n):  # left-to-right: nearest eval at smaller rank
+        if sufs[i][1] % 37 == 0:
+            state = INF
+        else:
+            state = -1 if state == -1 else min(state, lcps[i])
+            if state > best[i]:
+                best[i] = state
+    state = -1
+    for i in range(n - 1, -1, -1):  # right-to-left: boundary i+1
+        if sufs[i][1] % 37 == 0:
+            state = INF
+        else:
+            state = -1 if state == -1 else min(state, lcps[i + 1])
+            if state > best[i]:
+                best[i] = state
+    spans = {}
+    for i in range(n):
+        if best[i] >= 32:
+            _, did, o = sufs[i]
+            spans.setdefault(did, []).append((o, o + best[i]))
+    out_id, out_src, out_nc, out_sc, out_tc = [], [], [], [], []
+    for did, src, text in sorted(rows):
+        if did % 37 == 0:
+            continue
+        merged = []
+        for st, en in sorted(spans.get(did, [])):
+            if merged and st <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        pieces, pos = [], 0
+        for st, en in merged:
+            pieces.append(text[pos:st])
+            pos = en
+        pieces.append(text[pos:])
+        out_id.append(did)
+        out_src.append(src)
+        out_nc.append(len(text))
+        out_sc.append(sum(en - st for st, en in merged))
+        out_tc.append("".join(pieces))
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "source": pa.array(out_src, pa.string()),
+        "n_chars": pa.array(out_nc, pa.int64()),
+        "n_scrubbed": pa.array(out_sc, pa.int64()),
+        "text_clean": pa.array(out_tc, pa.string()),
+    })
+
+
 def c16_pipeline_substr(sf_dir):
     """Funnel oracle for c16: d15's substring removal (shared
     _d15_rows suffix sort) composed with the c11-battery gate, exact
@@ -1615,6 +1690,7 @@ PY_ORACLES = {
     "c16_pipeline_substr": c16_pipeline_substr,
     "d15_substring_removal": d15_substring_removal,
     "d16_exact_decontamination": d16_exact_decontamination,
+    "d18_train_decontamination": d18_train_decontamination,
     # persisted-SA report == fresh d14 (deterministic construction),
     # so d14's independent suffix sort is the oracle here too — the
     # t26→t24 precedent

@@ -106,7 +106,7 @@ object Bench {
     // pass a repeated analysis actually pays (round-14 verdict item 1
     // — previously d15/d16 each paid a fresh ~17-min sf10 build).
     val saUsers = Seq("d15_substring_removal", "d16_exact_decontamination",
-      "d17_sa_index_report", "c16_pipeline_substr")
+      "d17_sa_index_report", "d18_train_decontamination", "c16_pipeline_substr")
     val d17Build: Seq[(String, Double)] =
       if (saUsers.forall(n => skip(n) || !only.forall(_(n)))) Nil
       else {

@@ -370,6 +370,23 @@ object PlanAudit {
       "doc-keyed span aggregate" -> (s =>
         s.contains("sort_array") || s.contains("collect_list")))
 
+    // d18 train-side decontamination: d16's scan composition (roles
+    // inverted) + d15's stitch — same pins as both: one doc-keyed
+    // aggregate + one doc-keyed outer equi join, no cartesian, no
+    // single-partition window, and the stitch is substring algebra
+    // (never a per-character explode)
+    audit("d18_train_decontamination")(
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "doc-keyed span aggregate" -> (s =>
+        s.contains("sort_array") || s.contains("collect_list")),
+      "no per-character explode in the stitch" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => nodeIs(l, "Generate") && l.contains("posexplode"))))
+
     // c14 curriculum shards: the difficulty total order must come from
     // the bounded-grid rank (per-(qs, pid) windows + the broadcast
     // offset join), never a single-partition window over the corpus

@@ -1062,18 +1062,27 @@ object Dedup extends QueryModule {
     val out = base.join(merged, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"),
         length(col("text")).cast(LongType).as("n_chars"),
-        coalesce(expr("aggregate(iv, 0L, (a, x) -> a + x.en - x.st)"), lit(0L))
-          .as("n_removed"),
-        when(col("iv").isNull, col("text")).otherwise(expr(
-          """aggregate(iv, named_struct('p', 0L, 't', ''),
-            |  (a, x) -> named_struct('p', x.en,
-            |    't', concat(a.t, substring(text, cast(a.p + 1 as int),
-            |                               cast(x.st - a.p as int)))),
-            |  a -> concat(a.t, substring(text, cast(a.p + 1 as int), 1073741823)))"""
-            .stripMargin)).as("text_clean"))
+        spanCharsSum.as("n_removed"),
+        cleanStitch.as("text_clean"))
       .orderBy("doc_id")
     out
   }
+
+  /** Total chars covered by the merged spans `iv` (0 when none). */
+  private def spanCharsSum: Column =
+    coalesce(expr("aggregate(iv, 0L, (a, x) -> a + x.en - x.st)"), lit(0L))
+
+  /** The substring-algebra stitch: `text` with the merged spans `iv`
+    * cut out — a bounded fold over the doc's own span list, NEVER a
+    * per-character explode (PlanAudit pins). Shared by d15 and d18. */
+  private def cleanStitch: Column =
+    when(col("iv").isNull, col("text")).otherwise(expr(
+      """aggregate(iv, named_struct('p', 0L, 't', ''),
+        |  (a, x) -> named_struct('p', x.en,
+        |    't', concat(a.t, substring(text, cast(a.p + 1 as int),
+        |                               cast(x.st - a.p as int)))),
+        |  a -> concat(a.t, substring(text, cast(a.p + 1 as int), 1073741823)))"""
+        .stripMargin))
 
   // d16: EXACT-SUBSTRING decontamination — the cross-corpus form of
   // the d15 machinery, and the exact-match analog of t08/t16/t19's
@@ -1104,12 +1113,34 @@ object Dedup extends QueryModule {
     // 1): it needs the SA's rank column, which the artifact carries;
     // decontamination-from-index == fresh (deterministic
     // construction, spec-asserted), at the derive cost
+    val merged = crossSharedSpans(s, d,
+      resetSide = pmod(col("doc_id"), lit(37L)) =!= 0L, prefix = "d16spans")
+    all.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        spanCharsSum.as("n_contam_chars"),
+        coalesce(size(col("iv")).cast(LongType), lit(0L)).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** The d16/d18 scan composition over the persisted SA index: for
+    * every suffix on the EMIT side, the longest prefix shared with
+    * ANY suffix on the RESET side (`resetSide` true rows), as merged
+    * per-doc spans (doc_id, iv) — two directional gated-min scans in
+    * rank order ([[scanSharedWithTrain]]; state resets to ∞ on reset-
+    * side rows, gate-mins along boundary LCPs on emit-side rows),
+    * spans ≥ 32 union-merged after a corpus-keyed parquet handoff
+    * under `prefix` (the d15 lineage cut). */
+  private def crossSharedSpans(s: SparkSession, d: String,
+      resetSide: Column, prefix: String): DataFrame = {
     val idxDir = graft.operators.SuffixArrayIndex.ensureBuilt(s, d)
     val sa = graft.operators.SuffixArrayIndex.load(s, idxDir)
-    val pairs = adjacentLcpFrom(sa, all.select(col("doc_id"), col("text")))
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val pairs = adjacentLcpFrom(sa, base)
     val bnd = pairs.select(col("b_rank"), col("lcp"))
     val lab = sa.select(col("rank"), col("doc_id"), col("off"),
-      (pmod(col("doc_id"), lit(37L)) =!= 0L).as("train"))
+      resetSide.as("train"))
     // boundary LCP between row and its predecessor IN SCAN ORDER:
     // ascending scan reads the rank-r boundary (b_rank = r), the
     // descending scan reads the rank-(r+1) boundary
@@ -1126,24 +1157,46 @@ object Dedup extends QueryModule {
         col("train"), col("lcp").as("lcpIn"))
     val (l, lc) = scanSharedWithTrain(withPred)
     val (r, rc) = scanSharedWithTrain(withSucc)
-    // materialize the (small: one row per contaminated eval suffix)
-    // span set, then retire the scan caches (the d15 handoff; the SA
+    // materialize the (small: one row per shared-span suffix) span
+    // set, then retire the scan caches (the d15 handoff; the SA
     // itself is the persisted artifact — nothing of it is cached)
-    val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d16spans")
+    val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", prefix)
     l.unionByName(r).groupBy(col("doc_id"), col("off"))
       .agg(max(col("m")).as("m"))
       .select(col("doc_id"), col("off").as("st"),
         (col("off") + col("m")).as("en"))
       .write.mode("overwrite").parquet(spansDir)
     Seq(lc, rc).foreach(_.unpersist())
-    val merged = mergedSpans(s.read.parquet(spansDir))
-    all.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+    mergedSpans(s.read.parquet(spansDir))
+  }
+
+  // d18: TRAIN-side exact decontamination — the APPLY form of d16's
+  // report, and the operation a pipeline actually runs before
+  // training: remove from every TRAIN document the character spans
+  // (≥ 32, capped 2048) that appear VERBATIM in ANY eval document
+  // (the t08 split), keeping the train text otherwise intact —
+  // d16 tells you WHICH eval docs leaked; d18 produces the train
+  // corpus with the leaked passages cut out (the decontamination
+  // appendix remedy of the big-LM papers, at exact-substring
+  // precision instead of d09/t08's fixed-gram approximation).
+  // Composition of proven parts: the same two directional gated-min
+  // scans with the ROLES INVERTED (state resets on EVAL suffixes,
+  // emits train suffixes — crossSharedSpans is parametric in the
+  // reset side), d15's union-merge + substring-algebra stitch.
+  // Scale: identical shapes to d16 + d15's stitch join; the SA is
+  // the persisted artifact. Oracle: the d16 Python scans with roles
+  // swapped + the d15 stitch (scripts/py_oracles.py) — DuckDB cannot
+  // materialize the suffix relation.
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val merged = crossSharedSpans(s, d,
+      resetSide = pmod(col("doc_id"), lit(37L)) === 0L, prefix = "d18spans")
+    all.filter(pmod(col("doc_id"), lit(37L)) =!= 0L)
       .join(merged, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"),
         length(col("text")).cast(LongType).as("n_chars"),
-        coalesce(expr("aggregate(iv, 0L, (a, x) -> a + x.en - x.st)"), lit(0L))
-          .as("n_contam_chars"),
-        coalesce(size(col("iv")).cast(LongType), lit(0L)).as("n_spans"))
+        spanCharsSum.as("n_scrubbed"),
+        cleanStitch.as("text_clean"))
       .orderBy("doc_id")
   }
 
@@ -1214,6 +1267,7 @@ object Dedup extends QueryModule {
     "d14_longest_dup_substrings" -> d14,
     "d16_exact_decontamination" -> d16,
     "d17_sa_index_report" -> d17,
+    "d18_train_decontamination" -> d18,
     "d15_substring_removal" -> d15,
     "c10_leakage_safe_split" -> c10,
     "d12_neardup_leakage" -> d12,

@@ -275,6 +275,100 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(new java.io.File(dir, "sa/_SUCCESS").lastModified == m)
   }
 
+  /** Driver recompute of the d18 contract: d16's gated-min scans with
+    * the roles swapped (reset on EVAL suffixes, emit train suffixes),
+    * spans union-merged per TRAIN doc, cleaned text the complement. */
+  private def d18Driver(rows: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, String)] = {
+    val sufs = saDriver(rows)
+    val n = sufs.length
+    val lcps = new Array[Long](n + 1)
+    for (i <- 1 until n) {
+      val (s1, _, _) = sufs(i - 1); val (s2, _, _) = sufs(i)
+      lcps(i) = math.min(s1.zip(s2).takeWhile(p => p._1 == p._2).length.toLong, 2048L)
+    }
+    val inf = 1L << 60
+    val best = new Array[Long](n)
+    var st = -1L
+    for (i <- 0 until n) {
+      if (sufs(i)._2 % 37 == 0) st = inf
+      else {
+        st = if (st == -1L) -1L else math.min(st, lcps(i))
+        if (st > best(i)) best(i) = st
+      }
+    }
+    st = -1L
+    for (i <- (n - 1) to 0 by -1) {
+      if (sufs(i)._2 % 37 == 0) st = inf
+      else {
+        st = if (st == -1L) -1L else math.min(st, lcps(i + 1))
+        if (st > best(i)) best(i) = st
+      }
+    }
+    val spans = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    for (i <- 0 until n; if best(i) >= 32) {
+      val (_, did, o) = sufs(i)
+      spans(did) = (o, o + best(i)) :: spans.getOrElse(did, Nil)
+    }
+    rows.filter(_._1 % 37 != 0).sortBy(_._1).map { case (id, t) =>
+      val merged = spans.getOrElse(id, Nil).sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((ps, pe) :: acc, (s0, e0)) if s0 <= pe =>
+            (ps, math.max(pe, e0)) :: acc
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val sb = new StringBuilder
+      var pos = 0L
+      merged.foreach { case (s0, e0) =>
+        sb.append(t.substring(pos.toInt, s0.toInt)); pos = e0
+      }
+      sb.append(t.substring(pos.toInt))
+      (id, t.length.toLong, merged.map { case (s0, e0) => e0 - s0 }.sum,
+        sb.toString)
+    }
+  }
+
+  test("d18 scrubs planted eval passages FROM train docs, eval side untouched") {
+    import spark.implicits._
+    val passage = "the verbatim benchmark passage that leaked into the training corpus"
+    val rows = Seq(
+      // eval docs: doc_id % 37 == 0
+      (0L, s"eval starts $passage eval ends"),
+      (37L, "a fully original evaluation document here"),
+      // train docs
+      (1L, s"train doc containing $passage in the middle"),   // scrubbed
+      (2L, "another train document with nothing shared"),     // untouched
+      (5L, s"$passage opens and $passage closes this one"),   // two spans
+      (40L, "yet more unrelated training text goes here"))
+    val dir = java.nio.file.Files.createTempDirectory("d18spec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = graft.SparkEntry.queries("d18_train_decontamination")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+      assert(out === d18Driver(rows))
+      val byId = out.map(t => t._1 -> t).toMap
+      // only train docs are reported, all of them
+      assert(out.map(_._1).toSet == Set(1L, 2L, 5L, 40L))
+      // the leaked passage is gone from every train doc
+      assert(!byId(1L)._4.contains(passage) && byId(1L)._3 >= passage.length.toLong)
+      assert(!byId(5L)._4.contains(passage) && byId(5L)._3 >= 2L * passage.length)
+      // untouched train docs round-trip byte-identical
+      assert(byId(2L)._4 == rows.toMap.apply(2L) && byId(2L)._3 == 0L)
+      assert(byId(40L)._4 == rows.toMap.apply(40L) && byId(40L)._3 == 0L)
+      // accounting: clean length == n_chars − n_scrubbed
+      out.foreach { case (_, nc, sc, clean) =>
+        assert(clean.length.toLong == nc - sc)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("persisted index content equals a fresh build (single-write resultDir path)") {
     val sf = "/root/testdata/sf0.001"
     val fresh = GeneralizedSuffixArray.build(
