@@ -1141,32 +1141,37 @@ object Dedup extends QueryModule {
     val bnd = pairs.select(col("b_rank"), col("lcp"))
     val lab = sa.select(col("rank"), col("doc_id"), col("off"),
       resetSide.as("train"))
-    // boundary LCP between row and its predecessor IN SCAN ORDER:
-    // ascending scan reads the rank-r boundary (b_rank = r), the
-    // descending scan reads the rank-(r+1) boundary
-    val withPred = lab
-      .join(bnd.withColumnRenamed("b_rank", "rank"), Seq("rank"), "left")
-      .na.fill(0L, Seq("lcp"))
-      .select(col("rank").as("ord"), col("doc_id"), col("off"),
-        col("train"), col("lcp").as("lcpIn"))
-    val withSucc = lab
-      .join(bnd.select((col("b_rank") - 1).as("rank"), col("lcp")),
+    // BOTH boundary LCPs attach in ONE corpus-sized join pass —
+    // ascending scan reads the rank-r boundary (b_rank = r) as
+    // `lcpIn`, the descending scan the rank-(r+1) boundary as
+    // `lcpOut`; the second bnd join reuses the rank partitioning of
+    // the first, and the cached result feeds BOTH directional range
+    // exchanges (previously each scan re-joined the corpus-sized lab
+    // from scratch — one full sort-merge pass over every suffix,
+    // twice; at 226 M suffixes that join was ~1/4 of the d16 derive)
+    val both = lab
+      .join(bnd.select(col("b_rank").as("rank"), col("lcp").as("lcpIn")),
         Seq("rank"), "left")
-      .na.fill(0L, Seq("lcp"))
+      .join(bnd.select((col("b_rank") - 1).as("rank"), col("lcp").as("lcpOut")),
+        Seq("rank"), "left")
+      .na.fill(0L, Seq("lcpIn", "lcpOut"))
+      .cache()
+    val (l, lc) = scanSharedWithTrain(both
+      .select(col("rank").as("ord"), col("doc_id"), col("off"),
+        col("train"), col("lcpIn")))
+    val (r, rc) = scanSharedWithTrain(both
       .select((-col("rank")).as("ord"), col("doc_id"), col("off"),
-        col("train"), col("lcp").as("lcpIn"))
-    val (l, lc) = scanSharedWithTrain(withPred)
-    val (r, rc) = scanSharedWithTrain(withSucc)
+        col("train"), col("lcpOut").as("lcpIn")))
     // materialize the (small: one row per shared-span suffix) span
-    // set, then retire the scan caches (the d15 handoff; the SA
-    // itself is the persisted artifact — nothing of it is cached)
+    // set, then retire the scan + join caches (the d15 handoff; the
+    // SA itself is the persisted artifact — nothing of it is cached)
     val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", prefix)
     l.unionByName(r).groupBy(col("doc_id"), col("off"))
       .agg(max(col("m")).as("m"))
       .select(col("doc_id"), col("off").as("st"),
         (col("off") + col("m")).as("en"))
       .write.mode("overwrite").parquet(spansDir)
-    Seq(lc, rc).foreach(_.unpersist())
+    Seq(lc, rc, both).foreach(_.unpersist())
     mergedSpans(s.read.parquet(spansDir))
   }
 
