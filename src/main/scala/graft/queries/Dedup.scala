@@ -916,24 +916,14 @@ object Dedup extends QueryModule {
   // deterministic tie-breaks. Oracle: an independent pure-Python
   // suffix sort + adjacent-LCP recompute (scripts/py_oracles.py) —
   // DuckDB cannot materialize the O(n²) suffix relation.
-  /** The d14/d15 kernel: SA-adjacent candidate pairs with their exact
-    * LCP (capped at 2048 chars). Returns (sa, pairs) where pairs =
-    * (doc_a, off_a, doc_b, off_b, lcp) for every SA-adjacent pair
-    * whose rank32 matches (a ≥32-char LCP is impossible otherwise, so
-    * text is fetched only for these candidates); (doc_b, off_b) is
-    * always the SA-LATER suffix of the pair. The caller must
-    * unpersist `sa` once everything derived from `pairs` is
-    * materialized — holding the corpus-char-sized SA cache for the
-    * rest of the session was the round-13 ADVICE leak. */
-  private[queries] def saAdjacentLcp(base: DataFrame): (DataFrame, DataFrame) = {
-    val sa = graft.operators.GeneralizedSuffixArray.build(base)
-    (sa, adjacentLcpFrom(sa, base))
-  }
-
-  /** The candidate/LCP derivation alone, over an already-built SA
-    * frame — shared by the in-query builds (saAdjacentLcp) and the
-    * persisted-index form (d17), so both derive the identical pair
-    * set from whichever array backs them. */
+  /** The SA-family kernel: SA-adjacent candidate pairs =
+    * (doc_a, off_a, doc_b, off_b, lcp) with the exact LCP (capped at
+    * 2048 chars) for every SA-adjacent pair whose rank32 matches (a
+    * ≥32-char LCP is impossible otherwise, so text is fetched only
+    * for these candidates); (doc_b, off_b) is always the SA-LATER
+    * suffix of the pair. Shared by d14's fresh-build form and the
+    * persisted-index forms (d15/d16/d17/d18), so all derive the
+    * identical pair set from whichever array backs them. */
   private def adjacentLcpFrom(sa: DataFrame, base: DataFrame): DataFrame = {
     val succ = sa.select((col("rank") - 1).as("rank"),
       col("doc_id").as("doc_b"), col("off").as("off_b"),
@@ -963,14 +953,22 @@ object Dedup extends QueryModule {
 
   private def d14(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
-    val (sa, pairs) = saAdjacentLcp(base)
-    // materialize the ≤20-row report (bounded by the LIMIT), THEN
-    // retire the corpus-char-sized SA cache instead of pinning it for
-    // the session (the round-13 ADVICE leak). The report frame stays
-    // cached — 20 rows — and keeps the real plan visible to PlanAudit.
-    val report = d14Top(pairs).cache()
+    // the fresh-build form (d17 is the persisted-index twin): the
+    // array lands in a CALLER-OWNED dir, retired as soon as the
+    // ≤20-row report (bounded by the LIMIT) is materialized — so
+    // nothing corpus-sized outlives the query in EITHER construction
+    // mode (in-memory: unpersist; spill-bounded: the dir delete —
+    // previously the ckpt-mode result parquet sat in the temp root
+    // until JVM shutdown, the round-14 ADVICE disk class). The report
+    // frame stays cached — 20 rows — and keeps the real plan visible
+    // to PlanAudit.
+    val saDir = java.nio.file.Files.createTempDirectory("graft_d14_")
+    val sa = graft.operators.GeneralizedSuffixArray.build(base,
+      Some(saDir.resolve("sa").toString))
+    val report = d14Top(adjacentLcpFrom(sa, base)).cache()
     report.count()
     sa.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(saDir.toFile)
     report
   }
 
