@@ -600,7 +600,7 @@ object Similarity extends QueryModule {
   // cross-bucket near-neighbor is missed by design; raise nprobe for
   // a stricter audit. Oracle: the shared k-means chain + the same
   // probe/rescore restatement (the s10 precedent).
-  private val SemanticContamTau = 0.8
+  private[graft] val SemanticContamTau = 0.8
 
   private def s12(s: SparkSession, d: String): DataFrame = {
     val dir = graft.operators.IvfIndex.ensureBuilt(s, d)
@@ -843,7 +843,12 @@ object Similarity extends QueryModule {
     "s09_filtered_ann" -> s09,
     "s10_batch_ann" -> s10,
     "s11_hybrid_rrf" -> s11,
-    "s12_semantic_decontamination" -> s12)
+    "s12_semantic_decontamination" -> s12,
+    // streaming twin: s12's probe applied at ingest — per-window
+    // partial maxima re-aggregate to the batch report exactly (max of
+    // maxes + the −train_id tie field), so the same SQL oracle checks it
+    "s12_decon_stream" ->
+      ((s, d) => graft.streaming.StreamingSemanticDecon.replayGate(s, d)))
 
   override def oracle: Map[String, String] = Map(
     "s01_knn_brute_cosine" -> s01Sql,
@@ -858,5 +863,6 @@ object Similarity extends QueryModule {
     "s09_filtered_ann" -> s09Sql,
     "s10_batch_ann" -> s10Sql,
     "s11_hybrid_rrf" -> s11Sql,
-    "s12_semantic_decontamination" -> s12Sql)
+    "s12_semantic_decontamination" -> s12Sql,
+    "s12_decon_stream" -> s12Sql)
 }
