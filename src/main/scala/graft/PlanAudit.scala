@@ -370,6 +370,23 @@ object PlanAudit {
       "doc-keyed span aggregate" -> (s =>
         s.contains("sort_array") || s.contains("collect_list")))
 
+    // c16 substring-dedup funnel: the visible plan is d15's span-merge
+    // + stitch feeding the stage aggregates (gate/dedup/split) — one
+    // union of keyed aggregates, doc-keyed equi joins only, no
+    // cartesian, no single-partition window (the split is a groupBy,
+    // never a rank window over the corpus)
+    audit("c16_pipeline_substr")(
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "doc-keyed span aggregate" -> (s =>
+        s.contains("sort_array") || s.contains("collect_list")),
+      "no per-character explode in the stitch" -> simpleOnly(s =>
+        !s.split("== Initial Plan ==").head.split("\n")
+          .exists(l => nodeIs(l, "Generate") && l.contains("posexplode"))))
+
     // d18 train-side decontamination: d16's scan composition (roles
     // inverted) + d15's stitch — same pins as both: one doc-keyed
     // aggregate + one doc-keyed outer equi join, no cartesian, no
