@@ -21,13 +21,17 @@ object ArtifactDir {
     * (Spark-written corpora) the directory's own mtime/length are NOT
     * content-coupled — length is a filesystem block size and the
     * mtime granularity can swallow an in-place regeneration — so the
-    * signature is taken over the part files inside: their count, the
-    * sum of their lengths, and the newest mtime among them (which
-    * includes `_SUCCESS`, stamped last by the committer). */
+    * signature is taken over the files inside, RECURSIVELY (a
+    * partitioned layout nests part files under key=… subdirs; a
+    * top-level-only walk would degenerate to `_SUCCESS` alone): their
+    * count, the sum of their lengths, and the newest mtime among them
+    * (which includes `_SUCCESS`, stamped last by the committer). */
   private def signature(f: java.io.File): String =
     if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isFile)
+      def walk(d: java.io.File): Array[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .flatMap(c => if (c.isDirectory) walk(c) else Array(c))
+      val parts = walk(f)
       val total = parts.map(_.length).sum
       val newest = if (parts.isEmpty) 0L else parts.map(_.lastModified).max
       s"d|${parts.length}|$total|$newest"

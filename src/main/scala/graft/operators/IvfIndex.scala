@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
+  /** Bound on the collected/broadcast query side of a probe (each row
+    * carries a 64-float embedding ≈ 1 KB → ≤ ~64 MB of driver state;
+    * the probe table replicates each row nprobe× before broadcast, so
+    * the worst-case broadcast is a few hundred MB at nprobe=4).
+    * sf10's eval split is 5,406 rows — 12× headroom; anything past
+    * this bound is a mis-aimed predicate, not a benchmark eval set. */
+  val MaxQueryRows: Long = 1L << 16
+
   /** Deterministic per-corpus index location: one fixed dir under the
     * JVM temp root, keyed by the corpus identity (canonical sfDir path
     * + embeddings file mtime/size). Repeated bench/gate runs in a
@@ -188,11 +196,21 @@ object IvfIndex {
     val cb = s.read.parquet(s"$indexDir/codebook")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).map(_._2)
-    val qRows = graft.Tables.load(s, sfDir, "embeddings")
+    val qSide = graft.Tables.load(s, sfDir, "embeddings")
       .filter(qPred)
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x as double))").as("qvd"))
-      .collect()
+    // LOUD driver-state bound (the t24-guard precedent): the query
+    // side is collected + broadcast under the benchmark-sized-eval
+    // assumption (eval sets are bounded by nature; train grows with
+    // the crawl). Counted BEFORE the collect so a mis-aimed qPred
+    // fails with a diagnosis instead of a driver OOM.
+    val nQ = qSide.count()
+    require(nQ <= MaxQueryRows,
+      s"IVF probe query side has $nQ rows (> $MaxQueryRows driver/broadcast bound): " +
+        "the probe table is collected + broadcast under the bounded-eval assumption — " +
+        "batch the query side (or flip roles: probe the smaller side) before scaling up")
+    val qRows = qSide.collect()
     import s.implicits._
     val probePairs = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)

@@ -1259,6 +1259,10 @@ object CorpusOps extends QueryModule {
       .filter(col("g1") + col("g2") + col("g3") + col("g4") >= 3)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
       .cache()
+    // keeper identity is the (xxhash64, crc32) pair of the cleaned
+    // text while the Python oracle compares texts exactly — a
+    // cross-text collision on BOTH hashes (~2^-96) would diverge;
+    // the d01/c11 idiom, stated here because c16 dedups DERIVED text
     val keepers = gated
       .groupBy(xxhash64(col("text")).as("xh"),
         crc32(col("text").cast(BinaryType)).as("cc"))
@@ -1277,12 +1281,21 @@ object CorpusOps extends QueryModule {
         coalesce(sum(wsTok(col("text"))), lit(0L)).as("n_tokens"))
       .select(lit(name).as("stage"), col("n_units"), col("n_chars"),
         col("n_tokens"))
-    st("0_raw", all.select(col("text"), col("n_chars").cast(LongType).as("n_chars")))
+    val manifest = st("0_raw",
+        all.select(col("text"), col("n_chars").cast(LongType).as("n_chars")))
       .unionByName(st("1_substr_removed", cleaned))
       .unionByName(st("2_gated", gated))
       .unionByName(st("3_deduped", deduped))
       .unionByName(split)
       .orderBy("stage")
+      .cache()
+    // materialize the ≤7 manifest rows, then RETIRE the corpus-text-
+    // sized stage caches (round-15 ADVICE): only the tiny manifest
+    // cache outlives the call; a dropped block recomputes through the
+    // d15 spans parquet handoff, never through a deleted path
+    manifest.count()
+    Seq(cleaned, gated, deduped).foreach(_.unpersist())
+    manifest
   }
 
   private val c11Sql = {

@@ -954,23 +954,29 @@ object Dedup extends QueryModule {
   private def d14(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
     // the fresh-build form (d17 is the persisted-index twin): the
-    // array lands in a CALLER-OWNED dir, retired as soon as the
-    // ≤20-row report (bounded by the LIMIT) is materialized — so
-    // nothing corpus-sized outlives the query in EITHER construction
-    // mode (in-memory: unpersist; spill-bounded: the dir delete —
-    // previously the ckpt-mode result parquet sat in the temp root
-    // until JVM shutdown, the round-14 ADVICE disk class). The report
-    // frame stays cached — 20 rows — and keeps the real plan visible
-    // to PlanAudit.
-    val saDir = java.nio.file.Files.createTempDirectory("graft_d14_")
-    val sa = graft.operators.GeneralizedSuffixArray.build(base,
-      Some(saDir.resolve("sa").toString))
+    // array lands in a CORPUS-KEYED dir (overwritten per run, so
+    // repeated runs never accumulate copies) that OUTLIVES the
+    // returned frame — the cached ≤20-row report's lineage still
+    // reads it, so a dropped cache block (eviction, executor loss)
+    // recomputes through live files instead of failing on a deleted
+    // path (the round-15 ADVICE class); a shutdown hook retires the
+    // dir with the JVM. The report frame stays cached — 20 rows —
+    // and keeps the real plan visible to PlanAudit.
+    val saDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d14sa")
+    d14DirHook.getOrElseUpdate(saDir, {
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(saDir)): Unit)
+      ()
+    })
+    val sa = graft.operators.GeneralizedSuffixArray.build(base, Some(s"$saDir/sa"))
     val report = d14Top(adjacentLcpFrom(sa, base)).cache()
     report.count()
     sa.unpersist()
-    org.apache.commons.io.FileUtils.deleteDirectory(saDir.toFile)
     report
   }
+
+  /** One shutdown-hook registration per d14 SA dir (see d14). */
+  private val d14DirHook = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   // d17: the PERSISTED-INDEX form of the SA family — the SA in the
   // build-once / derive-many operating mode (operators.SuffixArrayIndex,

@@ -45,6 +45,14 @@ object StreamingSemanticDecon {
                   windowLen: String = "1 hour"): DataFrame = {
     val s = stream.sparkSession
     import s.implicits._
+    // LOUD broadcast bound (the t24-guard precedent, round-15 verdict
+    // item 4): the probe table is driver-held + broadcast under the
+    // bounded-eval assumption — eval benchmarks are small by nature;
+    // a probe table past this is a mis-aimed split, not an eval set
+    require(probes.size <= graft.operators.IvfIndex.MaxQueryRows,
+      s"streaming decon probe table has ${probes.size} rows " +
+        s"(> ${graft.operators.IvfIndex.MaxQueryRows} broadcast bound): " +
+        "the eval side must stay benchmark-sized — restrict the probe split")
     val pr = broadcast(probes.toDF("q_id", "cid", "qemb"))
     stream.withWatermark(eventTimeCol, watermark)
       // train side only (the _flush sentinel is train-side BY DESIGN:
@@ -78,11 +86,18 @@ object StreamingSemanticDecon {
     val cb = s.read.parquet(s"$dir/codebook")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).map(_._2)
-    val evalRows = graft.Tables.load(s, sfDir, "embeddings")
+    val evalSide = graft.Tables.load(s, sfDir, "embeddings")
       .filter(pmod(col("vec_id"), lit(37L)) === 0L)
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x as double))").as("qvd"))
-      .collect()
+    // counted BEFORE the collect (the searchWhere guard's discipline):
+    // a corpus-sized eval split fails loud, not with a driver OOM
+    val nEval = evalSide.count()
+    require(nEval * 4 <= graft.operators.IvfIndex.MaxQueryRows,
+      s"streaming decon eval split has $nEval rows — at nprobe=4 its probe " +
+        s"table exceeds the ${graft.operators.IvfIndex.MaxQueryRows}-row " +
+        "broadcast bound (bounded-eval assumption): restrict the probe split")
+    val evalRows = evalSide.collect()
     val probes: Seq[(Long, Long, Array[Float])] = evalRows.toSeq.flatMap { r =>
       graft.queries.Similarity.probeIds(cb, r.getSeq[Double](2), nprobe = 4)
         .map(cid => (r.getLong(0), cid, r.getSeq[Float](1).toArray))
