@@ -1619,6 +1619,67 @@ def d18_train_decontamination(sf_dir):
     })
 
 
+def d19_sa_probe_decontamination(sf_dir):
+    """Independent recompute of the incremental SA probe: the batch is
+    the engine's deterministic construction (one doc per corpus doc
+    with doc_id % 53 == 7: novel filler framing two verbatim slices of
+    the source text); corpus suffixes are sorted once, each batch
+    suffix is BISECTED in, and the max LCP (capped 2048) of its two
+    insertion neighbors is the longest prefix shared with ANY corpus
+    suffix (nearest-in-SA-order is optimal); spans >= 32 union-merge
+    per batch doc. A different algorithm than the engine's pruned-
+    union gated-min scans — agreement checks semantics."""
+    import bisect
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = list(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("text").to_pylist()))
+    corpus = sorted(text[o:] for _, text in rows for o in range(len(text)))
+    n = len(corpus)
+
+    def lcp(a, b):
+        m = min(len(a), len(b), 2048)
+        l = 0
+        while l < m and a[l] == b[l]:
+            l += 1
+        return l
+
+    out_id, out_nc, out_cc, out_ns = [], [], [], []
+    for did, text in sorted(rows):
+        if did % 53 != 7:
+            continue
+        bt = (f"novel-head-{did}-xq " + text[10:10 + 40 + did % 160]
+              + f" plugh-{did}-mid " + text[210:210 + 24 + did % 64]
+              + " novel-tail-zz")
+        spans = []
+        for o in range(len(bt)):
+            s = bt[o:]
+            i = bisect.bisect_left(corpus, s)
+            m = 0
+            if i > 0:
+                m = lcp(s, corpus[i - 1])
+            if i < n:
+                m = max(m, lcp(s, corpus[i]))
+            if m >= 32:
+                spans.append((o, o + m))
+        merged = []
+        for st, en in sorted(spans):
+            if merged and st <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        out_id.append(did)
+        out_nc.append(len(bt))
+        out_cc.append(sum(en - st for st, en in merged))
+        out_ns.append(len(merged))
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "n_chars": pa.array(out_nc, pa.int64()),
+        "n_contam_chars": pa.array(out_cc, pa.int64()),
+        "n_spans": pa.array(out_ns, pa.int64()),
+    })
+
+
 def c16_pipeline_substr(sf_dir):
     """Funnel oracle for c16: d15's substring removal (shared
     _d15_rows suffix sort) composed with the c11-battery gate, exact
@@ -1691,6 +1752,7 @@ PY_ORACLES = {
     "d15_substring_removal": d15_substring_removal,
     "d16_exact_decontamination": d16_exact_decontamination,
     "d18_train_decontamination": d18_train_decontamination,
+    "d19_sa_probe_decontamination": d19_sa_probe_decontamination,
     # persisted-SA report == fresh d14 (deterministic construction),
     # so d14's independent suffix sort is the oracle here too — the
     # t26→t24 precedent

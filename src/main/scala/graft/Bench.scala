@@ -106,7 +106,8 @@ object Bench {
     // pass a repeated analysis actually pays (round-14 verdict item 1
     // — previously d15/d16 each paid a fresh ~17-min sf10 build).
     val saUsers = Seq("d15_substring_removal", "d16_exact_decontamination",
-      "d17_sa_index_report", "d18_train_decontamination", "c16_pipeline_substr")
+      "d17_sa_index_report", "d18_train_decontamination", "c16_pipeline_substr",
+      "d19_sa_probe_decontamination")
     val d17Build: Seq[(String, Double)] =
       if (saUsers.forall(n => skip(n) || !only.forall(_(n)))) Nil
       else {
@@ -114,6 +115,19 @@ object Bench {
         graft.operators.SuffixArrayIndex.build(spark, sfDir,
           graft.operators.SuffixArrayIndex.indexDirFor(sfDir))
         Seq("d17_sa_index_build" -> (System.nanoTime() - t0) / 1e9)
+      }
+    // d19 probes the persisted SA through its prefix-hash sidecar —
+    // built once per corpus snapshot like any index: charge it to its
+    // own metric so the d19 query line measures the per-batch probe
+    // cost an onboarding pipeline actually pays
+    val d19Sidecar: Seq[(String, Double)] =
+      if (skip("d19_sa_probe_decontamination") ||
+          !only.forall(_("d19_sa_probe_decontamination"))) Nil
+      else {
+        val t0 = System.nanoTime()
+        graft.operators.SuffixArrayIndex.ensureProbeSidecar(spark, sfDir,
+          graft.operators.SuffixArrayIndex.indexDirFor(sfDir))
+        Seq("d19_sa_probe_sidecar_build" -> (System.nanoTime() - t0) / 1e9)
       }
     // t22 is train-once/tokenize-many: charge the tokenizer TRAIN to
     // its own metric (forced fresh build into the keyed dir), so the
@@ -248,7 +262,8 @@ object Bench {
     val calJson = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
     // queries whose every run failed carry NaN — reported under
     // "failed", never as a seconds row
-    val results = (s06Build ++ t19Build ++ t22Build ++ t26Build ++ d17Build ++ timed)
+    val results = (s06Build ++ t19Build ++ t22Build ++ t26Build ++ d17Build ++
+      d19Sidecar ++ timed)
       .filterNot(_._2.isNaN).sortBy(_._1)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

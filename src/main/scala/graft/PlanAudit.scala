@@ -404,6 +404,36 @@ object PlanAudit {
         !s.split("== Initial Plan ==").head.split("\n")
           .exists(l => nodeIs(l, "Generate") && l.contains("posexplode"))))
 
+    // d19 incremental SA probe: the visible plan is the span-merge +
+    // per-batch-doc report (the probe's pruned-union scans are
+    // materialized behind the spans parquet handoff, the d15/d16
+    // discipline) — one doc-keyed aggregate + one doc-keyed outer
+    // equi join over the BATCH, no cartesian, no single-partition
+    // window; the persisted index itself is never rebuilt (asserted
+    // separately below: probing again must not touch dir/sa)
+    audit("d19_sa_probe_decontamination")(
+      "no cartesian / nested loop" -> simpleOnly(s => {
+        val fin = s.split("== Initial Plan ==").head
+        !fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop")
+      }),
+      "no single-partition window" -> noSinglePartitionWindow,
+      "doc-keyed span aggregate" -> (s =>
+        s.contains("sort_array") || s.contains("collect_list")))
+    // the probe's contract is INCREMENTAL onboarding: a second probe
+    // against the same corpus must leave the persisted array's files
+    // untouched (mtime-stable) — the rebuild it exists to avoid
+    locally {
+      val saDir = new java.io.File(
+        graft.operators.SuffixArrayIndex.indexDirFor(sfDir), "sa")
+      def sig = Option(saDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      val before = sig
+      SparkEntry.queries("d19_sa_probe_decontamination")(spark, sfDir).collect()
+      val ok = before.nonEmpty && sig == before
+      if (!ok) failures += 1
+      println(f"[plan] ${if (ok) "PASS" else "FAIL"}%s  d19_sa_probe_decontamination repeat probe leaves the persisted array untouched")
+    }
+
     // c14 curriculum shards: the difficulty total order must come from
     // the bounded-grid rank (per-(qs, pid) windows + the broadcast
     // offset join), never a single-partition window over the corpus

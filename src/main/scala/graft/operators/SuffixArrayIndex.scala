@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Persisted GENERALIZED suffix array — the build-once / derive-many
   * operating mode of the SA family (the s06/t19/d13/t26 pattern): a
@@ -43,4 +45,161 @@ object SuffixArrayIndex {
   /** The persisted array: (doc_id, off, rank, rank32). */
   def load(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/sa")
+
+  /** Default bound on the batch-suffix count a probe will broadcast
+    * (the prefix-hash set: 8 bytes/suffix ≈ 32 MB at the bound; the
+    * t24-guard precedent). A crawl batch is small relative to the
+    * indexed corpus by nature — past this, split the batch. Override
+    * for tests via `spark.graft.saProbeMaxBatchSuffixes`. */
+  val ProbeMaxBatchSuffixesDefault: Long = 1L << 22
+
+  /** The probe-acceleration sidecar `dir/h32`: for every indexed
+    * suffix with ≥ 32 code points remaining (shorter suffixes can
+    * never satisfy the family's ≥32-char span contract),
+    * (doc_id, off, h32 = xxhash64 of its 32-code-point prefix).
+    * Built ONCE per corpus snapshot (one index ⋈ documents pass —
+    * the d16-derive cost class); every subsequent [[probe]] reads
+    * ONLY this fixed-width column set, scan-side-filtered by the
+    * batch's broadcast hash set — no corpus text is touched again. */
+  def ensureProbeSidecar(s: SparkSession, sfDir: String, dir: String): DataFrame = {
+    if (!new java.io.File(dir, "h32/_SUCCESS").exists) {
+      val corpus = graft.Tables.load(s, sfDir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      load(s, dir).select(col("doc_id"), col("off"))
+        .join(corpus, Seq("doc_id"))
+        .filter(col("off") <= length(col("text")).cast(LongType) - 32L)
+        .select(col("doc_id"), col("off"),
+          xxhash64(expr("substring(text, cast(off + 1 as int), 32)")).as("h32"))
+        .write.mode("overwrite").parquet(s"$dir/h32")
+    }
+    s.read.parquet(s"$dir/h32")
+  }
+
+  /** INCREMENTAL cross-corpus probe — the SA family's d13/t19/s06
+    * operating mode (round-15 verdict item 1): a new crawl batch's
+    * docs are checked for verbatim spans (≥ 32 code points, LCP capped
+    * at 2048 — d16's contract) shared with the PERSISTED corpus index,
+    * WITHOUT rebuilding it. Writes the raw span set (doc_id, st, en)
+    * — batch coordinates — to `spansDir` (the d15 lineage-cut handoff)
+    * and returns the read-back frame; the caller union-merges per doc.
+    *
+    * Method: only suffixes sharing a 32-prefix can share ≥ 32 chars,
+    * so the batch's suffix prefix-hashes (a bounded broadcast set,
+    * loudly guarded) prune BOTH sides — the corpus side to a
+    * scan-side-filtered read of the [[ensureProbeSidecar]] column set,
+    * the batch side to hashes the corpus actually contains. The
+    * pruned union of capped suffix prefixes is then totally ordered
+    * (the denseRank two-pass — UTF8String binary order IS code-point
+    * order), adjacent-boundary LCPs run through the codegen
+    * CommonPrefixLen kernel, and the two directional [[GatedMinScan]]
+    * passes (reset on corpus rows, emit batch rows) yield for every
+    * batch suffix the longest prefix it shares with ANY corpus suffix.
+    *
+    * Exactness under the pruning: a hash join has no false negatives,
+    * so any batch suffix with a true ≥32 match keeps its achiever in
+    * the union; sorted-order LCP is non-increasing with distance, so
+    * the nearest surviving corpus row per side attains the maximum;
+    * hash-collision EXTRAS are real corpus suffixes whose exact LCP
+    * is computed like any other (they can only tighten the chain,
+    * never exceed the true max); dropped rows only carry < 32 chains,
+    * which the threshold discards on both engines identically.
+    * Capped-prefix ties are exact because every within-tie boundary
+    * LCP is ≥ the 2048 cap. Code-point discipline is the build's
+    * (split/substring/length/UTF8String/CommonPrefixLen all count
+    * code points — see GeneralizedSuffixArray).
+    *
+    * 100 TB shape: per batch the corpus-side work is ONE filtered
+    * scan of the fixed-width sidecar (no text, no suffix re-sort);
+    * everything downstream is proportional to the pruned union
+    * (batch suffixes + their corpus hash-mates). The one-off sidecar
+    * construction is a single corpus pass charged like any index
+    * build. Driver state: the two-pass stats and scan summaries
+    * (≤ |partitions| rows each) plus nothing batch- or corpus-sized. */
+  def probe(s: SparkSession, sfDir: String, batch: DataFrame,
+            spansDir: String): DataFrame = {
+    val dir = ensureBuilt(s, sfDir)
+    val sidecar = ensureProbeSidecar(s, sfDir, dir)
+    val b = batch.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    // pk packing guards, mirroring the build's (side(1) | id(31) |
+    // off(30) — unique across both sides of the union)
+    val bounds = b.agg(max(length(col("text"))), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val maxLen = if (bounds.isNullAt(0)) 0L else bounds.getInt(0).toLong
+    val (minDoc, maxDoc) =
+      if (bounds.isNullAt(1)) (0L, 0L) else (bounds.getLong(1), bounds.getLong(2))
+    require(minDoc >= 0L && maxDoc < (1L << 31),
+      s"SA probe pk packing needs 0 <= doc_id < 2^31, got [$minDoc, $maxDoc]")
+    require(maxLen < (1L << 30),
+      s"SA probe pk packing needs doc length < 2^30 chars, got $maxLen")
+    // batch suffixes that can reach the 32-char contract, keyed by
+    // the 32-prefix hash (text carried only through this projection)
+    val bs = b
+      .select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), "")).as(Seq("off", "ch")))
+      .filter(col("off").cast(LongType) <= length(col("text")).cast(LongType) - 32L)
+      .select(col("doc_id"), col("off").cast(LongType).as("off"),
+        xxhash64(expr("substring(text, off + 1, 32)")).as("h32"))
+      .cache()
+    // LOUD broadcast bound (the t24-guard precedent): the probe
+    // broadcasts the batch's prefix-hash set both ways
+    val nBs = bs.count()
+    val maxBs = s.conf.getOption("spark.graft.saProbeMaxBatchSuffixes")
+      .map(_.toLong).getOrElse(ProbeMaxBatchSuffixesDefault)
+    require(nBs <= maxBs,
+      s"SA probe batch has $nBs suffixes (> $maxBs broadcast bound): a crawl " +
+        "batch is small relative to the indexed corpus by nature — split the batch")
+    val bh = bs.select(col("h32")).distinct()
+    // corpus survivors: ONE scan-side-filtered read of the sidecar
+    val surv = sidecar.join(broadcast(bh), Seq("h32"))
+    // batch survivors: hashes the corpus actually contains
+    val survH = surv.select(col("h32")).distinct()
+    val bsKept = bs.join(broadcast(survH), Seq("h32"))
+    // capped prefixes fetched for SURVIVORS only (both sides small)
+    val corpus = graft.Tables.load(s, sfDir, "documents")
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    def pref: org.apache.spark.sql.Column =
+      expr("substring(text, cast(off + 1 as int), 2048)")
+    val u = surv.join(corpus, Seq("doc_id"))
+      .select(lit(true).as("train"), col("doc_id"), col("off"), pref.as("pref"))
+      .unionByName(bsKept.join(b, Seq("doc_id"))
+        .select(lit(false).as("train"), col("doc_id"), col("off"), pref.as("pref")))
+      .select(col("train"), col("doc_id"), col("off"), col("pref"),
+        (when(col("train"), lit(1L)).otherwise(lit(0L)) * lit(1L << 61) +
+          shiftleft(col("doc_id"), 30) + col("off")).as("pk"))
+      .cache()
+    // total order of the pruned union: the denseRank two-pass over
+    // (pref, pk) — pk is unique, so ranks are a total ordinal
+    val (ord, _, ordCache) = GeneralizedSuffixArray.denseRank(
+      u.select(col("pref"), col("pk").as("k2"), col("pk")), Seq("pref", "k2"))
+    val u2 = ord.join(u, Seq("pk")).cache()
+    // adjacent-boundary LCPs through the codegen kernel (b_rank = the
+    // SA-later row of the pair, the adjacentLcpFrom convention)
+    val bnd = u2.select((col("rank") - 1).as("rank"), col("pref").as("pref_b"))
+      .join(u2.select(col("rank"), col("pref").as("pref_a")), Seq("rank"))
+      .select((col("rank") + 1).as("b_rank"),
+        graft.functions.GraftFunctions.commonPrefixLen(
+          col("pref_a"), col("pref_b")).as("lcp"))
+    // both boundary LCPs attach in one pass (the crossSharedSpans
+    // shape), feeding the two directional gated-min scans
+    val both = u2.select(col("rank"), col("doc_id"), col("off"), col("train"))
+      .join(bnd.select(col("b_rank").as("rank"), col("lcp").as("lcpIn")),
+        Seq("rank"), "left")
+      .join(bnd.select((col("b_rank") - 1).as("rank"), col("lcp").as("lcpOut")),
+        Seq("rank"), "left")
+      .na.fill(0L, Seq("lcpIn", "lcpOut"))
+      .cache()
+    val (l, lc) = GatedMinScan.scan(both
+      .select(col("rank").as("ord"), col("doc_id"), col("off"),
+        col("train"), col("lcpIn")))
+    val (r, rc) = GatedMinScan.scan(both
+      .select((-col("rank")).as("ord"), col("doc_id"), col("off"),
+        col("train"), col("lcpOut").as("lcpIn")))
+    l.unionByName(r).groupBy(col("doc_id"), col("off"))
+      .agg(max(col("m")).as("m"))
+      .select(col("doc_id"), col("off").as("st"),
+        (col("off") + col("m")).as("en"))
+      .write.mode("overwrite").parquet(spansDir)
+    Seq(lc, rc, both, u2, ordCache, u, bs).foreach(_.unpersist())
+    s.read.parquet(spansDir)
+  }
 }

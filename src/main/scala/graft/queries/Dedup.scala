@@ -1209,72 +1209,65 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** One directional gated-min scan (see d16): `rows` =
-    * (ord ascending scan order, doc_id, off, train, lcpIn — boundary
-    * LCP to the predecessor in scan order, 0 when absent/broken).
-    * Transition per row: train ⇒ S := ∞; eval ⇒ S := min(S, lcpIn)
-    * (S = "no train seen yet" before the first train row). Emits
-    * (doc_id, off, m = S) for eval suffixes with m ≥ 32. Distributed
-    * as the denseRank two-pass: range exchange, bounded per-partition
-    * transition summary (a partition composes to either the concrete
-    * state after its last train row, or min(S_in, partition-min)),
-    * driver composition, broadcast second pass. Returns (result,
-    * the cached range-sorted frame backing it — caller unpersists
-    * after materializing downstream). */
-  private def scanSharedWithTrain(rows: DataFrame): (DataFrame, DataFrame) = {
-    val s = rows.sparkSession
-    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val NoTrain = -1L
-    val ordered = rows
-      .select(col("ord").cast(LongType), col("doc_id").cast(LongType),
-        col("off").cast(LongType), col("train"), col("lcpIn").cast(LongType))
-      .repartitionByRange(parts, col("ord"))
-      .sortWithinPartitions(col("ord"))
-      .cache()
-    val summaries: Array[(Int, Boolean, Long)] =
-      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var sawTrain = false
-        var cur = Long.MaxValue // C after the last train, or A overall
-        it.foreach { rr =>
-          if (rr.getBoolean(3)) { sawTrain = true; cur = Long.MaxValue }
-          else cur = math.min(cur, rr.getLong(4))
-        }
-        Iterator((pid, sawTrain, cur))
-      }.collect().sortBy(_._1)
-    var state = NoTrain
-    val incoming = summaries.map { case (pid, hasTrain, v) =>
-      val in = state
-      state =
-        if (hasTrain) v
-        else if (in == NoTrain) NoTrain
-        else math.min(in, v)
-      pid -> in
-    }.toMap
-    val bc = s.sparkContext.broadcast(incoming)
-    val outRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        var st = bc.value(pid)
-        it.flatMap { rr =>
-          if (rr.getBoolean(3)) { st = Long.MaxValue; None }
-          else {
-            st = if (st == NoTrain) NoTrain else math.min(st, rr.getLong(4))
-            if (st >= 32L) Some(Row(rr.getLong(1), rr.getLong(2), st))
-            else None
-          }
-        }
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("off", LongType, nullable = false),
-      StructField("m", LongType, nullable = false)))
-    (s.createDataFrame(outRdd, schema), ordered)
+  /** One directional gated-min scan (see d16) — the machinery is the
+    * SA family's single-owner [[graft.operators.GatedMinScan]] (shared
+    * with d19's incremental probe); this alias keeps the d16/d18 call
+    * sites reading as before. */
+  private def scanSharedWithTrain(rows: DataFrame): (DataFrame, DataFrame) =
+    graft.operators.GatedMinScan.scan(rows)
+
+  /** d19's deterministic "new crawl batch": one synthesized doc per
+    * corpus doc with doc_id % 53 == 7, its text a novel-filler frame
+    * around TWO verbatim slices of the source doc — the first always
+    * ≥ 40 code points (detectable under the ≥32 contract), the second
+    * 24..87 (detectable only when ≥ 32, and absent for short docs),
+    * so matched, sub-threshold, and no-second-span cases all occur.
+    * Batch docs are NOT in the index (novel framing), which is the
+    * point of the probe; the Python oracle restates this construction
+    * code-point-for-code-point (Spark substring/pmod == Python
+    * slicing/% on non-negatives). Shared with SuffixArrayProbeSpec. */
+  private[graft] def d19Batch(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(pmod(col("doc_id"), lit(53L)) === 7L)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        concat(
+          lit("novel-head-"), col("doc_id").cast(StringType), lit("-xq "),
+          expr("substring(text, 11, cast(40 + pmod(doc_id, 160) as int))"),
+          lit(" plugh-"), col("doc_id").cast(StringType), lit("-mid "),
+          expr("substring(text, 211, cast(24 + pmod(doc_id, 64) as int))"),
+          lit(" novel-tail-zz")).as("text"))
+
+  // d19: INCREMENTAL cross-corpus probe — the SA family's missing
+  // operating mode (round-15 verdict item 1, the d13/t19/s06 pattern):
+  // a new crawl batch is checked for verbatim spans (≥ 32 chars,
+  // capped 2048 — d16's contract) shared with the PERSISTED corpus
+  // index WITHOUT rebuilding it — batch onboarding pays a linear
+  // probe (one filtered scan of the index's prefix-hash sidecar +
+  // work proportional to the pruned union), not the 17-min-class sf10
+  // reconstruction over corpus ∪ batch. Method + exactness argument:
+  // operators.SuffixArrayIndex.probe. Output: the d16-shaped report,
+  // one row per batch doc. Oracle: an INDEPENDENT Python recompute —
+  // sorted corpus suffixes, each batch suffix bisected in, max LCP of
+  // the two insertion neighbors (the classic nearest-in-SA-order
+  // property), spans merged (scripts/py_oracles.py) — a different
+  // algorithm than the engine's pruned-union scans, so agreement
+  // checks the semantics, not the implementation.
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val batch = d19Batch(s, d)
+    val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d19spans")
+    val merged = mergedSpans(
+      graft.operators.SuffixArrayIndex.probe(s, d, batch, spansDir))
+    batch.join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        spanCharsSum.as("n_contam_chars"),
+        coalesce(size(col("iv")).cast(LongType), lit(0L)).as("n_spans"))
+      .orderBy("doc_id")
   }
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_longest_dup_substrings" -> d14,
     "d16_exact_decontamination" -> d16,
+    "d19_sa_probe_decontamination" -> d19,
     "d17_sa_index_report" -> d17,
     "d18_train_decontamination" -> d18,
     "d15_substring_removal" -> d15,
