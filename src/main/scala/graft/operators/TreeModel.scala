@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.LongType
   */
 object TreeModel {
 
-  /** Deterministic per-corpus model location ([[ArtifactDir]]). */
+  /** Deterministic per-corpus model location ([[ArtifactDir]]).
+    * The prefix carries a training-contract version ("treeq" = the
+    * quantile-bucket histogram): ArtifactDir keys on CORPUS identity
+    * only, so a contract change must re-key or a stale pre-change
+    * model would keep serving against the new oracle. */
   def modelDirFor(sfDir: String): String =
-    ArtifactDir.dirFor(sfDir, "documents.parquet", "tree")
+    ArtifactDir.dirFor(sfDir, "documents.parquet", "treeq")
 
   def ensureBuilt(s: SparkSession, sfDir: String): String = {
     val dir = modelDirFor(sfDir)

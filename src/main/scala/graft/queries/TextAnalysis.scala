@@ -920,52 +920,150 @@ object TextAnalysis extends QueryModule {
       }
     }
 
+  /** Quantile-bucket count for the training histogram (the
+    * XGBoost-hist / LightGBM bin budget). A feature with ≤ this many
+    * distinct TRAINING values keeps every value as its own candidate
+    * (the exact-search degenerate case); past it, values quantize to
+    * equal-frequency buckets and split candidates are the bucket
+    * boundaries — the histogram is then ≤ nodes·4·T24Buckets rows at
+    * ANY corpus size. Mirrored literally in the SQL oracle. */
+  private[graft] val T24Buckets = 256L
+
+  /** (fi, v) → quantile bucket over the long-form TRAINING feature
+    * rows `lf` = (fi, v): per feature, distinct values get c(v)
+    * counts; nd ≤ [[T24Buckets]] ⇒ b = 0-based rank of v (identity —
+    * today's exact candidate set); else b = (cum(v)−1)·B div n with
+    * cum the inclusive value-ordered count prefix — deterministic,
+    * value-monotone, ties never split (rows with equal v share a
+    * bucket by construction). Distributed as the denseRank two-pass:
+    * range exchange on (fi, v), bounded per-partition (feature →
+    * subtotal) summaries, driver composition (≤ |partitions|·4
+    * entries), broadcast second pass. Returns (bucket map frame,
+    * the cached range-sorted frame backing it — caller unpersists
+    * once downstream is materialized). */
+  private def t24BucketMap(lf: DataFrame): (DataFrame, DataFrame) = {
+    val s = lf.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val B = T24Buckets
+    val ordered = lf.groupBy(col("fi"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .repartitionByRange(parts, col("fi"), col("v"))
+      .sortWithinPartitions(col("fi"), col("v"))
+      .cache()
+    val stats: Array[(Int, Map[Int, (Long, Long)])] =
+      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+        it.foreach { r =>
+          val (sc, nd) = m.getOrElse(r.getInt(0), (0L, 0L))
+          m(r.getInt(0)) = (sc + r.getLong(2), nd + 1)
+        }
+        Iterator((pid, m.toMap))
+      }.collect().sortBy(_._1)
+    val totals: Map[Int, (Long, Long)] = stats.flatMap(_._2).groupBy(_._1)
+      .map { case (fi, xs) => fi -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum)) }
+    val run = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    val incoming: Map[Int, Map[Int, (Long, Long)]] = stats.map { case (pid, m) =>
+      val in = run.toMap
+      m.foreach { case (fi, (sc, nd)) =>
+        val (c0, n0) = run.getOrElse(fi, (0L, 0L))
+        run(fi) = (c0 + sc, n0 + nd)
+      }
+      pid -> in
+    }.toMap
+    val bcIn = s.sparkContext.broadcast(incoming)
+    val bcTot = s.sparkContext.broadcast(totals)
+    val bmRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val st = scala.collection.mutable.Map.empty[Int, (Long, Long)] ++=
+        bcIn.value(pid)
+      it.map { r =>
+        val fi = r.getInt(0)
+        val (c0, n0) = st.getOrElse(fi, (0L, 0L))
+        val cum = c0 + r.getLong(2)
+        val rank = n0 // 0-based rank of this distinct value
+        st(fi) = (cum, n0 + 1)
+        val (n, nd) = bcTot.value(fi)
+        val b = if (nd <= B) rank else (cum - 1) * B / n
+        org.apache.spark.sql.Row(fi, r.getLong(1), b)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("fi", IntegerType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    (s.createDataFrame(bmRdd, schema), ordered)
+  }
+
   /** Histogram-driven training: per level one aggregate + a driver
-    * argmax, exactly the procedure the oracle unrolls in SQL. */
+    * argmax, exactly the procedure the oracle unrolls in SQL.
+    * Features are first quantized to ≤ [[T24Buckets]] quantile
+    * buckets ([[t24BucketMap]], once per training call — buckets are
+    * node-independent), so the per-level histogram is PROVABLY
+    * ≤ nodes·4·T24Buckets rows at any corpus size; the chosen
+    * bucket's split threshold is its max TRAINING value, so node
+    * routing ([[t24Assign]]) stays raw-value `v ≤ thr` and the
+    * persisted model artifact is unchanged in shape. */
   private[graft] def t24TrainLevels(feats: DataFrame, depth: Int): Seq[Seq[T24Split]] = {
+    val lf = feats.select(col("doc_id"),
+      posexplode(array(col("w"), col("cpw10"), col("sw"), col("dpm")))
+        .as(Seq("fi", "v")))
+    val (bm, bmCache) = t24BucketMap(lf.select(col("fi"), col("v")))
+    // bucket → max raw training value: the threshold translation
+    // (bucket monotone in v ⇒ "v ≤ thr(b)" ≡ "bucket(v) ≤ b");
+    // bounded collect: ≤ 4·T24Buckets rows
+    val thrOf: Map[(Int, Long), Long] = bm.groupBy(col("fi"), col("b"))
+      .agg(max(col("v")).as("thr")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // bucket-decorated features: one long-form join + a doc-keyed
+    // pivot, once per training call
+    val bcols = lf.join(bm, Seq("fi", "v"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("fi") === 0, col("b"))).as("qb1"),
+        max(when(col("fi") === 1, col("b"))).as("qb2"),
+        max(when(col("fi") === 2, col("b"))).as("qb3"),
+        max(when(col("fi") === 3, col("b"))).as("qb4"))
+    val featsQ = feats.join(bcols, Seq("doc_id")).cache()
+    featsQ.count()
+    bmCache.unpersist()
     var levels = Vector.empty[Seq[T24Split]]
     for (_ <- 1 to depth) {
-      val hist = t24Assign(feats, levels)
+      val hist = t24Assign(featsQ, levels)
         .select(col("node"), col("y"),
-          posexplode(array(col("w"), col("cpw10"), col("sw"), col("dpm")))
-            .as(Seq("fi", "v")))
-        .groupBy(col("node"), col("fi"), col("v"))
+          posexplode(array(col("qb1"), col("qb2"), col("qb3"), col("qb4")))
+            .as(Seq("fi", "b")))
+        .groupBy(col("node"), col("fi"), col("b"))
         .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1) + 1, r.getLong(2),
           r.getLong(3), r.getLong(4)))
-      // LOUD driver-state bound: w and dpm are unquantized, so the
-      // histogram grows with the distinct-value count, not a fixed
-      // bucket count. A production scale-up quantizes to ≤256 buckets
-      // per feature (and mirrors that in the oracle); until that lands
-      // this guard makes the growth fail with a diagnosis instead of a
-      // driver OOM. 2^21 rows ≈ 80 MB of tuples — far above any gate
-      // SF (sf0.1 ≈ 3.3 k rows/level), far below driver heap.
-      require(hist.length <= (1 << 21),
-        s"t24 training histogram has ${hist.length} rows (> 2^21 driver-state bound): " +
-          "quantize w/dpm to bounded buckets (update the oracle in lockstep) before scaling up")
+      // invariant, not a scaling guard (the round-15 2^21 guard is
+      // retired by the quantization): the histogram is bounded by
+      // construction — nodes·4·T24Buckets — independent of corpus size
+      require(hist.length <= (1L << depth) * 4 * T24Buckets,
+        s"t24 histogram invariant broken: ${hist.length} rows")
       val sps = hist.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
         case (node, rows) =>
           val n = rows.filter(_._2 == 1).map(_._4).sum
           val pos = rows.filter(_._2 == 1).map(_._5).sum
-          var best: Option[(Long, Int, Long)] = None // (criterion, f, v)
+          var best: Option[(Long, Int, Long)] = None // (criterion, f, b)
           for (f <- 1 to 4) {
             var nl = 0L; var pl = 0L
-            rows.filter(_._2 == f).sortBy(_._3).foreach { case (_, _, v, c, p) =>
+            rows.filter(_._2 == f).sortBy(_._3).foreach { case (_, _, b, c, p) =>
               nl += c; pl += p
               if (nl < n) {
                 val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
                 val better = best.forall { case (bd, bf, bv) =>
-                  crit > bd || (crit == bd && (f < bf || (f == bf && v < bv)))
+                  crit > bd || (crit == bd && (f < bf || (f == bf && b < bv)))
                 }
-                if (crit > 0 && better) best = Some((crit, f, v))
+                if (crit > 0 && better) best = Some((crit, f, b))
               }
             }
           }
-          best.map { case (_, f, v) => T24Split(node, f, v) }
+          best.map { case (_, f, b) => T24Split(node, f, thrOf((f - 1, b))) }
       }
       levels = levels :+ sps
     }
+    featsQ.unpersist()
     levels
   }
 
@@ -995,26 +1093,48 @@ object TextAnalysis extends QueryModule {
       levels.map(_.size).sum.toLong)
   }
 
+  /** The per-training-set quantile-bucket CTEs (the engine's
+    * [[t24BucketMap]] restated): distinct TRAINING values per feature
+    * (membership via a1$sfx), bucket = 0-based value rank when the
+    * feature has ≤ [[T24Buckets]] distinct values, else the
+    * equal-frequency (cum−1)·B div n formula; bthr = each bucket's
+    * max training value (the split-threshold translation). */
+  private def t24BucketSql(sfx: String): String =
+    s"""dv$sfx AS (SELECT fl.f, fl.v, COUNT(*) AS c
+       |  FROM fl JOIN a1$sfx a ON a.doc_id = fl.doc_id GROUP BY 1, 2),
+       |bm$sfx AS (SELECT f, v, CAST(CASE
+       |    WHEN (COUNT(*) OVER (PARTITION BY f)) <= $T24Buckets
+       |    THEN ROW_NUMBER() OVER (PARTITION BY f ORDER BY v) - 1
+       |    ELSE ((SUM(c) OVER (PARTITION BY f ORDER BY v)) - 1) * $T24Buckets
+       |         // (SUM(c) OVER (PARTITION BY f))
+       |  END AS BIGINT) AS b FROM dv$sfx),
+       |bthr$sfx AS (SELECT f, b, MAX(v) AS thr FROM bm$sfx GROUP BY 1, 2)""".stripMargin
+
   /** One training level as oracle CTEs, name-suffixed so the CV
     * oracle can instantiate the identical procedure per fold. The
     * assignment source a1$sfx defines the training doc set; fl is the
     * full long-form feature table (restricted implicitly through the
-    * doc_id join). */
+    * doc_id join); the histogram groups by the bm$sfx quantile bucket
+    * and the chosen bucket's threshold comes from bthr$sfx. */
   private def t24LevelSql(l: Int, sfx: String): String =
-    s"""h$l$sfx AS (SELECT a.node, fl.f, fl.v, COUNT(*) AS c, CAST(SUM(fl.y) AS BIGINT) AS p
-       |  FROM fl JOIN a$l$sfx a ON a.doc_id = fl.doc_id GROUP BY 1, 2, 3),
+    s"""h$l$sfx AS (SELECT a.node, fl.f, bm.b, COUNT(*) AS c, CAST(SUM(fl.y) AS BIGINT) AS p
+       |  FROM fl JOIN a$l$sfx a ON a.doc_id = fl.doc_id
+       |  JOIN bm$sfx bm ON bm.f = fl.f AND bm.v = fl.v
+       |  GROUP BY 1, 2, 3),
        |tot$l$sfx AS (SELECT node, CAST(SUM(CASE WHEN f = 1 THEN c ELSE 0 END) AS BIGINT) AS n,
        |    CAST(SUM(CASE WHEN f = 1 THEN p ELSE 0 END) AS BIGINT) AS pos
        |  FROM h$l$sfx GROUP BY 1),
-       |cand$l$sfx AS (SELECT h.node, h.f, h.v, t.n, t.pos,
-       |    CAST(SUM(h.c) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS nl,
-       |    CAST(SUM(h.p) OVER (PARTITION BY h.node, h.f ORDER BY h.v) AS BIGINT) AS pl
+       |cand$l$sfx AS (SELECT h.node, h.f, h.b, t.n, t.pos,
+       |    CAST(SUM(h.c) OVER (PARTITION BY h.node, h.f ORDER BY h.b) AS BIGINT) AS nl,
+       |    CAST(SUM(h.p) OVER (PARTITION BY h.node, h.f ORDER BY h.b) AS BIGINT) AS pl
        |  FROM h$l$sfx h JOIN tot$l$sfx t ON h.node = t.node),
-       |best$l$sfx AS (SELECT node, f, v AS thr FROM (
-       |    SELECT node, f, v, ABS(pl*(n-nl) - (pos-pl)*nl) AS d,
+       |best$l$sfx AS (SELECT t.node, t.f, bt.thr AS thr FROM (
+       |    SELECT node, f, b, ABS(pl*(n-nl) - (pos-pl)*nl) AS d,
        |      ROW_NUMBER() OVER (PARTITION BY node
-       |        ORDER BY ABS(pl*(n-nl) - (pos-pl)*nl) DESC, f, v) AS rn
-       |    FROM cand$l$sfx WHERE nl < n) t WHERE rn = 1 AND d > 0),
+       |        ORDER BY ABS(pl*(n-nl) - (pos-pl)*nl) DESC, f, b) AS rn
+       |    FROM cand$l$sfx WHERE nl < n) t
+       |  JOIN bthr$sfx bt ON bt.f = t.f AND bt.b = t.b
+       |  WHERE rn = 1 AND d > 0),
        |a${l + 1}$sfx AS (SELECT a.doc_id,
        |    CASE WHEN b.node IS NULL THEN a.node
        |         WHEN fv.v <= b.thr THEN 2*a.node ELSE 2*a.node+1 END AS node
@@ -1065,6 +1185,7 @@ object TextAnalysis extends QueryModule {
     def level(l: Int): String = t24LevelSql(l, "")
     s"""WITH $t24BaseCtes,
        |a1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats),
+       |${t24BucketSql("")},
        |${(1 to T24Depth).map(level).mkString(",\n")},
        |lv AS (SELECT a.node, COUNT(*) AS n_docs, CAST(SUM(f.y) AS BIGINT) AS n_pos
        |  FROM a${T24Depth + 1} a JOIN feats f ON f.doc_id = a.doc_id GROUP BY 1),
@@ -1164,6 +1285,7 @@ object TextAnalysis extends QueryModule {
       val levels = (1 to T24Depth).map(l => t24LevelSql(l, x)).mkString(",\n")
       val evals = (1 to T24Depth).map(l => evalStep(l, x)).mkString(",\n")
       s"""a1$x AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats WHERE fold <> $k),
+         |${t24BucketSql(x)},
          |$levels,
          |e1$x AS (SELECT doc_id, CAST(1 AS BIGINT) AS node FROM feats WHERE fold = $k),
          |$evals,

@@ -37,46 +37,46 @@ class QualityTreeSpec extends AnyFunSuite {
     (Array(w, cpw10, sw, dpm), if (g >= 3) 1L else 0L)
   }
 
-  /** Plain-loop recompute: leaves (node -> (n, pos)) + split count. */
-  private def trainExpected(rows: Seq[(Array[Long], Long)], depth: Int)
-      : (Map[Long, (Long, Long)], Int) = {
-    var assign: Seq[(Array[Long], Long, Long)] = rows.map { case (f, y) => (f, y, 1L) }
-    var nSplits = 0
-    for (_ <- 1 to depth) {
-      val splits = assign.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
-        case (node, rs) =>
-          val n = rs.size.toLong
-          val pos = rs.map(_._2).sum
-          var best: Option[(Long, Int, Long)] = None
-          for (f <- 1 to 4) {
-            val byV = rs.groupBy(_._1(f - 1)).toSeq.sortBy(_._1)
-            var nl = 0L; var pl = 0L
-            byV.foreach { case (v, g) =>
-              nl += g.size; pl += g.map(_._2).sum
-              if (nl < n) {
-                val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
-                val better = best.forall { case (bd, bf, bv) =>
-                  crit > bd || (crit == bd && (f < bf || (f == bf && v < bv)))
-                }
-                if (crit > 0 && better) best = Some((crit, f, v))
-              }
-            }
-          }
-          best.map { case (_, f, v) => node -> (f, v) }
-      }.toMap
-      nSplits += splits.size
-      assign = assign.map { case (fv, y, node) =>
-        splits.get(node) match {
-          case Some((f, thr)) =>
-            (fv, y, if (fv(f - 1) <= thr) 2 * node else 2 * node + 1)
-          case None => (fv, y, node)
-        }
+  /** Quantile bucketing over the TRAINING rows — the t24 contract:
+    * per feature, nd ≤ 256 distinct values ⇒ bucket = 0-based value
+    * rank (identity candidate set), else the equal-frequency
+    * (cum−1)·256 div n formula; thrOf(b) = the bucket's max training
+    * value (v ascending ⇒ last write wins). */
+  private def bucketize(rows: Seq[(Array[Long], Long)])
+      : (Map[(Int, Long), Long], Map[(Int, Long), Long]) = {
+    val n = rows.size.toLong
+    val bOf = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    val tOf = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (f <- 1 to 4) {
+      val byV = rows.groupBy(_._1(f - 1)).toSeq.sortBy(_._1)
+      val nd = byV.size.toLong
+      var cum = 0L
+      byV.zipWithIndex.foreach { case ((v, g), rank) =>
+        cum += g.size
+        val b = if (nd <= 256L) rank.toLong else (cum - 1) * 256L / n
+        bOf((f, v)) = b
+        tOf((f, b)) = v
       }
     }
-    val leaves = assign.groupBy(_._3).map { case (node, rs) =>
-      node -> (rs.size.toLong, rs.map(_._2).sum)
+    (bOf.toMap, tOf.toMap)
+  }
+
+  /** Plain-loop recompute: leaves (node -> (n, pos)) + split count —
+    * training rows routed through the reconstructed split chain. */
+  private def trainExpected(rows: Seq[(Array[Long], Long)], depth: Int)
+      : (Map[Long, (Long, Long)], Int) = {
+    val splits = reconstructSplits(rows, depth)
+    val leaves = rows.map { case (fv, y) =>
+      var node = 1L
+      while (splits.contains(node)) {
+        val (f, thr) = splits(node)
+        node = if (fv(f - 1) <= thr) 2 * node else 2 * node + 1
+      }
+      (node, y)
+    }.groupBy(_._1).map { case (node, rs) =>
+      node -> ((rs.size.toLong, rs.map(_._2).sum))
     }
-    (leaves, nSplits)
+    (leaves, splits.size)
   }
 
   private def engineRows(df: org.apache.spark.sql.DataFrame) =
@@ -177,10 +177,14 @@ class QualityTreeSpec extends AnyFunSuite {
     got
   }
 
-  /** The split map (node -> (f, thr)) the trainExpected procedure
-    * builds, reconstructed for held-out routing. */
+  /** The split map (node -> (f, thr)) of the t24 training procedure:
+    * features quantized ONCE over the whole training set
+    * ([[bucketize]]), per level the histogram criterion over BUCKET
+    * candidates with the (f, bucket)-ascending tie-break, the chosen
+    * bucket's threshold its max training value. */
   private def reconstructSplits(rows: Seq[(Array[Long], Long)], depth: Int)
       : Map[Long, (Int, Long)] = {
+    val (bOf, tOf) = bucketize(rows)
     var assign: Seq[(Array[Long], Long, Long)] = rows.map { case (f, y) => (f, y, 1L) }
     var all = Map.empty[Long, (Int, Long)]
     for (_ <- 1 to depth) {
@@ -188,22 +192,22 @@ class QualityTreeSpec extends AnyFunSuite {
         case (node, rs) =>
           val n = rs.size.toLong
           val pos = rs.map(_._2).sum
-          var best: Option[(Long, Int, Long)] = None
+          var best: Option[(Long, Int, Long)] = None // (criterion, f, bucket)
           for (f <- 1 to 4) {
-            val byV = rs.groupBy(_._1(f - 1)).toSeq.sortBy(_._1)
+            val byB = rs.groupBy(r => bOf((f, r._1(f - 1)))).toSeq.sortBy(_._1)
             var nl = 0L; var pl = 0L
-            byV.foreach { case (v, g) =>
+            byB.foreach { case (b, g) =>
               nl += g.size; pl += g.map(_._2).sum
               if (nl < n) {
                 val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
-                val better = best.forall { case (bd, bf, bv) =>
-                  crit > bd || (crit == bd && (f < bf || (f == bf && v < bv)))
+                val better = best.forall { case (bd, bf, bb) =>
+                  crit > bd || (crit == bd && (f < bf || (f == bf && b < bb)))
                 }
-                if (crit > 0 && better) best = Some((crit, f, v))
+                if (crit > 0 && better) best = Some((crit, f, b))
               }
             }
           }
-          best.map { case (_, f, v) => node -> (f, v) }
+          best.map { case (_, f, b) => node -> ((f, tOf((f, b)))) }
       }.toMap
       all ++= splits
       assign = assign.map { case (fv, y, node) =>
@@ -215,6 +219,53 @@ class QualityTreeSpec extends AnyFunSuite {
       }
     }
     all
+  }
+
+  test("t24 quantized-bucket path (>256 distinct values) matches the driver recompute") {
+    import spark.implicits._
+    // 600 docs with 600 DISTINCT word counts (50..649) — w (and dpm)
+    // cross the 256-distinct identity bound, so the equal-frequency
+    // bucket formula is the live path on BOTH the engine and this
+    // recompute (the gate corpora only cross it for dpm at sf0.1)
+    val voc = Seq("the", "a", "and", "of", "table", "row", "scan", "sort",
+      "merge", "hash", "sketch", "probe")
+    def long(n: Int, salt: Int): String =
+      (0 until n).map(i => voc((i * 5 + salt) % voc.length)).mkString(" ")
+    // every third doc is single-word spam (fails stopword + diversity
+    // gates -> y=0) so the teacher signal is splittable; word counts
+    // stay 600 distinct values either way
+    val rows = (0 until 600).map { i =>
+      val t = if (i % 3 == 0) Seq.fill(50 + i)("table").mkString(" ")
+              else long(50 + i, i)
+      (i.toLong, t)
+    }
+    val feats = rows.map(r => featrow(r._2))
+    assert(feats.map(_._1(0)).distinct.size > 256,
+      "fixture must cross the identity bound on w")
+    assert(feats.map(_._2).distinct.size == 2,
+      "fixture must carry both labels")
+    val dir = java.nio.file.Files.createTempDirectory("t24qspec").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = engineRows(graft.SparkEntry.queries("t24_quality_classifier")(spark, dir))
+      val (leaves, nSplits) = trainExpected(feats, 3)
+      val correct = leaves.values.map { case (n, p) =>
+        if (2 * p > n) p else n - p
+      }.sum
+      val tot = leaves.values.map(_._1).sum
+      val accPpm = rhu(correct, tot, 1000000)
+      val expected = leaves.toSeq.sortBy(_._1).map { case (node, (n, p)) =>
+        (node, n, p, if (2 * p > n) 1L else 0L, accPpm, nSplits.toLong)
+      }
+      assert(out === expected)
+      assert(nSplits >= 1, "the planted mix must be splittable")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("t26 persisted-model apply equals a fresh train; preds come from the artifact") {
