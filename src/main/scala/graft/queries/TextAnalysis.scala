@@ -997,48 +997,47 @@ object TextAnalysis extends QueryModule {
     * argmax, exactly the procedure the oracle unrolls in SQL.
     * Features are first quantized to ≤ [[T24Buckets]] quantile
     * buckets ([[t24BucketMap]], once per training call — buckets are
-    * node-independent), so the per-level histogram is PROVABLY
-    * ≤ nodes·4·T24Buckets rows at any corpus size; the chosen
-    * bucket's split threshold is its max TRAINING value, so node
-    * routing ([[t24Assign]]) stays raw-value `v ≤ thr` and the
+    * node-independent), so the COLLECTED histogram is PROVABLY
+    * ≤ nodes·4·T24Buckets rows at any corpus size. The corpus-scale
+    * work per level is UNCHANGED from the unquantized form: one
+    * map-side-combined (node, fi, v) aggregate; the bucket fold is a
+    * distinct-value-scale join + re-aggregate appended to it (never
+    * collected pre-fold, never a corpus-sized decoration join). The
+    * chosen bucket's split threshold is its max TRAINING value, so
+    * node routing ([[t24Assign]]) stays raw-value `v ≤ thr` and the
     * persisted model artifact is unchanged in shape. */
   private[graft] def t24TrainLevels(feats: DataFrame, depth: Int): Seq[Seq[T24Split]] = {
-    val lf = feats.select(col("doc_id"),
+    val lf = feats.select(
       posexplode(array(col("w"), col("cpw10"), col("sw"), col("dpm")))
         .as(Seq("fi", "v")))
-    val (bm, bmCache) = t24BucketMap(lf.select(col("fi"), col("v")))
+    val (bm0, bmCache) = t24BucketMap(lf)
+    val bm = bm0.cache()
     // bucket → max raw training value: the threshold translation
     // (bucket monotone in v ⇒ "v ≤ thr(b)" ≡ "bucket(v) ≤ b");
-    // bounded collect: ≤ 4·T24Buckets rows
+    // bounded collect: ≤ 4·T24Buckets rows (also materializes bm)
     val thrOf: Map[(Int, Long), Long] = bm.groupBy(col("fi"), col("b"))
       .agg(max(col("v")).as("thr")).collect()
       .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
-    // bucket-decorated features: one long-form join + a doc-keyed
-    // pivot, once per training call
-    val bcols = lf.join(bm, Seq("fi", "v"))
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("fi") === 0, col("b"))).as("qb1"),
-        max(when(col("fi") === 1, col("b"))).as("qb2"),
-        max(when(col("fi") === 2, col("b"))).as("qb3"),
-        max(when(col("fi") === 3, col("b"))).as("qb4"))
-    val featsQ = feats.join(bcols, Seq("doc_id")).cache()
-    featsQ.count()
     bmCache.unpersist()
     var levels = Vector.empty[Seq[T24Split]]
     for (_ <- 1 to depth) {
-      val hist = t24Assign(featsQ, levels)
+      val hist = t24Assign(feats, levels)
         .select(col("node"), col("y"),
-          posexplode(array(col("qb1"), col("qb2"), col("qb3"), col("qb4")))
-            .as(Seq("fi", "b")))
-        .groupBy(col("node"), col("fi"), col("b"))
+          posexplode(array(col("w"), col("cpw10"), col("sw"), col("dpm")))
+            .as(Seq("fi", "v")))
+        .groupBy(col("node"), col("fi"), col("v"))
         .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        .join(bm, Seq("fi", "v"))
+        .groupBy(col("node"), col("fi"), col("b"))
+        .agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1) + 1, r.getLong(2),
           r.getLong(3), r.getLong(4)))
       // invariant, not a scaling guard (the round-15 2^21 guard is
-      // retired by the quantization): the histogram is bounded by
-      // construction — nodes·4·T24Buckets — independent of corpus size
+      // retired by the quantization): the COLLECTED histogram is
+      // bounded by construction — nodes·4·T24Buckets — independent
+      // of corpus size (the pre-fold value histogram stays
+      // distributed)
       require(hist.length <= (1L << depth) * 4 * T24Buckets,
         s"t24 histogram invariant broken: ${hist.length} rows")
       val sps = hist.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
@@ -1063,7 +1062,7 @@ object TextAnalysis extends QueryModule {
       }
       levels = levels :+ sps
     }
-    featsQ.unpersist()
+    bm.unpersist()
     levels
   }
 
