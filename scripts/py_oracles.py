@@ -1753,6 +1753,10 @@ PY_ORACLES = {
     "d16_exact_decontamination": d16_exact_decontamination,
     "d18_train_decontamination": d18_train_decontamination,
     "d19_sa_probe_decontamination": d19_sa_probe_decontamination,
+    # the at-ingest twin's per-doc outputs union to the one-shot
+    # report exactly (foreachBatch class — no windowed state), so the
+    # same independent bisect recompute states the check
+    "d19_probe_stream": d19_sa_probe_decontamination,
     # persisted-SA report == fresh d14 (deterministic construction),
     # so d14's independent suffix sort is the oracle here too — the
     # t26→t24 precedent

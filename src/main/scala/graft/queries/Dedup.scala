@@ -1251,9 +1251,14 @@ object Dedup extends QueryModule {
   // property), spans merged (scripts/py_oracles.py) — a different
   // algorithm than the engine's pruned-union scans, so agreement
   // checks the semantics, not the implementation.
-  private def d19(s: SparkSession, d: String): DataFrame = {
-    val batch = d19Batch(s, d)
-    val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d19spans")
+  /** d19's probe + report body over an arbitrary batch frame
+    * (doc_id, text) — shared by batch d19 and the at-ingest twin
+    * (streaming.StreamingSaProbe): spans are PER-DOC (a batch doc's
+    * chains depend only on its own text and the corpus index — emit-
+    * side rows never reset a scan), so any partition of the batch
+    * into micro-batches unions to exactly the one-shot report. */
+  private[graft] def d19ReportFrom(s: SparkSession, d: String,
+      batch: DataFrame, spansDir: String): DataFrame = {
     val merged = mergedSpans(
       graft.operators.SuffixArrayIndex.probe(s, d, batch, spansDir))
     batch.join(merged, Seq("doc_id"), "left_outer")
@@ -1261,13 +1266,22 @@ object Dedup extends QueryModule {
         length(col("text")).cast(LongType).as("n_chars"),
         spanCharsSum.as("n_contam_chars"),
         coalesce(size(col("iv")).cast(LongType), lit(0L)).as("n_spans"))
-      .orderBy("doc_id")
   }
+
+  private def d19(s: SparkSession, d: String): DataFrame =
+    d19ReportFrom(s, d, d19Batch(s, d),
+      graft.operators.ArtifactDir.dirFor(d, "documents.parquet", "d19spans"))
+      .orderBy("doc_id")
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_longest_dup_substrings" -> d14,
     "d16_exact_decontamination" -> d16,
     "d19_sa_probe_decontamination" -> d19,
+    // streaming twin: the probe applied at ingest (foreachBatch class
+    // — per-doc outputs union to the one-shot report exactly), so
+    // d19's Python oracle checks it too
+    "d19_probe_stream" ->
+      ((s, d) => graft.streaming.StreamingSaProbe.replayGate(s, d)),
     "d17_sa_index_report" -> d17,
     "d18_train_decontamination" -> d18,
     "d15_substring_removal" -> d15,

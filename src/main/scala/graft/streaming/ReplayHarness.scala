@@ -131,6 +131,60 @@ object ReplayHarness {
       report)
   }
 
+  /** The STATELESS-PER-BATCH runner — the foreachBatch class of twin
+    * (index probes and other full batch jobs per micro-batch), as
+    * opposed to `run`'s windowed-aggregate class: there is NO
+    * event-time state, so none of the watermark/sentinel discipline
+    * applies — no flush row is needed (every micro-batch completes
+    * its own work inside `processAllAvailable`) and arrival order is
+    * irrelevant because outputs are PER-ROW and the read-back
+    * re-sorts. Chunks `docs` by doc_id range (the runDocGate
+    * convention), feeds them through a file-source stream, runs
+    * `perBatch` inside foreachBatch appending its (gate-scale)
+    * result rows to the parquet out dir, and hands `report` of that
+    * dir back. Same bounded-driver / failure-path-cleanup / fd /
+    * conf-restore guarantees as `run`. */
+  def runDocBatchGate(s: SparkSession, prefix: String, nBatches: Int,
+                      docs: DataFrame,
+                      perBatch: DataFrame => DataFrame,
+                      report: (SparkSession, String) => DataFrame): DataFrame = {
+    val root = Files.createTempDirectory(prefix)
+    try {
+      val staged = root.resolve("staged")
+      val watch = Files.createDirectories(root.resolve("in"))
+      val outDir = root.resolve("out").toString
+      val d = docs.select(col("doc_id"), col("source"), col("text"))
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val width = maxId / nBatches + 1
+      d.withColumn("chunk", expr(s"cast(doc_id div ${width}L as int)"))
+        .repartition(col("chunk"))
+        .write.partitionBy("chunk").mode("overwrite").parquet(staged.toString)
+      val stream = s.readStream.schema(d.schema).parquet(watch.toString)
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            perBatch(b).write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      try {
+        (0 until nBatches).foreach { i =>
+          val chunkDir = staged.resolve(s"chunk=$i")
+          if (Files.isDirectory(chunkDir)) {
+            moveChunk(chunkDir, watch, i)
+            q.processAllAvailable()
+          }
+        }
+      } finally q.stop()
+      val rep = report(s, outDir)
+      // materialize before the finally deletes the replay root
+      s.createDataFrame(rep.collectAsList(), rep.schema)
+    } finally deleteRec(root)
+  }
+
   /** Move a staged chunk's parquet files into the watched source dir.
     * Closes the directory stream (Files.list holds an fd until closed). */
   private[streaming] def moveChunk(chunkDir: Path, watch: Path,

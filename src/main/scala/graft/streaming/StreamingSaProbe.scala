@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming exact-substring probe — d19 applied AT INGEST: each
+  * micro-batch of newly-crawled docs is probed against the PERSISTED
+  * suffix-array corpus index (SuffixArrayIndex.probe — the index is
+  * never rebuilt) and the per-doc contamination report lands as the
+  * batch arrives. This completes the decontamination family's
+  * operating-mode matrix on its exact-substring axis: gram/Bloom
+  * (t16 stream), semantic (s12 stream), and now arbitrary-length
+  * verbatim spans, all with an at-ingest form.
+  *
+  * This is the FOREACHBATCH class of twin, not the windowed-aggregate
+  * class: the probe is a full batch job per micro-batch and the
+  * output is PER-DOC, so there is no event-time state and none of the
+  * watermark/sentinel discipline applies ([[ReplayHarness
+  * .runDocBatchGate]] scaladoc). Equality with batch d19 is
+  * structural: a batch doc's span chains depend only on its own text
+  * and the corpus index (emit-side rows never reset a gated-min
+  * scan), so the union of per-micro-batch reports IS the one-shot
+  * report — which is why d19's independent Python bisect oracle
+  * checks this query too (the t20/t22/c12 evidence pattern).
+  */
+object StreamingSaProbe {
+
+  /** Driver-gate replay: d19's synthesized batch replayed as a
+    * doc_id-chunked feed; each micro-batch probes the persisted index
+    * via the SHARED d19 report body and appends its rows; the
+    * read-back re-sorts. Equals batch d19 exactly. */
+  def replayGate(s: SparkSession, sfDir: String, nBatches: Int = 3): DataFrame = {
+    val batch = graft.queries.Dedup.d19Batch(s, sfDir)
+      .withColumn("source", lit("crawl"))
+    // per-batch spans handoff dir: corpus-keyed, overwritten per
+    // micro-batch — safe because each batch's report rows are
+    // materialized into the sink parquet before the next overwrite
+    val spansDir = graft.operators.ArtifactDir.dirFor(
+      sfDir, "documents.parquet", "d19streamspans")
+    ReplayHarness.runDocBatchGate(s, "graft-d19-replay", nBatches, batch,
+      b => graft.queries.Dedup.d19ReportFrom(s, sfDir,
+        b.select(col("doc_id"), col("text")), spansDir),
+      (sp, out) => sp.read.parquet(out).orderBy("doc_id"))
+  }
+}
