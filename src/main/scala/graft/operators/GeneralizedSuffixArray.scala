@@ -78,8 +78,17 @@ object GeneralizedSuffixArray {
     val s = df.sparkSession
     val kN = keys.length
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ordered = df
+    // repartitionByRange SAMPLES its input to pick boundaries — a full
+    // extra evaluation of `df` (for the doubling rounds that is the
+    // whole pk-keyed join, run twice per round). A round-lifetime
+    // cache makes the sampling pass the one real evaluation; the
+    // caller's materialization of `ordered` (the stats collect below)
+    // ends its useful life, so it is retired HERE — no round input
+    // outlives its round (the spill-bound discipline).
+    val input = df
       .select((keys ++ payloadCols.map(_._1)).map(col): _*)
+      .cache()
+    val ordered = input
       .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .cache()
@@ -98,6 +107,7 @@ object GeneralizedSuffixArray {
           Iterator((pid, first, prev, nd))
         }
       }.collect().sortBy(_._1)
+    input.unpersist()
     var running = 0L
     var prevLast: Seq[Any] = null
     val offsets = stats.map { case (pid, first, last, nd) =>
@@ -168,8 +178,13 @@ object GeneralizedSuffixArray {
     // max(length) — both must yield the documented suffix set, which
     // the Python oracle states over non-empty texts only
     val nonEmpty = docs.filter(length(col("text")) > 0)
+    // ONE bounds pass also carries the suffix count (sum of code-point
+    // lengths == number of exploded suffixes) — previously a separate
+    // corpus-sized count() job materialized the per-character explode
+    // just to count it
     val bounds = nonEmpty.agg(max(length(col("text"))),
-      min(col("doc_id").cast(LongType)), max(col("doc_id").cast(LongType))).head()
+      min(col("doc_id").cast(LongType)), max(col("doc_id").cast(LongType)),
+      sum(length(col("text")).cast(LongType))).head()
     val maxLen = Option(bounds.get(0)).map(_.asInstanceOf[Int].toLong).getOrElse(0L)
     val (minDoc, maxDoc) =
       if (bounds.isNullAt(1)) (0L, 0L) else (bounds.getLong(1), bounds.getLong(2))
@@ -178,11 +193,24 @@ object GeneralizedSuffixArray {
       s"suffix-array pk packing needs 0 <= doc_id < 2^31, got [$minDoc, $maxDoc]")
     require(maxLen < (1L << 30),
       s"suffix-array pk packing needs doc length < 2^30 chars, got $maxLen")
+    val n = if (bounds.isNullAt(3)) 0L else bounds.getLong(3)
+    // BOOTSTRAP AT COVER=32 (optimization round 17, guide §2.4 "remove
+    // shuffles outright"): dense-ranking the 32-code-point prefix
+    // directly IS the prefix-doubling rank at cover=32 — UTF8String
+    // binary order is code-point order, and a suffix shorter than the
+    // cover contributes its full remainder, which sorts before any
+    // continuation exactly like the doubling sentinel (-1 sorts
+    // first). One range exchange of (p32, pk) therefore replaces the
+    // first FIVE doubling rounds (cover 1→32: 5 pk-keyed joins + 5
+    // denseRank exchanges + their driver round-trips), and the rank32
+    // snapshot is by definition this first ranking. Equivalence is
+    // exact (same equivalence classes, same class order ⇒ identical
+    // dense ranks), spec-held by SuffixArraySpec + the three-SF
+    // Python-oracle gate.
     val chars = nonEmpty.select(col("doc_id").cast(LongType).as("doc_id"),
-      posexplode(split(col("text"), "")).as(Seq("off", "ch")))
-      .select(col("ch"),
+      col("text"), posexplode(split(col("text"), "")).as(Seq("off", "ch")))
+      .select(expr("substring(text, off + 1, 32)").as("p32"),
         (shiftleft(col("doc_id"), 32) + col("off").cast(LongType)).as("pk"))
-    val n = chars.count()
     val s = docs.sparkSession
     val ckpt = n >= s.conf.getOption("spark.graft.saCheckpointMinSuffixes")
       .map(_.toLong).getOrElse(CkptMinSuffixesDefault)
@@ -211,15 +239,22 @@ object GeneralizedSuffixArray {
       System.gc()
       s.read.parquet(dir)
     }
-    var (ranked, nd, newest) = denseRank(chars, Seq("ch"))
+    var (ranked, nd, newest) = denseRank(chars, Seq("p32"))
     if (ckpt) { ranked = handoff(ranked, newest); newest = null }
-    var cover = 1L
-    var rank32: DataFrame = null
-    var rank32Backing: DataFrame = null
+    var cover = 32L
+    // rank32 = the bootstrap ranking itself (see above): the dense
+    // rank under the 32-char-prefix equivalence IS the first ranking
+    val rank32: DataFrame = ranked
+    val rank32Backing: DataFrame = if (ckpt) null else newest
+    rank32Dir = curDir
     while (nd < n && cover < maxLen) {
       val shifted = ranked.select((col("pk") - cover).as("pk"),
         col("rank").as("rank2"))
-      val paired = ranked.join(shifted, Seq("pk"), "left")
+      // deliberate join strategy (guide §3.1): both sides are the same
+      // fixed-width (pk, rank) frame — a shuffled-hash join skips the
+      // two per-round sorts a sort-merge join would add on top of the
+      // unavoidable pk exchanges
+      val paired = ranked.join(shifted.hint("shuffle_hash"), Seq("pk"), "left")
         .select(col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"),
           col("pk"))
       val (r2, d2, c2) = denseRank(paired, Seq("rank", "rank2"))
@@ -237,20 +272,22 @@ object GeneralizedSuffixArray {
         ranked = r2
       }
       nd = d2; cover *= 2
-      if (cover >= 32 && rank32 == null) {
-        rank32 = ranked
-        if (ckpt) rank32Dir = curDir else rank32Backing = c2
+    }
+    // final total order: (rank, pk) — pk order IS (doc_id, off) order.
+    // When the loop exited with every rank distinct (nd == n) the
+    // ranks already ARE the dense total order and re-ranking would be
+    // a no-op pass; identical-suffix ties (nd < n) still need the
+    // deterministic (rank, pk) re-rank.
+    val (fin, finCache) =
+      if (nd == n) (ranked, null: DataFrame)
+      else {
+        val pre = ranked.select(col("rank").as("r0"), col("pk").as("kp"), col("pk"))
+        val (f, _, fc) = denseRank(pre, Seq("r0", "kp"))
+        (f, fc)
       }
-    }
-    if (rank32 == null) {
-      rank32 = ranked
-      if (ckpt) rank32Dir = curDir else rank32Backing = newest
-    }
-    // final total order: (rank, pk) — pk order IS (doc_id, off) order
-    val pre = ranked.select(col("rank").as("r0"), col("pk").as("kp"), col("pk"))
-    val (fin, _, finCache) = denseRank(pre, Seq("r0", "kp"))
     val joined = fin
-      .join(rank32.select(col("pk"), col("rank").as("rank32")), Seq("pk"))
+      .join(rank32.select(col("pk"), col("rank").as("rank32")).hint("shuffle_hash"),
+        Seq("pk"))
       .select(shiftright(col("pk"), 32).as("doc_id"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("off"),
         col("rank"), col("rank32"))
@@ -261,7 +298,7 @@ object GeneralizedSuffixArray {
       // independent of the retired rounds
       val resDir = resultDir.getOrElse(tmpRoot.resolve("result").toString)
       joined.write.mode("overwrite").parquet(resDir)
-      finCache.unpersist()
+      if (finCache != null) finCache.unpersist()
       Seq(curDir, rank32Dir).filter(_ != null).distinct
         .foreach(d => deleteRecursively(new java.io.File(d)))
       // caller-owned result ⇒ nothing of the build remains in the
