@@ -107,7 +107,7 @@ object Bench {
     // — previously d15/d16 each paid a fresh ~17-min sf10 build).
     val saUsers = Seq("d15_substring_removal", "d16_exact_decontamination",
       "d17_sa_index_report", "d18_train_decontamination", "c16_pipeline_substr",
-      "d19_sa_probe_decontamination")
+      "d19_sa_probe_decontamination", "d19_probe_stream")
     val d17Build: Seq[(String, Double)] =
       if (saUsers.forall(n => skip(n) || !only.forall(_(n)))) Nil
       else {
@@ -120,9 +120,12 @@ object Bench {
     // built once per corpus snapshot like any index: charge it to its
     // own metric so the d19 query line measures the per-batch probe
     // cost an onboarding pipeline actually pays
+    // both d19 forms probe through the sidecar (ADVICE r16 item 1: a
+    // run restricted to only the streaming twin must still charge the
+    // one-off sidecar construction to this metric, not the query line)
     val d19Sidecar: Seq[(String, Double)] =
-      if (skip("d19_sa_probe_decontamination") ||
-          !only.forall(_("d19_sa_probe_decontamination"))) Nil
+      if (Seq("d19_sa_probe_decontamination", "d19_probe_stream")
+            .forall(n => skip(n) || !only.forall(_(n)))) Nil
       else {
         val t0 = System.nanoTime()
         graft.operators.SuffixArrayIndex.ensureProbeSidecar(spark, sfDir,

@@ -116,14 +116,23 @@ object SuffixArrayIndex {
     * build. Driver state: the two-pass stats and scan summaries
     * (≤ |partitions| rows each) plus nothing batch- or corpus-sized. */
   def probe(s: SparkSession, sfDir: String, batch: DataFrame,
-            spansDir: String): DataFrame = {
-    val dir = ensureBuilt(s, sfDir)
-    val sidecar = ensureProbeSidecar(s, sfDir, dir)
+            spansDir: String, sidecarOverride: Option[DataFrame] = None): DataFrame = {
+    val sidecar = sidecarOverride.getOrElse {
+      val dir = ensureBuilt(s, sfDir)
+      ensureProbeSidecar(s, sfDir, dir)
+    }
     val b = batch.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
     // pk packing guards, mirroring the build's (side(1) | id(31) |
-    // off(30) — unique across both sides of the union)
+    // off(30) — unique across both sides of the union). The same ONE
+    // batch-sized pass also carries the probe-suffix count: a doc of
+    // len ≥ 32 code points contributes exactly len−31 suffixes that
+    // can reach the 32-char contract, so sum(greatest(len−31, 0))
+    // equals count(bs) WITHOUT materializing the per-character explode
+    // twice (previously a separate cache+count job per probe — per
+    // MICRO-BATCH in the streaming twin).
     val bounds = b.agg(max(length(col("text"))), min(col("doc_id")),
-      max(col("doc_id"))).head()
+      max(col("doc_id")),
+      sum(greatest(length(col("text")).cast(LongType) - 31L, lit(0L)))).head()
     val maxLen = if (bounds.isNullAt(0)) 0L else bounds.getInt(0).toLong
     val (minDoc, maxDoc) =
       if (bounds.isNullAt(1)) (0L, 0L) else (bounds.getLong(1), bounds.getLong(2))
@@ -131,6 +140,15 @@ object SuffixArrayIndex {
       s"SA probe pk packing needs 0 <= doc_id < 2^31, got [$minDoc, $maxDoc]")
     require(maxLen < (1L << 30),
       s"SA probe pk packing needs doc length < 2^30 chars, got $maxLen")
+    // LOUD broadcast bound (the t24-guard precedent): the probe
+    // broadcasts the batch's prefix-hash set both ways — checked
+    // BEFORE anything batch-suffix-sized materializes
+    val nBs = if (bounds.isNullAt(3)) 0L else bounds.getLong(3)
+    val maxBs = s.conf.getOption("spark.graft.saProbeMaxBatchSuffixes")
+      .map(_.toLong).getOrElse(ProbeMaxBatchSuffixesDefault)
+    require(nBs <= maxBs,
+      s"SA probe batch has $nBs suffixes (> $maxBs broadcast bound): a crawl " +
+        "batch is small relative to the indexed corpus by nature — split the batch")
     // batch suffixes that can reach the 32-char contract, keyed by
     // the 32-prefix hash (text carried only through this projection)
     val bs = b
@@ -140,14 +158,6 @@ object SuffixArrayIndex {
       .select(col("doc_id"), col("off").cast(LongType).as("off"),
         xxhash64(expr("substring(text, off + 1, 32)")).as("h32"))
       .cache()
-    // LOUD broadcast bound (the t24-guard precedent): the probe
-    // broadcasts the batch's prefix-hash set both ways
-    val nBs = bs.count()
-    val maxBs = s.conf.getOption("spark.graft.saProbeMaxBatchSuffixes")
-      .map(_.toLong).getOrElse(ProbeMaxBatchSuffixesDefault)
-    require(nBs <= maxBs,
-      s"SA probe batch has $nBs suffixes (> $maxBs broadcast bound): a crawl " +
-        "batch is small relative to the indexed corpus by nature — split the batch")
     val bh = bs.select(col("h32")).distinct()
     // corpus survivors: ONE scan-side-filtered read of the sidecar
     val surv = sidecar.join(broadcast(bh), Seq("h32"))

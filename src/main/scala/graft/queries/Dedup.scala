@@ -1258,9 +1258,10 @@ object Dedup extends QueryModule {
     * side rows never reset a scan), so any partition of the batch
     * into micro-batches unions to exactly the one-shot report. */
   private[graft] def d19ReportFrom(s: SparkSession, d: String,
-      batch: DataFrame, spansDir: String): DataFrame = {
+      batch: DataFrame, spansDir: String,
+      sidecar: Option[DataFrame] = None): DataFrame = {
     val merged = mergedSpans(
-      graft.operators.SuffixArrayIndex.probe(s, d, batch, spansDir))
+      graft.operators.SuffixArrayIndex.probe(s, d, batch, spansDir, sidecar))
     batch.join(merged, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"),
