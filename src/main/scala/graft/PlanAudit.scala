@@ -256,8 +256,12 @@ object PlanAudit {
         !finalPlan.contains("CartesianProduct") &&
           !finalPlan.contains("BroadcastNestedLoopJoin")
       }))
+    // the DF cap drops boilerplate grams via an ANTI join against the
+    // SMALL over-cap set (broadcast the side that fits — round 17;
+    // previously a semi join that broadcast the huge under-cap set)
     audit("d08_minhash_dfcap")(
-      "DF cap as semi join" -> (_.contains("LeftSemi")),
+      "DF cap as anti join vs the small boilerplate set" ->
+        (_.contains("LeftAnti")),
       "no cartesian stage" -> (s =>
         !s.split("== Initial Plan ==").head.contains("CartesianProduct")))
     // incremental dedup: the corpus side must be ONE postings

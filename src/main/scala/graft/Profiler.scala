@@ -27,6 +27,12 @@ object Profiler {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
+    // dev bisection knobs: PROF_CONF="key=value;key=value"
+    sys.env.get("PROF_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.sparkContext.setLogLevel("WARN")
     val dir = new java.io.File(s"plans/$tag")
     dir.mkdirs()
@@ -44,14 +50,18 @@ object Profiler {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val d = (for { s <- si.submissionTime; c <- si.completionTime } yield (c - s) / 1e3).getOrElse(-1.0)
-        stages.add(f"[prof-stage] ${si.stageId}%3d ${d}%7.3fs tasks=${si.numTasks}%3d ${si.name.take(90)}")
+        val det = if (d > 2.0) " :: " + si.rddInfos.map(r => s"${r.id}:${r.name}").mkString(" | ") else ""
+        stages.add(f"[prof-stage] ${si.stageId}%3d ${d}%7.3fs tasks=${si.numTasks}%3d ${si.name.take(90)}$det")
       }
     })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { rep =>
         stages.clear()
+        spark.sparkContext.setJobDescription(s"$name rep$rep")
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
         if (rep == 1) {
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
@@ -59,11 +69,10 @@ object Profiler {
             java.nio.file.Paths.get(s"plans/$tag/${name}_$suffix.txt"),
             plan.getBytes("UTF-8"))
         }
-        spark.sparkContext.setJobDescription(s"$name rep$rep")
-        val t0 = System.nanoTime()
+        val t1 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[prof] $name rep$rep $dt%.3f s")
+        val dt = (System.nanoTime() - t1) / 1e9
+        println(f"[prof] $name rep$rep build=$tBuild%.3f write=$dt%.3f total=${tBuild + dt}%.3f s")
         spark.sparkContext.setJobDescription(null)
         spark.sharedState.cacheManager.clearCache()
         import scala.jdk.CollectionConverters._

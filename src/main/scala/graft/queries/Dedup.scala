@@ -71,8 +71,29 @@ object Dedup extends QueryModule {
       |FROM documents GROUP BY text ORDER BY 1""".stripMargin
 
   /** Per-doc shingle sets, filtered to docs with ≥3 words. */
+  /** Documents with the scan width decoupled from the file layout:
+    * sf-dir corpora land as ONE parquet file, so every downstream
+    * per-doc kernel (shingling, minhashing, simhash votes) would run
+    * on a single core straight off the scan (measured: d08's
+    * shingle+DF pass was a 5.8 s ONE-TASK stage at sf0.1, twice).
+    * A doc_id hash exchange of the compact (doc_id, text) rows is
+    * the guide §2.5 input-skew remedy — the same rule
+    * Similarity.corpus already applies — and is strictly cheaper
+    * than the post-explode exchanges it precedes. The cache marks the
+    * exchange as the kernels' INPUT boundary: a bare repartition is
+    * defeated by the optimizer, which sinks the deterministic shingle
+    * projection below the exchange and serializes it on the 1-task
+    * scan side again (measured: the 5.8 s stage just moved into the
+    * exchange's map side). Same lifecycle as Similarity.corpus —
+    * 2 compact columns, session-owned, rebuilt per bench query after
+    * its clearCache. On a production layout (many input files) the
+    * scan is already wide and this exchange coalesces per AQE. */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")).cache()
+
   private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    docsWide(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("sh"))
@@ -156,10 +177,19 @@ object Dedup extends QueryModule {
   private def cappedShingled(s: SparkSession, d: String): DataFrame = {
     val cap = dfCap(docs(s, d).count())
     val ex = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("g"))
-    // shingles are distinct per doc, so count(*) per shingle = DF
-    val keep = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select("g")
-    ex.join(keep, Seq("g"), "left_semi")
+    // shingles are distinct per doc, so count(*) per shingle = DF.
+    // keep(df ≤ cap) ≡ drop(df > cap), and the two sides differ by
+    // orders of magnitude: the over-cap BOILERPLATE set is bounded by
+    // occurrences/cap distinct grams (a handful of navigation/license/
+    // salt shingles), while the under-cap informative set is nearly
+    // every distinct gram in the corpus. Broadcast the side that fits
+    // (guide §3.1): an ANTI join against the small boilerplate set
+    // replaces the previous SEMI join that broadcast ~2M rare grams
+    // (a multi-second serial relation build at sf0.1, unboundedly
+    // worse at scale).
+    val boil = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("g")
+    ex.join(broadcast(boil), Seq("g"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_list(col("g")).as("sh"))
   }
 
@@ -340,7 +370,7 @@ object Dedup extends QueryModule {
   // DuckDB has no xxhash64) with a spec-faithful XXH64 and Spark's
   // multi-arg seed chaining, validated against Spark's own vectors.
   private def d04(s: SparkSession, d: String): DataFrame = {
-    val withSim = docs(s, d)
+    val withSim = docsWide(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("hs",
         // total index list: a 1-word doc yields NO bigrams (simhash 0)
