@@ -39,4 +39,27 @@ object Tables {
   /** Register every table as a temp view (for spark.sql access). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** `documents` with the compute width decoupled from the file
+    * layout — the shared input of every CPU-heavy per-doc kernel
+    * (shingling, minhash, featurization, BPE): sf-dir corpora land as
+    * ONE parquet file, so kernels chained straight onto the scan run
+    * on a single core (measured: multi-second one-task stages all
+    * over the dedup/text families at sf0.1). One hash exchange of the
+    * compact (doc_id, text[, source]) rows is the guide §2.5
+    * input-skew remedy; the cache boundary keeps the optimizer from
+    * sinking the (deterministic) kernel projections back below the
+    * exchange onto the serial scan side. Identical plans share one
+    * cache entry; Bench clears caches between queries. On a
+    * production layout (many input files) the scan is already wide
+    * and the exchange coalesces per AQE. */
+  def loadDocsWide(spark: SparkSession, dir: String,
+                   withSource: Boolean = false): DataFrame = {
+    val base = load(spark, dir, "documents")
+    val cols = if (withSource) Seq("doc_id", "source", "text")
+               else Seq("doc_id", "text")
+    base.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+      .cache()
+  }
 }

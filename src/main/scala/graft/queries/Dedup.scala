@@ -89,8 +89,7 @@ object Dedup extends QueryModule {
     * its clearCache. On a production layout (many input files) the
     * scan is already wide and this exchange coalesces per AQE. */
   private def docsWide(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")).cache()
+    Tables.loadDocsWide(s, d)
 
   private def shingled(s: SparkSession, d: String): DataFrame =
     docsWide(s, d)

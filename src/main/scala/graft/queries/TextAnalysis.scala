@@ -897,7 +897,9 @@ object TextAnalysis extends QueryModule {
   }
 
   private[graft] def t24Feats(s: SparkSession, d: String): DataFrame =
-    t24FeatsOf(docs(s, d))
+    // widened load (Tables.loadDocsWide): the repetition-stats kernel
+    // otherwise runs on the single-file scan's one task
+    t24FeatsOf(Tables.loadDocsWide(s, d))
 
   private def t24FeatVal(f: Int): Column =
     Seq(col("w"), col("cpw10"), col("sw"), col("dpm"))(f - 1)
@@ -1233,40 +1235,141 @@ object TextAnalysis extends QueryModule {
       when(pmod(Q.knuth32(col("doc_id") + lit(7L)), lit(17L)) === 0L,
         lit(1L) - col("y")).otherwise(col("y"))))
 
+  /** Combined per-fold assignment: [[t24Assign]] with the CASE chain
+    * additionally guarded by the held-out-fold key `ko`, so all
+    * folds' trees route in ONE plan. For any single ko stratum the
+    * matching whens are exactly that fold's [[t24Assign]] chain
+    * (conditions across ko are disjoint), so per-stratum routing is
+    * identical to the sequential form. */
+  private def t24AssignCv(df: DataFrame,
+      byKo: Map[Long, Vector[Seq[T24Split]]], nLevels: Int): DataFrame =
+    (0 until nLevels).foldLeft(df.withColumn("node", lit(1L))) { (acc, li) =>
+      val whens: Seq[(Long, T24Split)] = byKo.toSeq.sortBy(_._1).flatMap {
+        case (ko, lvls) => if (li < lvls.length) lvls(li).map(ko -> _) else Nil
+      }
+      if (whens.isEmpty) acc
+      else {
+        def branch(sp: T24Split): Column =
+          when(t24FeatVal(sp.f) <= sp.thr, lit(2 * sp.node))
+            .otherwise(lit(2 * sp.node + 1))
+        val cased = whens.tail.foldLeft(
+          when(col("ko") === whens.head._1 &&
+            col("node") === whens.head._2.node, branch(whens.head._2))) {
+          case (a, (ko, sp)) =>
+            a.when(col("ko") === ko && col("node") === sp.node, branch(sp))
+        }
+        acc.withColumn("node", cased.otherwise(col("node")))
+      }
+    }
+
   /** The 5-fold CV body shared by t25 (clean labels) and t27 (noisy
     * labels): fold = Knuth hash of doc_id mod 5, per fold a full t24
     * training on the other 4 folds + held-out routing through the
-    * trained splits with TRAINING-leaf-majority predictions. */
+    * trained splits with TRAINING-leaf-majority predictions.
+    *
+    * ALL FOLDS TRAIN AT ONCE (optimization round 17, guide §1.2 —
+    * fix the distributed algorithm first): each feature row is
+    * replicated to its 4 training strata keyed by the held-out fold
+    * `ko`, the quantile-bucket two-pass runs ONCE over composite
+    * (ko·4+fi, v) keys, and each tree level is ONE histogram
+    * aggregate grouped by (ko, node, fi, bucket) — 5× fewer
+    * driver-synchronous jobs than training the folds sequentially.
+    * Per-stratum arithmetic is unchanged (stratum ko holds exactly
+    * the fold≠ko rows; every per-feature step keys on (ko, feature)),
+    * so the per-fold splits, leaf stats and accuracies are identical
+    * to the sequential form — the unrolled per-fold SQL oracle states
+    * exactly that and stays byte-identical. */
   private def cvReport(featsIn: DataFrame): DataFrame = {
     val Folds = 5L
     val feats = featsIn
       .withColumn("fold", pmod(Q.knuth32(col("doc_id")), lit(Folds)))
       .cache()
-    val rows: Seq[DataFrame] = (0L until Folds).map { k =>
-      val train = feats.filter(col("fold") =!= k)
-      val levels = t24TrainLevels(train, T24Depth)
-      val nSplits = levels.map(_.size).sum.toLong
-      val trainLv = t24Assign(train, levels)
-        .groupBy(col("node"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
-        .withColumn("pred",
-          when(lit(2L) * col("p") > col("n"), 1L).otherwise(0L))
-      val trainAcc = trainLv.agg(
-        sum(col("n")).as("n_train"),
-        rhu(sum(when(col("pred") === 1L, col("p"))
-          .otherwise(col("n") - col("p"))), sum(col("n")), 1000000L)
-          .as("train_acc_ppm"))
-      val testAcc = t24Assign(feats.filter(col("fold") === k), levels)
-        .join(broadcast(trainLv.select(col("node"), col("pred"))), Seq("node"))
-        .agg(count(lit(1)).as("n_test"),
-          rhu(sum(when(col("pred") === col("y"), 1L).otherwise(0L)),
-            count(lit(1)), 1000000L).as("test_acc_ppm"))
-      trainAcc.crossJoin(testAcc)
-        .select(lit(k).as("fold"), col("n_train"), col("n_test"),
-          col("train_acc_ppm"), col("test_acc_ppm"),
-          lit(nSplits).as("n_splits"))
+    val featCols = Seq(col("w"), col("cpw10"), col("sw"), col("dpm"))
+    val rep = feats.withColumn("ko",
+      explode(expr(s"filter(sequence(CAST(0 AS BIGINT), CAST(${Folds - 1} AS BIGINT)), " +
+        "k -> k != fold)")))
+    def gi(fi: Column): Column = (col("ko") * 4 + fi).cast(IntegerType)
+    // ONE bucket two-pass for all folds: composite (ko·4+fi) feature
+    // keys partition the value space per (fold, feature) exactly as 5
+    // independent bucket maps would
+    val lf = rep.select(col("ko"), posexplode(array(featCols: _*)).as(Seq("fi", "v")))
+      .select(gi(col("fi")).as("fi"), col("v"))
+    val (bm0, bmCache) = t24BucketMap(lf)
+    val bm = bm0.cache()
+    val thrOf: Map[(Int, Long), Long] = bm.groupBy(col("fi"), col("b"))
+      .agg(max(col("v")).as("thr")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    bmCache.unpersist()
+    var byKo: Map[Long, Vector[Seq[T24Split]]] =
+      (0L until Folds).map(_ -> Vector.empty[Seq[T24Split]]).toMap
+    for (li <- 0 until T24Depth) {
+      val hist = t24AssignCv(rep, byKo, li)
+        .select(col("ko"), col("node"), col("y"),
+          posexplode(array(featCols: _*)).as(Seq("fi", "v")))
+        .groupBy(col("ko"), col("node"), col("fi"), col("v"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        .join(bm.select(col("fi").as("gi"), col("v").as("bv"), col("b")),
+          gi(col("fi")) === col("gi") && col("v") === col("bv"))
+        .groupBy(col("ko"), col("node"), col("fi"), col("b"))
+        .agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2) + 1, r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      require(hist.length <= Folds * (1L << T24Depth) * 4 * T24Buckets,
+        s"t25 CV histogram invariant broken: ${hist.length} rows")
+      byKo = byKo.map { case (ko, lvls) =>
+        val sps = hist.filter(_._1 == ko).groupBy(_._2).toSeq.sortBy(_._1)
+          .flatMap { case (node, rows) =>
+            val n = rows.filter(_._3 == 1).map(_._5).sum
+            val pos = rows.filter(_._3 == 1).map(_._6).sum
+            var best: Option[(Long, Int, Long)] = None
+            for (f <- 1 to 4) {
+              var nl = 0L; var pl = 0L
+              rows.filter(_._3 == f).sortBy(_._4).foreach {
+                case (_, _, _, b, c, p) =>
+                  nl += c; pl += p
+                  if (nl < n) {
+                    val crit = math.abs(pl * (n - nl) - (pos - pl) * nl)
+                    val better = best.forall { case (bd, bf, bv) =>
+                      crit > bd || (crit == bd && (f < bf || (f == bf && b < bv)))
+                    }
+                    if (crit > 0 && better) best = Some((crit, f, b))
+                  }
+              }
+            }
+            best.map { case (_, f, b) =>
+              T24Split(node, f, thrOf((ko.toInt * 4 + (f - 1), b)))
+            }
+          }
+        ko -> (lvls :+ sps)
+      }
     }
-    rows.reduce(_ unionByName _).orderBy("fold")
+    bm.unpersist()
+    val trainLv = t24AssignCv(rep, byKo, T24Depth)
+      .groupBy(col("ko"), col("node"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .withColumn("pred",
+        when(lit(2L) * col("p") > col("n"), 1L).otherwise(0L))
+      .cache()
+    val trainAcc = trainLv.groupBy(col("ko")).agg(
+      sum(col("n")).as("n_train"),
+      rhu(sum(when(col("pred") === 1L, col("p"))
+        .otherwise(col("n") - col("p"))), sum(col("n")), 1000000L)
+        .as("train_acc_ppm"))
+    val testAcc = t24AssignCv(feats.withColumn("ko", col("fold")), byKo, T24Depth)
+      .join(broadcast(trainLv.select(col("ko"), col("node"), col("pred"))),
+        Seq("ko", "node"))
+      .groupBy(col("ko"))
+      .agg(count(lit(1)).as("n_test"),
+        rhu(sum(when(col("pred") === col("y"), 1L).otherwise(0L)),
+          count(lit(1)), 1000000L).as("test_acc_ppm"))
+    import featsIn.sparkSession.implicits._
+    val nsp = byKo.toSeq.map { case (k, lv) => (k, lv.map(_.size).sum.toLong) }
+      .toDF("ko", "n_splits")
+    trainAcc.join(testAcc, Seq("ko")).join(broadcast(nsp), Seq("ko"))
+      .select(col("ko").as("fold"), col("n_train"), col("n_test"),
+        col("train_acc_ppm"), col("test_acc_ppm"), col("n_splits"))
+      .orderBy("fold")
   }
 
   private val t25Sql: String = cvSqlFor(noisyLabels = false)
