@@ -899,7 +899,7 @@ object TextAnalysis extends QueryModule {
   private[graft] def t24Feats(s: SparkSession, d: String): DataFrame =
     // widened load (Tables.loadDocsWide): the repetition-stats kernel
     // otherwise runs on the single-file scan's one task
-    t24FeatsOf(Tables.loadDocsWide(s, d))
+    t24FeatsOf(docs(s, d))
 
   private def t24FeatVal(f: Int): Column =
     Seq(col("w"), col("cpw10"), col("sw"), col("dpm"))(f - 1)
