@@ -1,14 +1,13 @@
 package graft.multimodal
 
-/** Real (pure-Scala) media header codecs: container sniffing +
-  * dimension/duration extraction from magic bytes for the formats
-  * whose headers are public, simple structures — PNG, JPEG, GIF, BMP
-  * (image dimensions) and WAV (PCM duration). No external codec
-  * library: these parse the published header layouts only, which is
-  * exactly the metadata a training-data pipeline extracts in the scan
-  * pass (full pixel/sample decode stays a declared stub — see
-  * Multimodal.FakeCodec — because this container ships no imaging
-  * libs).
+/** Real (pure-Scala) media codecs: container sniffing + header
+  * parsing (PNG, JPEG, GIF, BMP image dimensions; WAV PCM duration)
+  * AND, from line ~221 on, full pixel/sample decoders for those
+  * formats (Inflater/LZW/Huffman+IDCT — no external imaging libs;
+  * everything parses the published format layouts only). The one
+  * remaining declared fallback is INTER-FRAME video (H.264/HEVC/VP9
+  * — see Multimodal.FakeCodec); intra-frame MJPEG decodes through
+  * the real JPEG path.
   */
 object MediaCodec {
 

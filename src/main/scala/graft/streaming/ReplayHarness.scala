@@ -119,7 +119,10 @@ object ReplayHarness {
                  report: (SparkSession, String) => DataFrame): DataFrame = {
     import s.implicits._
     val d = docs.select(col("doc_id"), col("source"), col("text"))
-    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val idRow = d.agg(max(col("doc_id"))).head()
+    require(!idRow.isNullAt(0),
+      s"$prefix: empty docs frame — a doc gate needs at least one row")
+    val maxId = idRow.getLong(0)
     val width = maxId / nBatches + 1
     val chunked = d.withColumn("chunk",
       expr(s"cast(doc_id div ${width}L as int)"))
@@ -154,7 +157,10 @@ object ReplayHarness {
       val watch = Files.createDirectories(root.resolve("in"))
       val outDir = root.resolve("out").toString
       val d = docs.select(col("doc_id"), col("source"), col("text"))
-      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val idRow = d.agg(max(col("doc_id"))).head()
+      require(!idRow.isNullAt(0),
+        s"$prefix: empty docs frame — a doc gate needs at least one row")
+      val maxId = idRow.getLong(0)
       val width = maxId / nBatches + 1
       d.withColumn("chunk", expr(s"cast(doc_id div ${width}L as int)"))
         .repartition(col("chunk"))
