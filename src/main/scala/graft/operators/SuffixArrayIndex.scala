@@ -177,39 +177,186 @@ object SuffixArrayIndex {
         (when(col("train"), lit(1L)).otherwise(lit(0L)) * lit(1L << 61) +
           shiftleft(col("doc_id"), 30) + col("off")).as("pk"))
       .cache()
-    // total order of the pruned union: the denseRank two-pass over
-    // (pref, pk) — pk is unique, so ranks are a total ordinal
-    val (ord, _, ordCache) = GeneralizedSuffixArray.denseRank(
-      u.select(col("pref"), col("pk").as("k2"), col("pk")), Seq("pref", "k2"))
-    val u2 = ord.join(u, Seq("pk")).cache()
-    // adjacent-boundary LCPs through the codegen kernel (b_rank = the
-    // SA-later row of the pair, the adjacentLcpFrom convention)
-    val bnd = u2.select((col("rank") - 1).as("rank"), col("pref").as("pref_b"))
-      .join(u2.select(col("rank"), col("pref").as("pref_a")), Seq("rank"))
-      .select((col("rank") + 1).as("b_rank"),
-        graft.functions.GraftFunctions.commonPrefixLen(
-          col("pref_a"), col("pref_b")).as("lcp"))
-    // both boundary LCPs attach in one pass (the crossSharedSpans
-    // shape), feeding the two directional gated-min scans
-    val both = u2.select(col("rank"), col("doc_id"), col("off"), col("train"))
-      .join(bnd.select(col("b_rank").as("rank"), col("lcp").as("lcpIn")),
-        Seq("rank"), "left")
-      .join(bnd.select((col("b_rank") - 1).as("rank"), col("lcp").as("lcpOut")),
-        Seq("rank"), "left")
-      .na.fill(0L, Seq("lcpIn", "lcpOut"))
-      .cache()
-    val (l, lc) = GatedMinScan.scan(both
-      .select(col("rank").as("ord"), col("doc_id"), col("off"),
-        col("train"), col("lcpIn")))
-    val (r, rc) = GatedMinScan.scan(both
-      .select((-col("rank")).as("ord"), col("doc_id"), col("off"),
-        col("train"), col("lcpOut").as("lcpIn")))
-    l.unionByName(r).groupBy(col("doc_id"), col("off"))
-      .agg(max(col("m")).as("m"))
-      .select(col("doc_id"), col("off").as("st"),
-        (col("off") + col("m")).as("en"))
-      .write.mode("overwrite").parquet(spansDir)
-    Seq(lc, rc, both, u2, ordCache, u, bs).foreach(_.unpersist())
+    val (spans, orderedCache) = prunedUnionSpans(u)
+    spans.write.mode("overwrite").parquet(spansDir)
+    Seq(orderedCache, u, bs).foreach(_.unpersist())
     s.read.parquet(spansDir)
+  }
+
+  /** Fused bidirectional gated-min scan over the pruned union in
+    * (pref, pk) order — ONE range exchange, one bounded summaries
+    * collect, one emit pass (optimization round 17). This replaces
+    * the former chain (denseRank two-pass + adjacent-boundary LCP
+    * join + two directional [[GatedMinScan]] passes + the union
+    * merge: four exchanges, two joins and six passes over the union)
+    * with exactly the same arithmetic: rows totally ordered by
+    * (pref, pk) — pk unique, UTF8String binary order = code-point
+    * order — adjacent-boundary LCPs through the SAME
+    * [[graft.functions.CommonPrefixLen]] byte kernel, state resets to
+    * ∞ on corpus rows, gated min along boundary LCPs on batch rows,
+    * absent boundaries at the two ends of the total order count 0,
+    * per-row max of the two directions, ≥ 32 emitted as
+    * (doc_id, st, en). Driver state: one summary row per partition
+    * (two ≤2048-code-point boundary prefixes + the directional state
+    * composition) — the denseRank two-pass bound, unchanged.
+    * Returns (spans, the cached range-sorted frame backing them —
+    * caller unpersists after materializing downstream). */
+  private[operators] def prunedUnionSpans(u: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = u.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val NoTrain = -1L
+    val Inf = Long.MaxValue
+    def cp(a: UTF8String, b: UTF8String): Long =
+      graft.functions.CommonPrefixLen.compute(a, b)
+    val ordered = u
+      .select(col("pref"), col("pk"), col("train"),
+        col("doc_id").cast(org.apache.spark.sql.types.LongType),
+        col("off").cast(org.apache.spark.sql.types.LongType))
+      .repartitionByRange(parts, col("pref"), col("pk"))
+      .sortWithinPartitions(col("pref"), col("pk"))
+      .cache()
+    // pass 1: per-partition (firstPref, lastPref, sawTrain,
+    //   outF = state after the last reset scanning forward (valid iff
+    //   sawTrain; the unknown first-row boundary LCP never enters it),
+    //   outB = the backward mirror (valid iff sawTrain; the unknown
+    //   last-row boundary never enters it),
+    //   minLocal = min of the known internal boundary LCPs — the
+    //   no-reset pass-through term, identical for both directions)
+    val summ: Array[(Int, String, String, Boolean, Long, Long, Long)] =
+      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var prevPref: UTF8String = null
+          var sawTrain = false
+          var outF = Inf // state after the last train row (forward)
+          var minLocal = Inf
+          var outB = Inf // min of internal lcps BEFORE the first train
+          var beforeFirstTrain = true
+          var firstPref: String = null
+          var lastPref: String = null
+          it.foreach { r =>
+            val p = UTF8String.fromString(r.getString(0))
+            if (firstPref == null) firstPref = p.toString
+            val train = r.getBoolean(2)
+            if (prevPref != null) {
+              val l = cp(prevPref, p)
+              minLocal = math.min(minLocal, l)
+              if (!train) outF = math.min(outF, l)
+              if (beforeFirstTrain) outB = math.min(outB, l)
+            }
+            if (train) {
+              sawTrain = true
+              outF = Inf
+              beforeFirstTrain = false
+            }
+            prevPref = p
+          }
+          lastPref = prevPref.toString
+          Iterator((pid, firstPref, lastPref, sawTrain, outF, outB, minLocal))
+        }
+      }.collect().sortBy(_._1)
+    // driver composition: boundary LCPs between adjacent non-empty
+    // partitions + incoming gated-min state per partition per
+    // direction; the two ends of the total order have no boundary
+    // (lcp 0 — the former na.fill semantics)
+    val n = summ.length
+    val bndIn = new Array[Long](n) // lcp(last of p-1, first of p); [0]=0
+    var i = 1
+    while (i < n) {
+      bndIn(i) = cp(UTF8String.fromString(summ(i - 1)._3),
+        UTF8String.fromString(summ(i)._2))
+      i += 1
+    }
+    val inF = new Array[Long](n)
+    var st = NoTrain
+    i = 0
+    while (i < n) {
+      inF(i) = st
+      val (_, _, _, sawTrain, outF, _, minLocal) = summ(i)
+      st =
+        if (sawTrain) outF
+        else if (st == NoTrain) NoTrain
+        else math.min(st, math.min(bndIn(i), minLocal))
+      i += 1
+    }
+    val inB = new Array[Long](n)
+    st = NoTrain
+    i = n - 1
+    while (i >= 0) {
+      inB(i) = st
+      val (_, _, _, sawTrain, _, outB, minLocal) = summ(i)
+      val bOut = if (i + 1 < n) bndIn(i + 1) else 0L
+      st =
+        if (sawTrain) outB
+        else if (st == NoTrain) NoTrain
+        else math.min(st, math.min(bOut, minLocal))
+      i -= 1
+    }
+    val states: Map[Int, (Long, Long, Long, Long)] = summ.indices.map { j =>
+      val pid = summ(j)._1
+      val bOut = if (j + 1 < n) bndIn(j + 1) else 0L
+      pid -> (inF(j), inB(j), bndIn(j), bOut)
+    }.toMap
+    val bc = s.sparkContext.broadcast(states)
+    // pass 2: buffer the partition's compact (doc_id, off, train,
+    // lcp-to-predecessor) columns — prefixes are folded into the LCPs
+    // on the fly and never retained — then run the forward scan and
+    // the backward scan over the buffer and emit max(mF, mB) ≥ 32
+    val outRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val (pInF, pInB, pBndIn, pBndOut) = bc.value(pid)
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        val offs = new scala.collection.mutable.ArrayBuffer[Long]()
+        val trains = new scala.collection.mutable.ArrayBuffer[Boolean]()
+        val lcps = new scala.collection.mutable.ArrayBuffer[Long]()
+        var prevPref: UTF8String = null
+        it.foreach { r =>
+          val p = UTF8String.fromString(r.getString(0))
+          lcps += (if (prevPref == null) pBndIn else cp(prevPref, p))
+          ids += r.getLong(3)
+          offs += r.getLong(4)
+          trains += r.getBoolean(2)
+          prevPref = p
+        }
+        val m = ids.length
+        val best = new Array[Long](m)
+        var stF = pInF
+        var k = 0
+        while (k < m) {
+          if (trains(k)) stF = Inf
+          else {
+            stF = if (stF == NoTrain) NoTrain else math.min(stF, lcps(k))
+            best(k) = stF
+          }
+          k += 1
+        }
+        var stB = pInB
+        k = m - 1
+        while (k >= 0) {
+          val gOut = if (k + 1 < m) lcps(k + 1) else pBndOut
+          if (trains(k)) stB = Inf
+          else {
+            stB = if (stB == NoTrain) NoTrain else math.min(stB, gOut)
+            if (stB > best(k)) best(k) = stB
+          }
+          k -= 1
+        }
+        (0 until m).iterator.flatMap { j =>
+          if (!trains(j) && best(j) >= 32L)
+            Some(org.apache.spark.sql.Row(ids(j), offs(j), offs(j) + best(j)))
+          else None
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("st",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("en",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    (s.createDataFrame(outRdd, schema), ordered)
   }
 }
