@@ -250,11 +250,14 @@ object GeneralizedSuffixArray {
     while (nd < n && cover < maxLen) {
       val shifted = ranked.select((col("pk") - cover).as("pk"),
         col("rank").as("rank2"))
-      // deliberate join strategy (guide §3.1): both sides are the same
-      // fixed-width (pk, rank) frame — a shuffled-hash join skips the
-      // two per-round sorts a sort-merge join would add on top of the
-      // unavoidable pk exchanges
-      val paired = ranked.join(shifted.hint("shuffle_hash"), Seq("pk"), "left")
+      // join strategy stays SORT-MERGE deliberately (guide §3.1): a
+      // shuffled-hash hint was tried this round and skips the two
+      // per-round sorts locally, but at the sf10 build the 32
+      // concurrent per-task hash builds (~7 M rows each) are
+      // UNSPILLABLE consumers and died with "Can't acquire … to build
+      // hash relation" — the same measured failure class the
+      // LabelPropagation notes record. SMJ spills gracefully.
+      val paired = ranked.join(shifted, Seq("pk"), "left")
         .select(col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"),
           col("pk"))
       val (r2, d2, c2) = denseRank(paired, Seq("rank", "rank2"))
@@ -286,8 +289,7 @@ object GeneralizedSuffixArray {
         (f, fc)
       }
     val joined = fin
-      .join(rank32.select(col("pk"), col("rank").as("rank32")).hint("shuffle_hash"),
-        Seq("pk"))
+      .join(rank32.select(col("pk"), col("rank").as("rank32")), Seq("pk"))
       .select(shiftright(col("pk"), 32).as("doc_id"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("off"),
         col("rank"), col("rank32"))
