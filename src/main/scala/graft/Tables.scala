@@ -50,16 +50,26 @@ object Tables {
     * input-skew remedy; the cache boundary keeps the optimizer from
     * sinking the (deterministic) kernel projections back below the
     * exchange onto the serial scan side. Identical plans share one
-    * cache entry; Bench clears caches between queries. On a
-    * production layout (many input files) the scan is already wide
-    * and the exchange coalesces per AQE. */
+    * cache entry; Bench clears caches between queries.
+    *
+    * SCALE-GUARDED (optimization round 18, verdict item 5): the
+    * widen+cache is the remedy for a NARROW scan, so it applies only
+    * when the scan yields fewer splits than the session's
+    * parallelism. On a production many-file layout the scan is
+    * already wide, and the unconditional form would materialize the
+    * full corpus text into the cache per query family — forfeiting
+    * scan-side pushdown for an exchange nobody needs. The plain
+    * selected scan is returned in that case. */
   def loadDocsWide(spark: SparkSession, dir: String,
                    withSource: Boolean = false): DataFrame = {
     val base = load(spark, dir, "documents")
     val cols = if (withSource) Seq("doc_id", "source", "text")
                else Seq("doc_id", "text")
-    base.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .repartition(org.apache.spark.sql.functions.col("doc_id"))
-      .cache()
+    val sel = base.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    // file-split count of the scan itself (no exchange in this plan,
+    // so the RDD partition count IS the split count)
+    val scanParts = sel.rdd.getNumPartitions
+    if (scanParts >= spark.sparkContext.defaultParallelism) sel
+    else sel.repartition(org.apache.spark.sql.functions.col("doc_id")).cache()
   }
 }

@@ -302,25 +302,43 @@ object SuffixArrayIndex {
     // pass 2: buffer the partition's compact (doc_id, off, train,
     // lcp-to-predecessor) columns — prefixes are folded into the LCPs
     // on the fly and never retained — then run the forward scan and
-    // the backward scan over the buffer and emit max(mF, mB) ≥ 32
+    // the backward scan over the buffer and emit max(mF, mB) ≥ 32.
+    // UNBOXED growable arrays (ADVICE r17 item 2: the boxed
+    // ArrayBuffer[Long] form tripled the buffer's footprint), and a
+    // LOUD per-partition row bound: the batch side is capped by the
+    // probe's broadcast guard, but the corpus-survivor side is not
+    // bounded per h32 (a boilerplate 32-prefix can match arbitrarily
+    // many sidecar rows), so a skewed partition fails fast with the
+    // remedy named instead of OOMing the executor. Override via
+    // `spark.graft.saProbeMaxPartitionRows`.
+    val maxPartRows = s.conf.getOption("spark.graft.saProbeMaxPartitionRows")
+      .map(_.toInt).getOrElse(1 << 24)
     val outRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val (pInF, pInB, pBndIn, pBndOut) = bc.value(pid)
-        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
-        val offs = new scala.collection.mutable.ArrayBuffer[Long]()
-        val trains = new scala.collection.mutable.ArrayBuffer[Boolean]()
-        val lcps = new scala.collection.mutable.ArrayBuffer[Long]()
+        val ids = new scala.collection.mutable.ArrayBuilder.ofLong
+        val offs = new scala.collection.mutable.ArrayBuilder.ofLong
+        val trainsB = new scala.collection.mutable.ArrayBuilder.ofBoolean
+        val lcpsB = new scala.collection.mutable.ArrayBuilder.ofLong
         var prevPref: UTF8String = null
+        var nBuf = 0
         it.foreach { r =>
           val p = UTF8String.fromString(r.getString(0))
-          lcps += (if (prevPref == null) pBndIn else cp(prevPref, p))
+          lcpsB += (if (prevPref == null) pBndIn else cp(prevPref, p))
           ids += r.getLong(3)
           offs += r.getLong(4)
-          trains += r.getBoolean(2)
+          trainsB += r.getBoolean(2)
           prevPref = p
+          nBuf += 1
+          require(nBuf <= maxPartRows,
+            s"SA probe union partition $pid exceeds $maxPartRows buffered rows " +
+              "(a boilerplate 32-prefix matching that many corpus suffixes): " +
+              "raise spark.sql.shuffle.partitions or split the batch")
         }
-        val m = ids.length
+        val idsA = ids.result(); val offsA = offs.result()
+        val trains = trainsB.result(); val lcps = lcpsB.result()
+        val m = idsA.length
         val best = new Array[Long](m)
         var stF = pInF
         var k = 0
@@ -345,7 +363,7 @@ object SuffixArrayIndex {
         }
         (0 until m).iterator.flatMap { j =>
           if (!trains(j) && best(j) >= 32L)
-            Some(org.apache.spark.sql.Row(ids(j), offs(j), offs(j) + best(j)))
+            Some(org.apache.spark.sql.Row(idsA(j), offsA(j), offsA(j) + best(j)))
           else None
         }
       }

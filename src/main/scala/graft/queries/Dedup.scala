@@ -187,7 +187,21 @@ object Dedup extends QueryModule {
     // (a multi-second serial relation build at sf0.1, unboundedly
     // worse at scale).
     val boil = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("g")
+      .filter(col("df") > cap).select("g").cache()
+    // LOUD bound before the forced broadcast (the t24/saProbe guard
+    // precedent): the over-cap set is bounded by occurrences/cap grams
+    // in any sane corpus, but the hint removes the planner's fallback,
+    // so verify the premise instead of assuming it. The count runs the
+    // DF aggregate once into the (tiny, bounded) cache; the broadcast
+    // build below then reads the materialized rows, not a second
+    // aggregate pass.
+    val nBoil = boil.count()
+    val maxBoil = s.conf.getOption("spark.graft.dedupMaxBoilerplateGrams")
+      .map(_.toLong).getOrElse(1L << 22)
+    require(nBoil <= maxBoil,
+      s"DF-cap boilerplate set has $nBoil grams (> $maxBoil broadcast bound): " +
+        "the over-cap set should be a handful of boilerplate shingles — " +
+        "raise the cap or partition the corpus")
     ex.join(broadcast(boil), Seq("g"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_list(col("g")).as("sh"))
   }

@@ -897,8 +897,11 @@ object TextAnalysis extends QueryModule {
   }
 
   private[graft] def t24Feats(s: SparkSession, d: String): DataFrame =
-    // widened load (Tables.loadDocsWide): the repetition-stats kernel
-    // otherwise runs on the single-file scan's one task
+    // PLAIN documents load, deliberately: the widened load
+    // (Tables.loadDocsWide) was A/B'd in optimization round 17 and
+    // reverted — the exchange+cache costs more than the cheap
+    // repetition-stats kernel earns back (t24 3.4 s wide vs 1.7 s
+    // plain), and at larger SFs the file splits across tasks anyway
     t24FeatsOf(docs(s, d))
 
   private def t24FeatVal(f: Int): Column =
@@ -1366,8 +1369,17 @@ object TextAnalysis extends QueryModule {
     import featsIn.sparkSession.implicits._
     val nsp = byKo.toSeq.map { case (k, lv) => (k, lv.map(_.size).sum.toLong) }
       .toDF("ko", "n_splits")
-    trainAcc.join(testAcc, Seq("ko")).join(broadcast(nsp), Seq("ko"))
-      .select(col("ko").as("fold"), col("n_train"), col("n_test"),
+    // LEFT joins from the static 0..4 fold frame (ADVICE r17 item 4):
+    // the oracle's per-fold global aggregates always emit a row, so a
+    // fold whose held-out partition is empty (or routes every test row
+    // to an unseen leaf) must surface as n_test = 0 / NULL accuracy —
+    // not silently vanish the way a groupBy(ko) + inner join would.
+    // n_test coalesces to 0 (the oracle's COUNT(*)); the accuracy and
+    // n_train columns stay NULL exactly as the oracle's SUM-over-empty.
+    nsp.join(broadcast(trainAcc), Seq("ko"), "left")
+      .join(broadcast(testAcc), Seq("ko"), "left")
+      .select(col("ko").as("fold"), col("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
         col("train_acc_ppm"), col("test_acc_ppm"), col("n_splits"))
       .orderBy("fold")
   }

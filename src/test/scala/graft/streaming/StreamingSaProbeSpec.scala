@@ -40,4 +40,34 @@ class StreamingSaProbeSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("over-bound sidecar falls back to the per-batch filtered read, same rows") {
+    import spark.implicits._
+    val rep = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (0 until 8).map { i =>
+      val id = 7L + 53L * i
+      (id, s"doc-$id header $rep trailer words $i with some more text to slice from position two hundred")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("d19fallback").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val cached = graft.SparkEntry.queries("d19_probe_stream")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      // bound = 0 forces the corpus-scale path: no cached sidecar
+      // override, every micro-batch takes the scan-side-filtered read
+      spark.conf.set("spark.graft.saStreamSidecarCacheMaxRows", "0")
+      val fallback =
+        try graft.SparkEntry.queries("d19_probe_stream")(spark, dir)
+          .collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("spark.graft.saStreamSidecarCacheMaxRows")
+      assert(fallback === cached)
+      assert(fallback.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
