@@ -54,6 +54,23 @@ object Profiler {
         stages.add(f"[prof-stage] ${si.stageId}%3d ${d}%7.3fs tasks=${si.numTasks}%3d ${si.name.take(90)}$det")
       }
     })
+    // streaming-twin breakdown: per-micro-batch durationMs from the
+    // StreamingQueryProgress (triggerExecution = wall per batch;
+    // addBatch/queryPlanning/walCommit/commitOffsets/latestOffset/
+    // getBatch are its components) — tells machinery latency apart
+    // from job time for the replay gates
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          System.err.println(s"[prof-batch] id=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${new java.util.TreeMap[String, java.lang.Long](d)}")
+        }
+      })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { rep =>

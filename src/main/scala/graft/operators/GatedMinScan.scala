@@ -84,4 +84,139 @@ object GatedMinScan {
       StructField("m", LongType, nullable = false)))
     (s.createDataFrame(outRdd, schema), ordered)
   }
+
+  /** FUSED bidirectional scan (optimization round 18, guide §2.4):
+    * both directions of the d16/d18 composition in ONE range exchange
+    * instead of two — `rows` additionally carries `lcpOut` (the
+    * boundary LCP to the scan-order SUCCESSOR, 0 when absent), and
+    * the result per emit row is max(forward, backward) ≥ 32 directly,
+    * so the former union+groupBy merge of the two directional outputs
+    * disappears too. Same arithmetic as two [[scan]] calls (the
+    * descending scan's `lcpIn` IS the ascending order's `lcpOut`).
+    *
+    * The backward direction needs rows after their successors, which
+    * a forward pass can only provide by buffering the current SEGMENT
+    * (the run of emit rows since the last reset row — a reset clears
+    * backward state, so nothing older is needed). Segments are tiny
+    * whenever reset rows are dense (d16: 36/37 of suffixes reset;
+    * d18: 1/37 — runs of ~36), but an adversarial corpus could make
+    * one partition-sized: pass 1 therefore also measures the longest
+    * per-partition emit run, and when it exceeds the bound
+    * (`spark.graft.saScanMaxSegmentRows`) the method returns None and
+    * the CALLER falls back to the two-exchange [[scan]] form — the
+    * loud-bound + fallback idiom, decided at the driver BEFORE any
+    * task buffers anything. Driver state: one summary row per
+    * partition, both directions composed in one walk each.
+    * Returns (result or None, the cached range-sorted frame — caller
+    * unpersists either way). */
+  private[graft] def scanBoth(rows: DataFrame): (Option[DataFrame], DataFrame) = {
+    val s = rows.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val maxSeg = s.conf.getOption("spark.graft.saScanMaxSegmentRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    val NoTrain = -1L
+    val Inf = Long.MaxValue
+    val ordered = rows
+      .select(col("ord").cast(LongType), col("doc_id").cast(LongType),
+        col("off").cast(LongType), col("train"), col("lcpIn").cast(LongType),
+        col("lcpOut").cast(LongType))
+      .repartitionByRange(parts, col("ord"))
+      .sortWithinPartitions(col("ord"))
+      .cache()
+    // pass 1: (pid, sawTrain, curF = forward state after the last
+    // reset (or min of all lcpIn when none), curB = min of lcpOut
+    // BEFORE the first reset (the backward mirror), maxRun = longest
+    // run of consecutive emit rows)
+    val summ: Array[(Int, Boolean, Long, Long, Long)] =
+      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var sawTrain = false
+        var curF = Inf
+        var curB = Inf
+        var run = 0L
+        var maxRun = 0L
+        it.foreach { rr =>
+          if (rr.getBoolean(3)) { sawTrain = true; curF = Inf; run = 0L }
+          else {
+            curF = math.min(curF, rr.getLong(4))
+            if (!sawTrain) curB = math.min(curB, rr.getLong(5))
+            run += 1L
+            if (run > maxRun) maxRun = run
+          }
+        }
+        Iterator((pid, sawTrain, curF, curB, maxRun))
+      }.collect().sortBy(_._1)
+    if (summ.exists(_._5 > maxSeg)) return (None, ordered)
+    var stF = NoTrain
+    val inF = summ.map { case (pid, hasTrain, curF, _, _) =>
+      val in = stF
+      stF = if (hasTrain) curF
+        else if (in == NoTrain) NoTrain
+        else math.min(in, curF)
+      pid -> in
+    }.toMap
+    var stB = NoTrain
+    val inB = summ.reverse.map { case (pid, hasTrain, _, curB, _) =>
+      val in = stB
+      stB = if (hasTrain) curB
+        else if (in == NoTrain) NoTrain
+        else math.min(in, curB)
+      pid -> in
+    }.toMap
+    val bc = s.sparkContext.broadcast(
+      summ.map(t => t._1 -> ((inF(t._1), inB(t._1)))).toMap)
+    // pass 2: forward state streams; the backward value of an emit row
+    // is the running min of lcpOut from it up to the next reset row,
+    // computed by flushing the buffered segment in reverse at each
+    // reset (and at the partition end with the composed incoming
+    // backward state). Buffers are unboxed and bounded by maxSeg
+    // (verified at the driver above).
+    val outRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val (pInF, pInB) = bc.value(pid)
+        var st = pInF
+        val ids = new scala.collection.mutable.ArrayBuilder.ofLong
+        val offs = new scala.collection.mutable.ArrayBuilder.ofLong
+        val mFs = new scala.collection.mutable.ArrayBuilder.ofLong
+        val lcpOs = new scala.collection.mutable.ArrayBuilder.ofLong
+        def flush(st0: Long): Iterator[Row] = {
+          val idsA = ids.result(); val offsA = offs.result()
+          val mFA = mFs.result(); val loA = lcpOs.result()
+          ids.clear(); offs.clear(); mFs.clear(); lcpOs.clear()
+          val m = idsA.length
+          val best = new Array[Long](m)
+          var b = st0
+          var k = m - 1
+          while (k >= 0) {
+            b = if (b == NoTrain) NoTrain else math.min(b, loA(k))
+            best(k) = math.max(mFA(k), b)
+            k -= 1
+          }
+          (0 until m).iterator.flatMap { j =>
+            if (best(j) >= 32L) Some(Row(idsA(j), offsA(j), best(j)))
+            else None
+          }
+        }
+        (it.map(Option(_)) ++ Iterator(None)).flatMap {
+          case Some(rr) =>
+            if (rr.getBoolean(3)) {
+              val out = flush(Inf) // the reset row restarts backward state
+              st = Inf
+              out
+            } else {
+              st = if (st == NoTrain) NoTrain else math.min(st, rr.getLong(4))
+              ids += rr.getLong(1); offs += rr.getLong(2)
+              mFs += st; lcpOs += rr.getLong(5)
+              Iterator.empty
+            }
+          case None => flush(pInB)
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("m", LongType, nullable = false)))
+    (Some(s.createDataFrame(outRdd, schema)), ordered)
+  }
 }

@@ -30,33 +30,67 @@ import org.apache.spark.sql.types._
   * rule). Packed order == (doc_id, off) lexicographic order for the
   * final tie-break.
   *
-  * Per round: rank2 lookup = ONE pk-keyed equi join (the shifted
-  * self-join), then a DENSE RANK of (rank, rank2) WITHOUT a global
-  * single-partition sort: range-repartition + sortWithinPartitions
-  * (Spark's Terasort shape), one bounded per-partition stats collect
-  * (first key, last key, distinct count — ≤ |partitions| rows of
-  * driver state), a driver scan that merges boundary-spanning key
-  * groups, and a broadcast-offset assignment pass. Early exit when
-  * all ranks are distinct. Residual ties after the last round are
-  * IDENTICAL suffixes; the final total order breaks them by
-  * (doc_id, off).
+  * Ranks are POSITION ranks (Larsson–Sadakane: a suffix's rank is the
+  * index of ITS EQUIVALENCE CLASS'S FIRST ROW in the total order at
+  * the current cover — invariant: rank(x) = |{y : y <_cover x}|).
+  * Position ranks are order-isomorphic to the dense ranks the
+  * classical statement uses (equal iff equal, < iff <), so every
+  * (rank, rank2) comparison the doubling makes is unchanged — but a
+  * position rank is FINAL the moment its class is a singleton
+  * (classes only split; splits elsewhere don't renumber it, which
+  * dense ranks would). That is what the round-18 tail optimization
+  * exploits (guide §2.3/§2.4 — shuffle only the bytes that still
+  * matter): each round joins and re-ranks ONLY the still-tied
+  * suffixes ("live"), looks ranks up against the full settled+live
+  * map scan-side-pruned by a Bloom filter over the live keys (guide
+  * §3.2 — no false negatives, so the left join is exact; false
+  * positives are dropped by the join), and re-ranks each tied class
+  * locally under a hash exchange on the class head (classes are
+  * atomic per partition, so the new rank = class head + # of
+  * strictly-smaller rank2 members needs no cross-partition state).
+  * Settled rows are never exchanged again. On natural text the live
+  * set collapses after the first doubling rounds (the classes that
+  * survive are exactly the heavy repeats the operator exists to
+  * find), so the tail rounds cost a corpus SCAN (no sort, no
+  * exchange) plus work proportional to the repeats.
   *
-  * The round whose prefix cover reaches 32 is snapshotted as `rank32`:
-  * two suffixes share a 32-char prefix iff their rank32 is equal, so
-  * the LCP stage downstream fetches text only for those candidate
-  * adjacent pairs — never for the corpus-sized rest.
+  * The bootstrap dense-ranks `substring(text, off+1, 32)` directly —
+  * UTF8String binary order is code-point order, and a suffix shorter
+  * than the cover contributes its full remainder, which sorts before
+  * any continuation exactly like the −1 doubling sentinel — so ONE
+  * range exchange of (p32, pk) replaces the first five doubling
+  * rounds (cover 1→32), and that first ranking is by definition the
+  * `rank32` snapshot (emitted in its DENSE form — the artifact
+  * contract: two suffixes share a 32-char prefix iff their rank32 is
+  * equal; the LCP stage downstream fetches text only for candidate
+  * adjacent pairs, never for the corpus-sized rest). The same emit
+  * pass also carries the position rank and the tied flag, so the
+  * bootstrap is one pass for all three.
   *
-  * 100 TB shape: every pass is a keyed or range exchange of
-  * fixed-width (pk, rank[, rank2]) longs; driver state is one
-  * |partitions|-row stats table per round. Ranks are near-uniform
-  * after round 1 except over heavy repeats — exactly the data the
-  * operator exists to find — and a pathological single-repeat corpus
-  * degrades the range split with the same mitigation as any sort
-  * (more partitions). Character granularity is UNICODE CODE POINTS on
-  * every step of the chain — probed and spec-enforced, not assumed
-  * (SuffixArraySpec "astral"): Spark's `split(text, "")` emits one
-  * element per code point, `substring`/`length` index and count code
-  * points, UTF8String's binary sort order IS code-point order, and
+  * Residual ties after the last round are IDENTICAL suffixes; the
+  * final total order breaks them by (doc_id, off) — the same local
+  * per-class re-rank with pk as the discriminator. The artifact
+  * (doc_id, off, rank, rank32) is value-identical to the classical
+  * all-rows construction: final position ranks over the same total
+  * order are the permutation 0..n−1, and rank32 is the unchanged
+  * bootstrap dense rank (SuffixArraySpec compares against a driver
+  * suffix sort; the spill-bounded and in-memory modes are asserted
+  * equal; the three-SF Python-oracle gate states every consumer).
+  *
+  * 100 TB shape: the bootstrap is one range exchange of fixed-width
+  * rows; each tail round exchanges only the live rows and SCANS (not
+  * sorts) the rank map; driver state per round is one
+  * |partitions|-row stats table plus one Bloom filter over the live
+  * keys (size-gated by `spark.graft.saBloomMaxLiveSuffixes`, with the
+  * unfiltered scan as the over-bound fallback). A pathological
+  * single-repeat corpus keeps every suffix live — then each round
+  * costs what the classical construction paid anyway, and the ckpt
+  * mode's compaction guard (below) keeps disk bounded. Character
+  * granularity is UNICODE CODE POINTS on every step of the chain —
+  * probed and spec-enforced, not assumed (SuffixArraySpec "astral"):
+  * Spark's `split(text, "")` emits one element per code point,
+  * `substring`/`length` index and count code points, UTF8String's
+  * binary sort order IS code-point order, and
   * functions.CommonPrefixLen counts non-continuation UTF-8 bytes =
   * code points. The Python oracle's string ops are code-point
   * semantics too, so the two engines agree on astral text as well as
@@ -64,96 +98,195 @@ import org.apache.spark.sql.types._
   */
 object GeneralizedSuffixArray {
 
-  private val payloadCols: Seq[(String, DataType)] =
-    Seq("pk" -> LongType)
-
-  /** Dense 0-based ranks of `df` rows under the `keys` order, plus the
-    * distinct-key count and the cached range-sorted frame backing the
-    * result's lineage (the caller retires caches once a later round is
-    * materialized). Exact for any partitioning: boundary-spanning key
-    * groups are merged in the driver scan. `df` must expose `keys`
-    * followed by the packed-suffix payload under distinct names. */
-  private[operators] def denseRank(df: DataFrame, keys: Seq[String])
-      : (DataFrame, Long, DataFrame) = {
+  /** Bootstrap ranking: every suffix ranked by its 32-code-point
+    * prefix in ONE range exchange, emitting per suffix
+    * (pk, rank32 = DENSE rank, rank = POSITION rank, tied). Exact for
+    * any partitioning: boundary-spanning key groups are merged in the
+    * driver scan (≤ |partitions| rows of driver state — first/last
+    * key, distinct count, row count, last group's local start, from
+    * which the driver derives each partition's dense offset, row
+    * start, carried-in group head, and whether its first/last rows
+    * continue a neighbouring partition's group). Returns (rows, the
+    * cached range-sorted frame backing them — the caller unpersists
+    * it once the rows are materialized). */
+  private[operators] def bootstrapRank(df: DataFrame): (DataFrame, DataFrame) = {
     val s = df.sparkSession
-    val kN = keys.length
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // repartitionByRange SAMPLES its input to pick boundaries — a full
-    // extra evaluation of `df` (for the doubling rounds that is the
-    // whole pk-keyed join, run twice per round). A round-lifetime
-    // cache makes the sampling pass the one real evaluation; the
-    // caller's materialization of `ordered` (the stats collect below)
-    // ends its useful life, so it is retired HERE — no round input
-    // outlives its round (the spill-bound discipline).
-    val input = df
-      .select((keys ++ payloadCols.map(_._1)).map(col): _*)
-      .cache()
+    // extra evaluation of the explode+substring projection. A
+    // bootstrap-lifetime cache makes the sampling pass the one real
+    // evaluation; it is retired by the stats collect below.
+    val input = df.select(col("p32"), col("pk")).cache()
     val ordered = input
-      .repartitionByRange(parts, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
+      .repartitionByRange(parts, col("p32"))
+      .sortWithinPartitions(col("p32"))
       .cache()
-    val stats: Array[(Int, Seq[Any], Seq[Any], Long)] =
+    // (pid, firstKey, lastKey, nDistinct, rowCount, lastGroupStartIdx)
+    val stats: Array[(Int, String, String, Long, Long, Long)] =
       ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          var first: Seq[Any] = null
-          var prev: Seq[Any] = null
+          var first: String = null
+          var prev: String = null
           var nd = 0L
+          var cnt = 0L
+          var lastStart = 0L
           it.foreach { r =>
-            val k: Seq[Any] = (0 until kN).map(r.get)
+            val k = r.getString(0)
             if (first == null) first = k
-            if (k != prev) { nd += 1; prev = k }
+            if (prev == null || k != prev) { nd += 1; lastStart = cnt; prev = k }
+            cnt += 1
           }
-          Iterator((pid, first, prev, nd))
+          Iterator((pid, first, prev, nd, cnt, lastStart))
         }
       }.collect().sortBy(_._1)
     input.unpersist()
-    var running = 0L
-    var prevLast: Seq[Any] = null
-    val offsets = stats.map { case (pid, first, last, nd) =>
-      val off = if (prevLast != null && first == prevLast) running - 1 else running
-      running = off + nd
+    // driver composition: dense offsets (merging boundary-spanning
+    // groups), row starts, and the carried-in group head per partition
+    var denseRun = 0L
+    var rowRun = 0L
+    var prevLast: String = null
+    var carryHead = -1L
+    val infos = new Array[(Int, Long, Long, Long, Boolean, Boolean)](stats.length)
+    var j = 0
+    while (j < stats.length) {
+      val (pid, first, last, nd, cnt, lastStart) = stats(j)
+      val contFirst = prevLast != null && first == prevLast
+      val denseOff = if (contFirst) denseRun - 1 else denseRun
+      val headFirst = if (contFirst) carryHead else -1L
+      val contLast = j + 1 < stats.length && stats(j + 1)._2 == last
+      carryHead = if (nd == 1 && contFirst) carryHead else rowRun + lastStart
+      infos(j) = (pid, denseOff, rowRun, headFirst, contFirst, contLast)
+      denseRun = denseOff + nd
+      rowRun += cnt
       prevLast = last
-      pid -> off
-    }.toMap
-    val total = running
-    val bc = s.sparkContext.broadcast(offsets)
-    val rankedRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      j += 1
+    }
+    val bc = s.sparkContext.broadcast(
+      infos.map(i => i._1 -> ((i._2, i._3, i._4, i._5, i._6))).toMap)
+    val outRdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val off = bc.value(pid)
-        var prev: Seq[Any] = null
-        var r = off - 1
-        it.map { row =>
-          val k: Seq[Any] = (0 until kN).map(row.get)
-          if (k != prev) { r += 1; prev = k }
-          Row.fromSeq(payloadCols.indices.map(i => row.get(kN + i)) :+ r)
+        val (denseOff, rowStart, headFirst, contFirst, contLast) = bc.value(pid)
+        var dense = denseOff - 1
+        var pos = rowStart - 1
+        var head = -1L
+        var prevKey: String = null
+        // one-row delay so each emitted row knows whether its SUCCESSOR
+        // shares its key (tied = same key as prev OR next, with the
+        // partition-boundary continuations from the driver scan)
+        var pPk = 0L; var pDense = 0L; var pHead = 0L; var pTied = false
+        var hasPend = false
+        (it.map(Option(_)) ++ Iterator(None)).flatMap {
+          case Some(r) =>
+            val k = r.getString(0)
+            val pk = r.getLong(1)
+            pos += 1
+            val sameAsPrev = if (prevKey == null) contFirst else k == prevKey
+            if (prevKey == null) {
+              dense += 1 // denseOff was pre-adjusted for a continuation
+              head = if (contFirst) headFirst else pos
+            } else if (k != prevKey) { dense += 1; head = pos }
+            val res =
+              if (hasPend) Some(Row(pPk, pDense, pHead, pTied || sameAsPrev))
+              else None
+            pPk = pk; pDense = dense; pHead = head; pTied = sameAsPrev
+            hasPend = true
+            prevKey = k
+            res
+          case None =>
+            if (hasPend) Some(Row(pPk, pDense, pHead, pTied || contLast))
+            else None
         }
       }
     }
-    val schema = StructType(payloadCols.map { case (n, t) =>
-      StructField(n, t, nullable = false)
-    } :+ StructField("rank", LongType, nullable = false))
-    (s.createDataFrame(rankedRdd, schema), total, ordered)
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("rank32", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("tied", BooleanType, nullable = false)))
+    (s.createDataFrame(outRdd, schema), ordered)
+  }
+
+  /** One tail-round refinement over the LIVE rows only: `paired` =
+    * (pk, rank = position rank / class head, rank2 = lookup rank of
+    * pk+cover or −1, rank32 = pass-through payload), classes hashed
+    * whole to partitions (atomic — every member of a tied class
+    * carries the same `rank`), sorted locally by (rank, rank2), and
+    * re-ranked IN PLACE: a member's new rank is its class head + the
+    * number of class members with strictly smaller rank2 (= the local
+    * index where its rank2 subgroup starts), which preserves the
+    * position-rank invariant without touching any settled row. Emits
+    * (pk, rank, rank32, tied) where tied = the row's (rank, rank2)
+    * subgroup still has ≥ 2 members. One hash exchange over live rows
+    * only, no driver state, no per-class buffering (a one-row delay
+    * computes the tied flag), so a pathological giant class costs
+    * sort time, not memory. rank32 riding the (small) live rows is
+    * what lets the build skip the corpus-sized final join the
+    * classical form paid to re-attach the snapshot. */
+  private[operators] def refineRound(paired: DataFrame): DataFrame = {
+    val s = paired.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ordered = paired
+      .select(col("pk").cast(LongType), col("rank").cast(LongType),
+        col("rank2").cast(LongType), col("rank32").cast(LongType))
+      .repartition(parts, col("rank"))
+      .sortWithinPartitions(col("rank"), col("rank2"))
+    val outRdd = ordered.rdd.mapPartitions { it =>
+      var prevR = 0L; var prevR2 = 0L; var hasPrev = false
+      var idx = 0L; var subHead = 0L
+      var pPk = 0L; var pRank = 0L; var p32 = 0L; var pTied = false
+      var hasPend = false
+      (it.map(Option(_)) ++ Iterator(None)).flatMap {
+        case Some(r) =>
+          val pk = r.getLong(0); val rk = r.getLong(1); val r2 = r.getLong(2)
+          if (!hasPrev || rk != prevR) { idx = 0L; subHead = rk }
+          else if (r2 != prevR2) { subHead = rk + idx }
+          val same = hasPrev && rk == prevR && r2 == prevR2
+          val res =
+            if (hasPend) Some(Row(pPk, pRank, p32, pTied || same)) else None
+          pPk = pk; pRank = subHead; p32 = r.getLong(3); pTied = same
+          hasPend = true
+          idx += 1; prevR = rk; prevR2 = r2; hasPrev = true
+          res
+        case None =>
+          if (hasPend) Some(Row(pPk, pRank, p32, pTied)) else None
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("rank32", LongType, nullable = false),
+      StructField("tied", BooleanType, nullable = false)))
+    s.createDataFrame(outRdd, schema)
   }
 
   /** Suffix-count threshold above which [[build]] switches to the
-    * SPILL-BOUNDED mode: every doubling round is handed off through a
-    * parquet dir (2 longs/suffix, snappy) instead of a cached plan.
-    * The handoff CUTS THE LINEAGE, so the previous round's join/sort
-    * shuffle files become unreachable the moment `ranked` rebinds —
-    * the forced GC then reclaims them INSIDE the round, and the
-    * retired round's parquet dir is deleted eagerly. In-flight disk
-    * is therefore bounded by ~2 rounds (one live handoff + one being
-    * written + the current round's shuffle), independent of the round
-    * count — the property the round-13 sf10 attempts lacked: with
-    * pure in-memory lineage the ContextCleaner's ASYNC reclamation
-    * lagged the build and rounds × shuffle accumulated past the local
-    * disk. On a cluster the same bound holds per node. Below the
-    * threshold the build keeps the all-in-memory lineage (no I/O,
+    * SPILL-BOUNDED mode: the bootstrap and every tail round are
+    * handed off through parquet dirs instead of cached plans. The
+    * handoff CUTS THE LINEAGE, so a round's join/exchange shuffle
+    * files become unreachable the moment the round rebinds — the
+    * forced GC then reclaims them INSIDE the round. Round dirs hold
+    * the settled rows and are kept until the build lands; their
+    * total is one row per suffix PLUS one row per (round, still-live
+    * suffix), which on natural corpora is ≈ n and on an adversarial
+    * everything-stays-tied corpus is capped by the COMPACTION guard
+    * (when cumulative written rows exceed 3n, the latest-rank view is
+    * rewritten into one dir and the round dirs retired — disk stays
+    * ≤ ~4 corpus-sized snapshots, independent of round count). Below
+    * the threshold the build keeps the all-in-memory lineage (no I/O,
     * oracle-verified at the gates). Override for tests via
     * `spark.graft.saCheckpointMinSuffixes`. */
   private val CkptMinSuffixesDefault: Long = 64L << 20
+
+  /** Live-set bound under which each tail round prunes the rank-map
+    * scan with a Bloom filter over the live keys (~8 bits/key at the
+    * 2% fpp used here — ≤ ~70 MB broadcast at the default bound).
+    * Past the bound the round keeps the unfiltered scan (the join
+    * stays exact either way; the filter is a pure shuffle-bytes
+    * saving, guide §3.2). Override via
+    * `spark.graft.saBloomMaxLiveSuffixes`. */
+  private val BloomMaxLiveDefault: Long = 1L << 26
 
   /** The suffix array: (doc_id, off, rank, rank32) — `rank` is the
     * 0-based position of suffix (doc_id, off) in the total suffix
@@ -170,8 +303,7 @@ object GeneralizedSuffixArray {
     * index path (SuffixArrayIndex): without it the spill-bounded mode
     * would land the result in its own temp root and the index build
     * would re-read + rewrite a corpus-sized array (double peak disk
-    * and I/O for the ~17-min sf10 construction, the round-14 ADVICE
-    * item). */
+    * and I/O for the sf10 construction, the round-14 ADVICE item). */
   def build(docs: DataFrame, resultDir: Option[String] = None): DataFrame = {
     // empty-text docs have NO suffixes (split("", "") would emit one
     // phantom "" row) and an all-empty/empty corpus has a NULL
@@ -194,102 +326,151 @@ object GeneralizedSuffixArray {
     require(maxLen < (1L << 30),
       s"suffix-array pk packing needs doc length < 2^30 chars, got $maxLen")
     val n = if (bounds.isNullAt(3)) 0L else bounds.getLong(3)
-    // BOOTSTRAP AT COVER=32 (optimization round 17, guide §2.4 "remove
-    // shuffles outright"): dense-ranking the 32-code-point prefix
-    // directly IS the prefix-doubling rank at cover=32 — UTF8String
-    // binary order is code-point order, and a suffix shorter than the
-    // cover contributes its full remainder, which sorts before any
-    // continuation exactly like the doubling sentinel (-1 sorts
-    // first). One range exchange of (p32, pk) therefore replaces the
-    // first FIVE doubling rounds (cover 1→32: 5 pk-keyed joins + 5
-    // denseRank exchanges + their driver round-trips), and the rank32
-    // snapshot is by definition this first ranking. Equivalence is
-    // exact (same equivalence classes, same class order ⇒ identical
-    // dense ranks), spec-held by SuffixArraySpec + the three-SF
-    // Python-oracle gate.
-    val chars = nonEmpty.select(col("doc_id").cast(LongType).as("doc_id"),
+    val s = docs.sparkSession
+    // scan-width gate (round 18, the loadDocsWide lesson applied to
+    // the build, guide §2.5 input skew): sf-dir corpora land as ONE
+    // parquet file, so the explode+substring bootstrap projection
+    // chained straight onto the scan ran on a single core (measured:
+    // an 8.4 s one-task stage at sf0.1 — the largest single stage of
+    // the build). One hash exchange of the compact (doc_id, text)
+    // rows fans the kernel out; a Generate is never sunk below a
+    // repartition (unlike the bare projections the docsWide note
+    // documents), so no cache boundary is needed. On a many-file
+    // layout the scan is already wide and the exchange is skipped.
+    val src =
+      if (nonEmpty.rdd.getNumPartitions >= s.sparkContext.defaultParallelism)
+        nonEmpty
+      else nonEmpty.repartition(col("doc_id"))
+    val chars = src.select(col("doc_id").cast(LongType).as("doc_id"),
       col("text"), posexplode(split(col("text"), "")).as(Seq("off", "ch")))
       .select(expr("substring(text, off + 1, 32)").as("p32"),
         (shiftleft(col("doc_id"), 32) + col("off").cast(LongType)).as("pk"))
-    val s = docs.sparkSession
     val ckpt = n >= s.conf.getOption("spark.graft.saCheckpointMinSuffixes")
       .map(_.toLong).getOrElse(CkptMinSuffixesDefault)
+    val bloomMax = s.conf.getOption("spark.graft.saBloomMaxLiveSuffixes")
+      .map(_.toLong).getOrElse(BloomMaxLiveDefault)
     val tmpRoot: java.nio.file.Path =
       if (ckpt) {
         val p = java.nio.file.Files.createTempDirectory("graft_sa_")
         sys.addShutdownHook(deleteRecursively(p.toFile)) // session-lifetime
         p
       } else null
-    var roundIdx = 0
-    var curDir: String = null // parquet backing `ranked` (ckpt mode)
-    var rank32Dir: String = null
-    // parquet handoff: write the round (consuming `cache`), rebind to
-    // the read, retire the PREVIOUS round's dir (unless it backs the
-    // rank32 snapshot), and force the cleaner to reclaim the now-
-    // unreachable shuffles — the spill bound of the scaladoc
-    def handoff(df: DataFrame, cache: DataFrame): DataFrame = {
-      roundIdx += 1
-      val dir = tmpRoot.resolve(s"r$roundIdx").toString
-      df.write.mode("overwrite").parquet(dir)
-      cache.unpersist()
-      val prev = curDir
-      curDir = dir
-      if (prev != null && prev != rank32Dir)
-        deleteRecursively(new java.io.File(prev))
-      System.gc()
-      s.read.parquet(dir)
-    }
-    var (ranked, nd, newest) = denseRank(chars, Seq("p32"))
-    if (ckpt) { ranked = handoff(ranked, newest); newest = null }
-    var cover = 32L
-    // rank32 = the bootstrap ranking itself (see above): the dense
-    // rank under the 32-char-prefix equivalence IS the first ranking
-    val rank32: DataFrame = ranked
-    val rank32Backing: DataFrame = if (ckpt) null else newest
-    rank32Dir = curDir
-    while (nd < n && cover < maxLen) {
-      val shifted = ranked.select((col("pk") - cover).as("pk"),
-        col("rank").as("rank2"))
-      // join strategy stays SORT-MERGE deliberately (guide §3.1): a
-      // shuffled-hash hint was tried this round and skips the two
-      // per-round sorts locally, but at the sf10 build the 32
-      // concurrent per-task hash builds (~7 M rows each) are
-      // UNSPILLABLE consumers and died with "Can't acquire … to build
-      // hash relation" — the same measured failure class the
-      // LabelPropagation notes record. SMJ spills gracefully.
-      val paired = ranked.join(shifted, Seq("pk"), "left")
-        .select(col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"),
-          col("pk"))
-      val (r2, d2, c2) = denseRank(paired, Seq("rank", "rank2"))
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+    // ---- bootstrap: one range exchange → (pk, rank32, rank, tied)
+    val (bootRaw, bootOrdered) = bootstrapRank(chars)
+    val boot: DataFrame =
       if (ckpt) {
-        ranked = handoff(r2, c2)
+        val dir = tmpRoot.resolve("boot").toString
+        bootRaw.write.mode("overwrite").parquet(dir)
+        bootOrdered.unpersist()
+        System.gc()
+        s.read.parquet(dir)
       } else {
-        // round i is materialized (the stats collect inside denseRank),
-        // so round i−1's cache can be RETIRED NOW unless it backs the
-        // rank32 snapshot — holding every round alive accumulates
-        // rounds × corpus-sized cache AND keeps each round's shuffle
-        // files referenced (the ContextCleaner only reclaims a shuffle
-        // when its dependency is GC-able)
-        if (!newest.eq(rank32Backing)) { newest.unpersist(); newest = null }
-        newest = c2
-        ranked = r2
+        val b = bootRaw.cache()
+        b.count(): Unit
+        bootOrdered.unpersist()
+        caches += b
+        b
       }
-      nd = d2; cover *= 2
+    // ---- tail rounds over the live (still-tied) rows only. rank32
+    // (the bootstrap dense ranking, see scaladoc) rides the rows as a
+    // pass-through payload — settled rows keep it where they landed
+    // and live rows carry 8 extra bytes through the (small) round
+    // exchanges — so the final artifact needs NO corpus-sized join to
+    // re-attach the snapshot (the classical form paid one).
+    val rowCols = Seq(col("pk"), col("rank"), col("rank32"))
+    var settled: List[DataFrame] =
+      List(boot.filter(!col("tied")).select(rowCols: _*))
+    var live: DataFrame = boot.filter(col("tied")).select(rowCols: _*)
+    var liveCnt: Long = if (n == 0) 0L else live.count()
+    System.err.println(s"[sa-build] bootstrap (cover=32) -> live $liveCnt / $n")
+    var cover = 32L
+    var roundIdx = 0
+    var roundDirs: List[String] = Nil // ckpt round dirs (retired at the end)
+    var written: Long = n // ckpt compaction guard (see CkptMinSuffixes doc)
+    while (liveCnt > 0 && cover < maxLen) {
+      roundIdx += 1
+      // rank map = latest rank per suffix: rows settle in exactly one
+      // round (tied=false there, absent later), live rows ride the
+      // newest frame — each pk appears exactly once in the union
+      val rankMap = (settled :+ live).map(_.select(col("pk"), col("rank")))
+        .reduce(_.unionByName(_))
+      // Bloom-prune the map scan to (approximately) the rows some live
+      // suffix will look up: keep pk where pk − cover ∈ live keys. No
+      // false negatives ⇒ the left join below is exact; false
+      // positives are dropped by the join. Size-gated; the over-bound
+      // fallback is the unfiltered scan.
+      val pruned =
+        if (liveCnt <= bloomMax) {
+          val bf = live.stat.bloomFilter("pk", liveCnt, 0.02)
+          val bfB = s.sparkContext.broadcast(bf)
+          val might = udf((x: Long) => bfB.value.mightContainLong(x))
+          rankMap.filter(might(col("pk") - cover))
+        } else rankMap
+      val lookup = pruned
+        .select((col("pk") - cover).as("pk"), col("rank").as("rank2"))
+      val paired = live.join(lookup, Seq("pk"), "left")
+        .select(col("pk"), col("rank"),
+          coalesce(col("rank2"), lit(-1L)).as("rank2"), col("rank32"))
+      val out = refineRound(paired)
+      var outF: DataFrame = null
+      if (ckpt) {
+        if (written + liveCnt > 3L * n) {
+          // compaction: rewrite the latest-rank view into ONE dir and
+          // retire the round dirs (boot is retired at the end with
+          // everything else) — bounds disk for corpora where nothing
+          // settles
+          val cdir = tmpRoot.resolve(s"c$roundIdx").toString
+          settled.map(_.withColumn("tied", lit(false)))
+            .reduce(_.unionByName(_)).unionByName(out)
+            .write.mode("overwrite").parquet(cdir)
+          roundDirs.foreach(d => deleteRecursively(new java.io.File(d)))
+          roundDirs = List(cdir)
+          System.gc()
+          val read = s.read.parquet(cdir)
+          settled = Nil // the compacted dir now carries every settled row
+          outF = read
+          written = n
+        } else {
+          val dir = tmpRoot.resolve(s"r$roundIdx").toString
+          out.write.mode("overwrite").parquet(dir)
+          roundDirs ::= dir
+          System.gc()
+          outF = s.read.parquet(dir)
+          written += liveCnt
+        }
+      } else {
+        outF = out.cache()
+        caches += outF
+      }
+      settled :+= outF.filter(!col("tied")).select(rowCols: _*)
+      live = outF.filter(col("tied")).select(rowCols: _*)
+      liveCnt = live.count()
+      // round telemetry (stderr, one line per round): the tail
+      // optimization's whole point is this number collapsing — the
+      // measurement evidence a profiler run reads off directly
+      System.err.println(
+        s"[sa-build] round $roundIdx cover=$cover -> live $liveCnt / $n")
+      cover *= 2
     }
-    // final total order: (rank, pk) — pk order IS (doc_id, off) order.
-    // When the loop exited with every rank distinct (nd == n) the
-    // ranks already ARE the dense total order and re-ranking would be
-    // a no-op pass; identical-suffix ties (nd < n) still need the
-    // deterministic (rank, pk) re-rank.
-    val (fin, finCache) =
-      if (nd == n) (ranked, null: DataFrame)
-      else {
-        val pre = ranked.select(col("rank").as("r0"), col("pk").as("kp"), col("pk"))
-        val (f, _, fc) = denseRank(pre, Seq("r0", "kp"))
-        (f, fc)
-      }
-    val joined = fin
-      .join(rank32.select(col("pk"), col("rank").as("rank32")), Seq("pk"))
+    // residual live rows are IDENTICAL suffixes: the deterministic
+    // final tie-break by pk ((doc_id, off) order) settles them with
+    // the same local per-class re-rank
+    val finalSettled =
+      if (liveCnt == 0) settled
+      else settled :+ refineRound(
+        live.select(col("pk"), col("rank"), col("pk").as("rank2"),
+          col("rank32")))
+        .select(rowCols: _*)
+    // coalesce the branch union back to the session parallelism: the
+    // artifact would otherwise land as (#branches × partitions) tiny
+    // files (measured: 224 write tasks at sf0.1), taxing every derive
+    // scan; coalesce is narrow — each writer folds the branch
+    // partitions without a shuffle
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val joined = finalSettled.reduce(_.unionByName(_))
+      .coalesce(parts)
       .select(shiftright(col("pk"), 32).as("doc_id"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("off"),
         col("rank"), col("rank32"))
@@ -300,8 +481,7 @@ object GeneralizedSuffixArray {
       // independent of the retired rounds
       val resDir = resultDir.getOrElse(tmpRoot.resolve("result").toString)
       joined.write.mode("overwrite").parquet(resDir)
-      if (finCache != null) finCache.unpersist()
-      Seq(curDir, rank32Dir).filter(_ != null).distinct
+      (tmpRoot.resolve("boot").toString :: roundDirs)
         .foreach(d => deleteRecursively(new java.io.File(d)))
       // caller-owned result ⇒ nothing of the build remains in the
       // temp root; reclaim it now instead of at JVM shutdown
@@ -313,15 +493,13 @@ object GeneralizedSuffixArray {
         // persisted-index path: ONE write (the write materializes the
         // plan), caches retired, returned frame reads the artifact
         joined.write.mode("overwrite").parquet(resDir)
-        Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
-          .foreach(_.unpersist())
+        caches.foreach(_.unpersist())
         s.read.parquet(resDir)
       case None =>
         // materialize the result, then retire the remaining caches
         val result = joined.cache()
         result.count()
-        Seq(finCache, rank32Backing, newest).filter(_ != null).distinct
-          .foreach(_.unpersist())
+        caches.foreach(_.unpersist())
         result
     }
   }

@@ -968,14 +968,55 @@ object Dedup extends QueryModule {
     * persisted-index forms (d15/d16/d17/d18), so all derive the
     * identical pair set from whichever array backs them. */
   private def adjacentLcpFrom(sa: DataFrame, base: DataFrame): DataFrame = {
-    val succ = sa.select((col("rank") - 1).as("rank"),
-      col("doc_id").as("doc_b"), col("off").as("off_b"),
-      col("rank32").as("r32b"))
-    val cands = sa.join(succ, Seq("rank"))
-      .filter(col("rank32") === col("r32b"))
-      .select((col("rank") + 1).as("b_rank"),
-        col("doc_id").as("doc_a"), col("off").as("off_a"),
-        col("doc_b"), col("off_b"))
+    // SA adjacency in ONE range exchange (optimization round 18, guide
+    // §2.4): ranks are a 0..n−1 permutation, so SA-adjacency ==
+    // consecutive rows in rank order. The former self-join exchanged
+    // the corpus-sized array TWICE (rank and rank−1 keys) and
+    // merge-joined; here the array is range-exchanged once, each
+    // partition pairs consecutive rows locally, and cross-partition
+    // adjacency comes from ONE collected first-row per partition
+    // (fixed width — the denseRank two-pass driver bound). Both RDD
+    // passes hang off the same RDD, so the second reuses the first's
+    // shuffle files (no re-exchange). rank32-equal pruning and the
+    // capped text fetch are unchanged.
+    val s = sa.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ordRdd = sa
+      .select(col("rank").cast(LongType), col("doc_id").cast(LongType),
+        col("off").cast(LongType), col("rank32").cast(LongType))
+      .repartitionByRange(parts, col("rank"))
+      .sortWithinPartitions(col("rank"))
+      .rdd
+    val firsts: Array[(Int, (Long, Long, Long, Long))] =
+      ordRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val r = it.next()
+          Iterator((pid, (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        }
+      }.collect().sortBy(_._1)
+    val nextFirst: Map[Int, (Long, Long, Long, Long)] =
+      (0 until firsts.length - 1).map(j => firsts(j)._1 -> firsts(j + 1)._2).toMap
+    val bcNext = s.sparkContext.broadcast(nextFirst)
+    val candsRdd = ordRdd.mapPartitionsWithIndex { (pid, it) =>
+      val tail = bcNext.value.get(pid)
+      var prevD = 0L; var prevO = 0L; var prev32 = 0L; var has = false
+      def pair(r: Long, d: Long, o: Long, r32: Long): Option[org.apache.spark.sql.Row] = {
+        val res =
+          if (has && prev32 == r32)
+            Some(org.apache.spark.sql.Row(r, prevD, prevO, d, o))
+          else None
+        prevD = d; prevO = o; prev32 = r32; has = true
+        res
+      }
+      it.flatMap(rr =>
+        pair(rr.getLong(0), rr.getLong(1), rr.getLong(2), rr.getLong(3))) ++
+        tail.iterator.flatMap { case (r, d, o, r32) => pair(r, d, o, r32) }
+    }
+    val cands = s.createDataFrame(candsRdd,
+      org.apache.spark.sql.types.StructType(
+        Seq("b_rank", "doc_a", "off_a", "doc_b", "off_b").map(
+          org.apache.spark.sql.types.StructField(_, LongType, nullable = false))))
     val ta = base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
@@ -995,6 +1036,11 @@ object Dedup extends QueryModule {
       .limit(20)
 
   private def d14(s: SparkSession, d: String): DataFrame = {
+    // plain load: the build widens its own explode internally (the
+    // GeneralizedSuffixArray scan-width gate) and the pair text fetch
+    // is scan-only behind a broadcast — A/B'd (r18) against the
+    // widened+cached load, a wash (13.96 vs 14.07 s warm), so the
+    // simpler no-cache form stays
     val base = docs(s, d).select(col("doc_id"), col("text"))
     // the fresh-build form (d17 is the persisted-index twin): the
     // array lands in a CORPUS-KEYED dir (overwritten per run, so
@@ -1091,6 +1137,9 @@ object Dedup extends QueryModule {
   private[queries] def d15From(s: SparkSession, d: String, base: DataFrame): DataFrame = {
     val idxDir = graft.operators.SuffixArrayIndex.ensureBuilt(s, d)
     val sa = graft.operators.SuffixArrayIndex.load(s, idxDir)
+    // pair text fetch stays on the PLAIN load: the candidate side is
+    // broadcast, so the corpus side is scan-only — A/B'd (r18) and the
+    // widened load's exchange+cache never pays for itself here
     val pairs = adjacentLcpFrom(sa, base.select(col("doc_id"), col("text")))
     // materialize the (small: one row per duplicated-span occurrence)
     // span set to parquet — reading the spans back cuts the lineage,
@@ -1203,22 +1252,44 @@ object Dedup extends QueryModule {
         Seq("rank"), "left")
       .na.fill(0L, Seq("lcpIn", "lcpOut"))
       .cache()
-    val (l, lc) = scanSharedWithTrain(both
-      .select(col("rank").as("ord"), col("doc_id"), col("off"),
-        col("train"), col("lcpIn")))
-    val (r, rc) = scanSharedWithTrain(both
-      .select((-col("rank")).as("ord"), col("doc_id"), col("off"),
-        col("train"), col("lcpOut").as("lcpIn")))
-    // materialize the (small: one row per shared-span suffix) span
-    // set, then retire the scan + join caches (the d15 handoff; the
-    // SA itself is the persisted artifact — nothing of it is cached)
+    // BOTH directions in ONE range exchange (optimization round 18,
+    // guide §2.4): the fused scan emits max(forward, backward) per
+    // suffix directly, so the union+groupBy merge of the two
+    // directional outputs disappears with the second exchange. The
+    // fusion is segment-bounded (pass 1 measures the longest emit
+    // run; the reset density — 36/37 for d16, 1/37 for d18 — keeps
+    // real segments tiny) and FALLS BACK to the two-exchange
+    // GatedMinScan form when the driver-side check trips (an
+    // adversarial run length), so no task ever buffers unboundedly.
     val spansDir = graft.operators.ArtifactDir.dirFor(d, "documents.parquet", prefix)
-    l.unionByName(r).groupBy(col("doc_id"), col("off"))
-      .agg(max(col("m")).as("m"))
-      .select(col("doc_id"), col("off").as("st"),
-        (col("off") + col("m")).as("en"))
-      .write.mode("overwrite").parquet(spansDir)
-    Seq(lc, rc, both).foreach(_.unpersist())
+    val (fused, fusedCache) = graft.operators.GatedMinScan.scanBoth(both
+      .select(col("rank").as("ord"), col("doc_id"), col("off"),
+        col("train"), col("lcpIn"), col("lcpOut")))
+    fused match {
+      case Some(m) =>
+        // materialize the (small: one row per shared-span suffix)
+        // span set, then retire the scan + join caches (the d15
+        // handoff; the SA itself is the persisted artifact — nothing
+        // of it is cached)
+        m.select(col("doc_id"), col("off").as("st"),
+            (col("off") + col("m")).as("en"))
+          .write.mode("overwrite").parquet(spansDir)
+        Seq(fusedCache, both).foreach(_.unpersist())
+      case None =>
+        fusedCache.unpersist()
+        val (l, lc) = scanSharedWithTrain(both
+          .select(col("rank").as("ord"), col("doc_id"), col("off"),
+            col("train"), col("lcpIn")))
+        val (r, rc) = scanSharedWithTrain(both
+          .select((-col("rank")).as("ord"), col("doc_id"), col("off"),
+            col("train"), col("lcpOut").as("lcpIn")))
+        l.unionByName(r).groupBy(col("doc_id"), col("off"))
+          .agg(max(col("m")).as("m"))
+          .select(col("doc_id"), col("off").as("st"),
+            (col("off") + col("m")).as("en"))
+          .write.mode("overwrite").parquet(spansDir)
+        Seq(lc, rc, both).foreach(_.unpersist())
+    }
     mergedSpans(s.read.parquet(spansDir))
   }
 

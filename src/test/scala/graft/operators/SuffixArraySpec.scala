@@ -495,6 +495,34 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial identical-doc corpus: ckpt compaction + bloom-off fallback stay exact") {
+    // identical docs keep EVERY suffix class tied through every
+    // doubling round (they only separate at the final pk tie-break):
+    // the worst case for the round-18 live-set tail — the compaction
+    // guard must trip in ckpt mode (len ≥ 257 ⇒ ≥ 4 rounds ⇒ written
+    // > 3n) and the result must still equal the driver suffix sort,
+    // with the Bloom pruning disabled (the over-bound fallback path)
+    val base = "the same exact document body repeated verbatim in every row " * 5
+    val rows = Seq((0L, base), (1L, base), (2L, base))
+    assert(base.length >= 257)
+    val expected = saDriver(rows)
+    val pinned = spark.newSession()
+    pinned.conf.set("spark.graft.saCheckpointMinSuffixes", "1")
+    pinned.conf.set("spark.graft.saBloomMaxLiveSuffixes", "0")
+    val ses = pinned
+    import ses.implicits._
+    val got = GeneralizedSuffixArray.build(
+      Seq((0L, base), (1L, base), (2L, base)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == expected.length)
+    val byRank = got.sortBy(_._3)
+    byRank.zip(expected).foreach { case ((d, o, _, _), (_, ed, eo)) =>
+      assert((d, o) == (ed, eo), s"SA order diverges at ($d,$o) vs ($ed,$eo)")
+    }
+    // ranks are the 0-based permutation (position ranks, fully settled)
+    assert(byRank.map(_._3).toSeq == got.indices.map(_.toLong))
+  }
+
   test("SA of an all-empty corpus is empty (no NPE, no phantom rows)") {
     import spark.implicits._
     val sa = GeneralizedSuffixArray.build(
