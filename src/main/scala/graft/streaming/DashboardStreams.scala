@@ -153,13 +153,27 @@ object StreamingReplay {
     // partitions (the streaming query captures the conf at start —
     // production streams size this to the cluster, not to this replay)
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val oldNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // no-data micro-batches OFF (optimization round 18, the
+    // ReplayHarness rationale): Append emission for windows a batch's
+    // watermark closes then happens in the NEXT batch with data, so
+    // the engine skips the full-plan empty batch it otherwise runs
+    // after EVERY processAllAvailable (measured: half of a replay's
+    // micro-batches). A SECOND flush frame below is what flushes the
+    // windows the first flush's watermark closed — flush rows
+    // themselves never close and callers drop the sentinel mountpoint.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = try {
       out.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt.toString)
         .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
+    }
     try {
       // arrival order = event-time order (all mounts stream
       // concurrently); per-mount seq order is preserved because chunk
@@ -169,7 +183,10 @@ object StreamingReplay {
         input.addData(g)
         q.processAllAvailable()
       }
-      input.addData(flush(chunks.iterator.map(_.receiveMicros).max))
+      val maxT = chunks.iterator.map(_.receiveMicros).max
+      input.addData(flush(maxT))
+      q.processAllAvailable()
+      input.addData(flush(maxT))
       q.processAllAvailable()
       val table = s.table(name)
       // materialize before the query/table lifecycle ends
