@@ -1106,15 +1106,41 @@ object CorpusOps extends QueryModule {
     val raw = all.filter(col("doc_id") % 37 =!= 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .cache()
+    // n_tok computed ONCE per text value and carried through the
+    // funnel joins (round 18, guide §2.3): every stage past 1_scrubbed
+    // aggregates the SAME scrubbed strings, so the carried long is
+    // value-identical to re-running the wordCount kernel per stage —
+    // which is what the stage manifest previously did (6 full
+    // corpus-text passes; at 100 TB each is a full corpus scan).
     val scrubbed = PiiScrub.scrub(raw, "text")
       .select(col("doc_id"), col("scrubbed").as("text"), col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast(LongType))
+      .withColumn("n_tok", wsTok(col("text")))
       .cache()
+    // lineage truncation at the funnel's waist (optimization round 18,
+    // guide §3.3 "planning time itself can become the bottleneck"):
+    // every downstream consumer — keepers, the decon gram chain, the
+    // mixture/split/pack/tokenize/shard tails and the stage aggregates
+    // — re-embeds its full lineage in the one composed plan, and with
+    // the raw→scrub→gate subtree under each of ~15 references the
+    // formatted plan was 40.8k lines; Catalyst analysis of that tree
+    // cost 3.5–5 s of the 6.5–7.9 s warm wall (measured: Profiler
+    // build= vs write= split). An EAGER localCheckpoint of `gated`
+    // replaces the subtree with a LogicalRDD for every consumer (the
+    // one materialization the cache paid anyway), while every audited
+    // shape — the LeftSemi/LeftAnti survivor joins, the might_contain
+    // gram probe, the keyed pack windows — sits ABOVE the boundary and
+    // stays in the visible plan. localCheckpoint, not cache+count: the
+    // r17 A/B showed unpersisting stage CACHES re-compiles dependent
+    // cached plans (9.9→14.6 s); the checkpoint cuts lineage without
+    // touching the cache manager. (At 100 TB the boundary is the same
+    // place a production funnel lands a materialized intermediate.)
     val gated = TextAnalysis
-      .gateFlags(scrubbed, carry = Seq("doc_id", "text", "lang", "n_chars"))
+      .gateFlags(scrubbed, carry = Seq("doc_id", "text", "lang", "n_chars", "n_tok"))
       .filter(col("g1") + col("g2") + col("g3") + col("g4") >= 3)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-      .cache()
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("n_tok"))
+      .localCheckpoint()
     val keepers = gated
       .groupBy(xxhash64(col("text")).as("xh"),
         crc32(col("text").cast(BinaryType)).as("cc"))
@@ -1152,16 +1178,16 @@ object CorpusOps extends QueryModule {
       .join(broadcast(quota), Seq("lang"))
       .filter(col("rn") <= col("quota"))
       .select("doc_id")
-    // picked ≤ |langs|·B rows by construction — broadcast-able
+    // picked ≤ |langs|·B rows by construction — broadcast-able.
+    // Second lineage cut (same §3.3 rationale as `gated`): the train
+    // tail — split, pack window, tokenize join, sharder — is another
+    // ~8 references over the mixture subtree; the LeftSemi/LeftAnti/
+    // might_contain shapes stay visible through the 3_deduped and
+    // 4_decontaminated stage-aggregate branches, which reference
+    // `deduped`/`clean` directly above this boundary.
     val mixture = clean.join(broadcast(picked), Seq("doc_id"), "left_semi")
       .withColumn("bkt", pmod(skey, lit(10L)))
-      .cache()
-    val split = mixture
-      .withColumn("stage", concat(lit("6_"), when(col("bkt") < 8, "train")
-        .when(col("bkt") === 8, "val").otherwise(lit("test"))))
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n_units"), sum(col("n_chars")).as("n_chars"),
-        sum(wsTok(col("text"))).as("n_tokens"))
+      .localCheckpoint()
     val train = mixture.filter(col("bkt") < 8).cache()
     val trainChars = train.agg(coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
     // 7_packed: c03's keyed prefix-scan packing over the train split
@@ -1169,7 +1195,7 @@ object CorpusOps extends QueryModule {
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     val bins = train
       .select(col("doc_id"), col("source"),
-        pmod(col("doc_id"), lit(8L)).as("shard"), wsTok(col("text")).as("tok"))
+        pmod(col("doc_id"), lit(8L)).as("shard"), col("n_tok").as("tok"))
       .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / PackBudget).cast(LongType))
       .groupBy(col("source"), col("shard"), col("bin"))
@@ -1207,19 +1233,42 @@ object CorpusOps extends QueryModule {
       .crossJoin(trainChars)
       .select(lit("9_sharded").as("stage"), col("n_units"), col("n_chars"),
         col("n_tokens"))
-    def st(name: String, df: DataFrame) = df
-      .agg(count(lit(1)).as("n_units"),
-        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
-        coalesce(sum(wsTok(col("text"))), lit(0L)).as("n_tokens"))
-      .select(lit(name).as("stage"), col("n_units"), col("n_chars"),
-        col("n_tokens"))
-    st("0_raw", raw)
-      .unionByName(st("1_scrubbed", scrubbed))
-      .unionByName(st("2_gated", gated))
-      .unionByName(st("3_deduped", deduped))
-      .unionByName(st("4_decontaminated", clean))
-      .unionByName(st("5_mixture", mixture))
-      .unionByName(split)
+    // stage-manifest fold (round 18, guide §2.4): the seven corpus-
+    // stage rows (0_raw..5_mixture + the 6_* split rows) were seven
+    // separate aggregates — seven exchanges, ~14 AQE query-stage jobs
+    // — over frames whose token sums re-ran the wordCount kernel per
+    // stage. One union of per-stage (stage, n_chars, n_tok)
+    // projections under ONE groupBy computes the identical sums in a
+    // single exchange. The oracle's per-stage aggregates emit a row
+    // even over an EMPTY frame (n_units = 0) while its split rows are
+    // GROUP BY (dropped when empty) — matched exactly by restoring the
+    // six always-present stages from a static frame and passing the
+    // 6_* groups through.
+    def stRow(name: String, df: DataFrame) =
+      df.select(lit(name).as("stage"), col("n_chars"), col("n_tok"))
+    val stageRows = stRow("0_raw", raw.withColumn("n_tok", wsTok(col("text"))))
+      .unionByName(stRow("1_scrubbed", scrubbed))
+      .unionByName(stRow("2_gated", gated))
+      .unionByName(stRow("3_deduped", deduped))
+      .unionByName(stRow("4_decontaminated", clean))
+      .unionByName(stRow("5_mixture", mixture))
+      .unionByName(mixture.select(
+        concat(lit("6_"), when(col("bkt") < 8, "train")
+          .when(col("bkt") === 8, "val").otherwise(lit("test"))).as("stage"),
+        col("n_chars"), col("n_tok")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_units"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .cache() // ≤ 9 rows, referenced twice below — one union pass, not two
+    import s.implicits._
+    val staticStages = Seq("0_raw", "1_scrubbed", "2_gated", "3_deduped",
+      "4_decontaminated", "5_mixture").toDF("stage")
+    val corpusRows = staticStages.join(stageRows, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    corpusRows
+      .unionByName(stageRows.filter(col("stage").startsWith("6_")))
       .unionByName(packedRow)
       .unionByName(tokenizedRow)
       .unionByName(shardedRow)
@@ -1249,15 +1298,20 @@ object CorpusOps extends QueryModule {
     import graft.functions.GraftFunctions.wordCount
     def wsTok(t: Column): Column = wordCount(t).cast(LongType)
     val all = docs(s, d)
+    // n_tok once per cleaned text value, carried through the funnel —
+    // the c11 fold's rationale (guide §2.3): stages 1–4 aggregate the
+    // same strings, so the carried long equals re-running the kernel
     val cleaned = Dedup.d15From(s, d,
         all.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), col("text_clean").as("text"))
       .withColumn("n_chars", length(col("text")).cast(LongType))
+      .withColumn("n_tok", wsTok(col("text")))
       .cache()
     val gated = TextAnalysis
-      .gateFlags(cleaned, carry = Seq("doc_id", "text", "n_chars"))
+      .gateFlags(cleaned, carry = Seq("doc_id", "text", "n_chars", "n_tok"))
       .filter(col("g1") + col("g2") + col("g3") + col("g4") >= 3)
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+        col("n_tok"))
       .cache()
     // keeper identity is the (xxhash64, crc32) pair of the cleaned
     // text while the Python oracle compares texts exactly — a
@@ -1268,25 +1322,35 @@ object CorpusOps extends QueryModule {
         crc32(col("text").cast(BinaryType)).as("cc"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val deduped = gated.join(keepers, Seq("doc_id"), "left_semi").cache()
-    val split = deduped
-      .withColumn("bkt", pmod(Q.knuth32(col("doc_id")), lit(10L)))
-      .withColumn("stage", concat(lit("4_"), when(col("bkt") < 8, "train")
-        .when(col("bkt") === 8, "val").otherwise(lit("test"))))
+    // stage-manifest fold — the c11 shape: ONE union + ONE groupBy
+    // exchange for all stage rows instead of five aggregates; the
+    // oracle's always-emitted empty-stage rows restored from a static
+    // frame, the 4_* split groups passed through (GROUP BY semantics)
+    def stRow(name: String, df: DataFrame) =
+      df.select(lit(name).as("stage"), col("n_chars"), col("n_tok"))
+    val stageRows = stRow("0_raw",
+        all.select(col("text"), col("n_chars").cast(LongType).as("n_chars"))
+          .withColumn("n_tok", wsTok(col("text"))))
+      .unionByName(stRow("1_substr_removed", cleaned))
+      .unionByName(stRow("2_gated", gated))
+      .unionByName(stRow("3_deduped", deduped))
+      .unionByName(deduped
+        .withColumn("bkt", pmod(Q.knuth32(col("doc_id")), lit(10L)))
+        .select(concat(lit("4_"), when(col("bkt") < 8, "train")
+          .when(col("bkt") === 8, "val").otherwise(lit("test"))).as("stage"),
+          col("n_chars"), col("n_tok")))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_units"), sum(col("n_chars")).as("n_chars"),
-        sum(wsTok(col("text"))).as("n_tokens"))
-    def st(name: String, df: DataFrame) = df
-      .agg(count(lit(1)).as("n_units"),
-        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
-        coalesce(sum(wsTok(col("text"))), lit(0L)).as("n_tokens"))
-      .select(lit(name).as("stage"), col("n_units"), col("n_chars"),
-        col("n_tokens"))
-    val manifest = st("0_raw",
-        all.select(col("text"), col("n_chars").cast(LongType).as("n_chars")))
-      .unionByName(st("1_substr_removed", cleaned))
-      .unionByName(st("2_gated", gated))
-      .unionByName(st("3_deduped", deduped))
-      .unionByName(split)
+        sum(col("n_tok")).as("n_tokens"))
+      .cache() // ≤ 7 rows, referenced twice — one union pass, not two
+    import s.implicits._
+    val staticStages = Seq("0_raw", "1_substr_removed", "2_gated",
+      "3_deduped").toDF("stage")
+    val manifest = staticStages.join(stageRows, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .unionByName(stageRows.filter(col("stage").startsWith("4_")))
       .orderBy("stage")
       .cache()
     // materialize the ≤7 manifest rows, then RETIRE the corpus-text-
@@ -1294,7 +1358,7 @@ object CorpusOps extends QueryModule {
     // cache outlives the call; a dropped block recomputes through the
     // d15 spans parquet handoff, never through a deleted path
     manifest.count()
-    Seq(cleaned, gated, deduped).foreach(_.unpersist())
+    Seq(cleaned, gated, deduped, stageRows).foreach(_.unpersist())
     manifest
   }
 
